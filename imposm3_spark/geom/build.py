@@ -1,0 +1,138 @@
+"""Geometry construction as Spark expressions over ARRAY<STRUCT<x,y>>.
+
+Parity target: /root/reference/geom/geom.go:38-137 (Point/LineString/Polygon
+build rules: consecutive-dup removal at eps 1e-9, <2 nodes -> invalid line,
+<4 nodes after dedup -> invalid ring).
+
+Everything here is a native column expression (higher-order array functions
+are JVM-evaluated): dedup, length, shoelace area, bbox. Only the final WKB
+byte encoding is a pandas UDF, applied once per output row at projection
+time — the measure/filter hot path never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType
+
+from imposm3_spark.geom import wkb as wkblib
+
+NODE_EQ_EPS = 1e-9
+
+COORD_STRUCT = "struct<x:double,y:double>"
+
+
+def coord(x: Column, y: Column) -> Column:
+    return F.struct(x.alias("x"), y.alias("y"))
+
+
+def dedup_coords(arr: Column) -> Column:
+    """Remove consecutive near-duplicate coords (geom.go:55-79). Each element
+    is compared to its ORIGINAL predecessor, exactly like the reference."""
+
+    def keep(_x: Column, i: Column) -> Column:
+        prev = F.element_at(arr, i)  # 1-based: element i == index i-1 (the predecessor)
+        cur = F.element_at(arr, i + 1)
+        near = (F.abs(cur["x"] - prev["x"]) < NODE_EQ_EPS) & (
+            F.abs(cur["y"] - prev["y"]) < NODE_EQ_EPS
+        )
+        return (i == 0) | ~near
+
+    return F.filter(arr, keep)
+
+
+def line_length(arr: Column) -> Column:
+    """Planar length: sum of hypot over consecutive pairs."""
+    n = F.size(arr)
+    seg = F.zip_with(
+        F.slice(arr, 1, n - 1),
+        F.slice(arr, 2, n - 1),
+        lambda a, b: F.sqrt(F.pow(b["x"] - a["x"], F.lit(2.0)) + F.pow(b["y"] - a["y"], F.lit(2.0))),
+    )
+    return F.when(n >= 2, F.aggregate(seg, F.lit(0.0), lambda acc, v: acc + v)).otherwise(F.lit(0.0))
+
+
+def ring_signed_area2(arr: Column) -> Column:
+    """Twice the signed shoelace area of a (closed) ring."""
+    n = F.size(arr)
+    terms = F.zip_with(
+        F.slice(arr, 1, n - 1),
+        F.slice(arr, 2, n - 1),
+        lambda a, b: a["x"] * b["y"] - b["x"] * a["y"],
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ring_area(arr: Column) -> Column:
+    return F.abs(ring_signed_area2(arr)) / F.lit(2.0)
+
+
+def bbox(arr: Column) -> Column:
+    """STRUCT<minx,miny,maxx,maxy> of a coord array."""
+    return F.struct(
+        F.array_min(F.transform(arr, lambda c: c["x"])).alias("minx"),
+        F.array_min(F.transform(arr, lambda c: c["y"])).alias("miny"),
+        F.array_max(F.transform(arr, lambda c: c["x"])).alias("maxx"),
+        F.array_max(F.transform(arr, lambda c: c["y"])).alias("maxy"),
+    )
+
+
+def is_closed_refs(refs: Column) -> Column:
+    """Way closed-ness — element.go:49-51: >=4 refs and first == last.
+    Evaluated on the raw ref ids, before coordinate resolution."""
+    return (F.size(refs) >= 4) & (F.try_element_at(refs, F.lit(1)) == F.try_element_at(refs, F.lit(-1)))
+
+
+def valid_linestring(arr: Column) -> Column:
+    """>=2 distinct-consecutive nodes (geom.go:81-85)."""
+    return F.size(arr) >= 2
+
+
+def valid_ring(arr: Column) -> Column:
+    """>=4 nodes after dedup (geom.go:104-108)."""
+    return F.size(arr) >= 4
+
+
+# ---------------------------------------------------------------------------
+# WKB encoding pandas UDFs (sink boundary only)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(BinaryType())
+def point_wkb_udf(x: pd.Series, y: pd.Series, srid: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if xi is None else wkblib.point_wkb(float(xi), float(yi), int(s))
+            for xi, yi, s in zip(x, y, srid)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(BinaryType())
+def linestring_wkb_udf(coords: pd.Series, srid: pd.Series) -> pd.Series:
+    out = []
+    for arr, s in zip(coords, srid):
+        if arr is None or len(arr) < 2:
+            out.append(None)
+        else:
+            out.append(wkblib.linestring_wkb([(c["x"], c["y"]) for c in arr], int(s)))
+    return pd.Series(out, dtype=object)
+
+
+@pandas_udf(BinaryType())
+def polygon_wkb_udf(coords: pd.Series, srid: pd.Series) -> pd.Series:
+    """Single-ring polygon from a closed coord array (way polygons)."""
+    out = []
+    for arr, s in zip(coords, srid):
+        if arr is None or len(arr) < 4:
+            out.append(None)
+        else:
+            ring = [(c["x"], c["y"]) for c in arr]
+            if ring[0] != ring[-1]:
+                ring.append(ring[0])
+            out.append(wkblib.polygon_wkb([ring], int(s)))
+    return pd.Series(out, dtype=object)

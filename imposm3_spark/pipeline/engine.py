@@ -1,0 +1,409 @@
+"""The import pipeline: OSM element DataFrames -> per-table output DataFrames.
+
+Parity target: /root/reference/writer/{nodes,ways,relations}.go plus
+import_/import.go:139-263 (write phase). The reference streams elements
+through per-CPU goroutine pools doing LevelDB point lookups; here each
+element kind is one declarative DataFrame plan — Catalyst fuses the match
+expressions, prunes columns, and AQE picks shuffle strategy.
+
+Output geometry is EWKB binary (default SRID 3857), same as the reference's
+PostGIS payload.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imposm3_spark import elements
+from imposm3_spark.geom import build as gb
+from imposm3_spark.geom import py_geom, wkb as wkblib
+from imposm3_spark.geom.proj import wgs_to_merc_x, wgs_to_merc_y
+from imposm3_spark.mapping.columns import RowContext, build_column
+from imposm3_spark.mapping.config import Mapping
+from imposm3_spark.mapping.matcher import (
+    LINESTRING,
+    POINT,
+    POLYGON,
+    RELATION,
+    RELATION_MEMBER,
+    MatchUnit,
+    compile_match_units,
+    table_filter_expr,
+    tag_prefilter_expr,
+)
+from imposm3_spark.pipeline.resolve import resolve_way_coords
+
+MULTIPOLYGON_SCHEMA = (
+    "rel_id bigint, wkb binary, area double, "
+    "minx double, miny double, maxx double, maxy double, "
+    "outer_way_ids array<bigint>"
+)
+
+
+def _assemble_multipolygons(max_ring_gap: float, srid: int):
+    """applyInPandas kernel: member ways of one relation -> multipolygon.
+
+    Ports geom/multipolygon.go buildRings + buildRelGeometry (ring merge,
+    gap closing, shell/hole classification by containment parity). Runs
+    per-relation inside Arrow batches — the only Python hot spot of the
+    pipeline, bounded by relation count (~10^7 on a planet), not node count.
+    """
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        rel_id = key[0]
+        pdf = pdf.sort_values("member_pos")
+        member_ways = []
+        for _, row in pdf.iterrows():
+            coords = [(c["x"], c["y"]) for c in row["coords"]]
+            member_ways.append((int(row["way_id"]), list(row["way_refs"]), coords))
+        try:
+            rings = py_geom.build_rings(member_ways, max_ring_gap)
+            polygons, outer_ids = py_geom.build_multipolygon(rings)
+        except (py_geom.NoRingError, ValueError):
+            return pd.DataFrame(columns=[
+                "rel_id", "wkb", "area", "minx", "miny", "maxx", "maxy", "outer_way_ids",
+            ])
+        if len(polygons) == 1:
+            wkb = wkblib.polygon_wkb(polygons[0], srid)
+        else:
+            wkb = wkblib.multipolygon_wkb(polygons, srid)
+        area = py_geom.multipolygon_area(polygons)
+        all_pts = [pt for poly in polygons for ring in poly for pt in ring]
+        minx, miny, maxx, maxy = py_geom.bbox(all_pts)
+        return pd.DataFrame(
+            [
+                {
+                    "rel_id": rel_id,
+                    "wkb": wkb,
+                    "area": area,
+                    "minx": minx,
+                    "miny": miny,
+                    "maxx": maxx,
+                    "maxy": maxy,
+                    "outer_way_ids": sorted(outer_ids),
+                }
+            ]
+        )
+
+    return assemble
+
+
+@dataclass
+class PipelineOutput:
+    tables: dict[str, DataFrame]
+
+    def union_all(self) -> dict[str, DataFrame]:
+        return self.tables
+
+
+class ImportPipeline:
+    """Compile a Mapping once, then run element DataFrames through it.
+
+    srid: 3857 (default) projects coords to spherical mercator right after
+    the scan (writer/writer.go NodesToSrid); 4326 keeps lon/lat.
+    """
+
+    def __init__(self, mapping: Mapping, srid: int = 3857):
+        if srid not in (3857, 4326):
+            raise ValueError("only EPSG:3857 and EPSG:4326 are supported")  # config.go:156-160
+        self.mapping = mapping
+        self.srid = srid
+        # writer/ways.go:37-41: 0.1m gap closing (projected); ~0.1m in degrees
+        self.max_ring_gap = 1e-1 if srid == 3857 else 1e-6
+        self.point_units = compile_match_units(mapping, POINT)
+        self.line_units = compile_match_units(mapping, LINESTRING)
+        self.polygon_units = compile_match_units(mapping, POLYGON)
+        self.relation_units = compile_match_units(mapping, RELATION)
+        self.relation_member_units = compile_match_units(mapping, RELATION_MEMBER)
+
+    # ---- shared helpers ----
+
+    def project_xy(self, df: DataFrame, lon: str = "lon", lat: str = "lat") -> DataFrame:
+        if self.srid == 3857:
+            return df.withColumns(
+                {"x": wgs_to_merc_x(F.col(lon)), "y": wgs_to_merc_y(F.col(lat))}
+            )
+        return df.withColumns({"x": F.col(lon), "y": F.col(lat)})
+
+    def _project_unit(self, unit: MatchUnit, df: DataFrame, ctx: RowContext) -> DataFrame:
+        cols = [build_column(c, ctx) for c in unit.table.columns]
+        return df.select(*cols)
+
+    def _match_col(self, i: int) -> str:
+        return f"_match_{i}"
+
+    def _with_matches(self, df: DataFrame, units: list[MatchUnit]) -> DataFrame:
+        """Evaluate every unit's match expression in one pass (no shuffle)."""
+        return df.withColumns({self._match_col(i): u.match_expr(F.col("tags")) for i, u in enumerate(units)})
+
+    def _any_match(self, units: list[MatchUnit]) -> Column:
+        cond = F.lit(False)
+        for i in range(len(units)):
+            cond = cond | F.col(self._match_col(i)).isNotNull()
+        return cond
+
+    # ---- nodes (writer/nodes.go) ----
+
+    def node_tables(self, nodes: DataFrame) -> dict[str, DataFrame]:
+        """Tagged nodes -> point tables. Untagged nodes are coords-only."""
+        units = self.point_units
+        if not units:
+            return {}
+        df = nodes.filter(F.size("tags") > 0).withColumn(
+            "tags", tag_prefilter_expr(self.mapping, "node", F.col("tags"))
+        )
+        df = df.filter(F.size("tags") > 0)
+        df = self.project_xy(df)
+        df = self._with_matches(df, units).filter(self._any_match(units))
+
+        out: dict[str, list[DataFrame]] = {}
+        for i, unit in enumerate(units):
+            m = F.col(self._match_col(i))
+            matched = df.filter(m.isNotNull()).filter(
+                table_filter_expr(
+                    self.mapping, unit.table, F.col("tags"), m["key"], F.lit(False), relation=False
+                )
+            )
+            ctx = RowContext(
+                tags=F.col("tags"),
+                osm_id=elements.node_osm_id(F.col("id")),
+                match_key=m["key"],
+                match_value=m["value"],
+                geom_wkb=gb.point_wkb_udf(F.col("x"), F.col("y"), F.lit(self.srid)),
+                geom_area=F.lit(0.0),
+                geom_bbox=F.struct(
+                    F.col("x").alias("minx"),
+                    F.col("y").alias("miny"),
+                    F.col("x").alias("maxx"),
+                    F.col("y").alias("maxy"),
+                ),
+            )
+            out.setdefault(unit.table.name, []).append(self._project_unit(unit, matched, ctx))
+        return {name: _union_all(dfs) for name, dfs in out.items()}
+
+    # ---- ways (writer/ways.go) ----
+
+    def way_tables(self, ways: DataFrame, coords: DataFrame) -> dict[str, DataFrame]:
+        """Ways -> linestring + polygon tables.
+
+        coords: (id, x, y) already projected (use `prepare_coords`).
+        Dispatch (mapping/matcher.go:137-155): line tables take open ways
+        always and closed ways unless area=yes; polygon tables take closed
+        ways unless area=no.
+        """
+        line_units = self.line_units
+        poly_units = self.polygon_units
+        if not line_units and not poly_units:
+            return {}
+        df = ways.filter(F.size("tags") > 0).withColumn(
+            "tags", tag_prefilter_expr(self.mapping, "way", F.col("tags"))
+        )
+        df = df.filter(F.size("tags") > 0)
+        df = df.withColumn("_closed", gb.is_closed_refs(F.col("refs")))
+        area_tag = F.coalesce(F.col("tags").getItem("area"), F.lit(""))
+        df = df.withColumn("_as_line", ~(F.col("_closed") & (area_tag == "yes")))
+        df = df.withColumn("_as_poly", F.col("_closed") & (area_tag != "no"))
+
+        all_units = line_units + poly_units
+        df = self._with_matches(df, all_units)
+        eligible = F.lit(False)
+        for i, u in enumerate(all_units):
+            dispatch = F.col("_as_line") if u in line_units else F.col("_as_poly")
+            eligible = eligible | (F.col(self._match_col(i)).isNotNull() & dispatch)
+        needed = df.filter(eligible)
+
+        # resolve coords once for all matched ways (reference fills only on
+        # match too — writer/ways.go:85-97)
+        resolved = resolve_way_coords(needed, coords)
+        resolved = resolved.withColumn("_coords", gb.dedup_coords(F.col("coords")))
+
+        out: dict[str, list[DataFrame]] = {}
+        for i, unit in enumerate(all_units):
+            is_line = i < len(line_units)
+            m = F.col(self._match_col(i))
+            dispatch = F.col("_as_line") if is_line else F.col("_as_poly")
+            valid = gb.valid_linestring(F.col("_coords")) if is_line else gb.valid_ring(F.col("_coords"))
+            matched = resolved.filter(m.isNotNull() & dispatch & valid).filter(
+                table_filter_expr(
+                    self.mapping, unit.table, F.col("tags"), m["key"], F.col("_closed"), relation=False
+                )
+            )
+            if is_line:
+                geom_wkb = gb.linestring_wkb_udf(F.col("_coords"), F.lit(self.srid))
+                geom_area = F.lit(0.0)
+            else:
+                geom_wkb = gb.polygon_wkb_udf(F.col("_coords"), F.lit(self.srid))
+                geom_area = gb.ring_area(F.col("_coords"))
+            ctx = RowContext(
+                tags=F.col("tags"),
+                osm_id=elements.way_osm_id(F.col("id"), self.mapping.single_id_space),
+                match_key=m["key"],
+                match_value=m["value"],
+                geom_wkb=geom_wkb,
+                geom_area=geom_area,
+                geom_bbox=gb.bbox(F.col("_coords")),
+            )
+            out.setdefault(unit.table.name, []).append(self._project_unit(unit, matched, ctx))
+        return {name: _union_all(dfs) for name, dfs in out.items()}
+
+    # ---- relations (writer/relations.go) ----
+
+    def relation_tables(
+        self, relations: DataFrame, ways: DataFrame, coords: DataFrame
+    ) -> dict[str, DataFrame]:
+        """Relations -> polygon (multipolygon assembly) + relation tables.
+
+        Any relation with an unresolvable way member (or a member way with
+        an unresolvable ref) is dropped whole (writer/relations.go:80-99).
+        """
+        poly_units = self.polygon_units
+        rel_units = self.relation_units
+        if not poly_units and not rel_units:
+            return {}
+        df = relations.filter(F.size("tags") > 0).withColumn(
+            "tags", tag_prefilter_expr(self.mapping, "relation", F.col("tags"))
+        )
+        all_units = poly_units + rel_units
+        df = self._with_matches(df, all_units)
+        needed = df.filter(self._any_match(all_units))
+
+        # J2: member ways; completeness in two stages
+        members = needed.select(
+            F.col("id").alias("rel_id"), F.posexplode("members").alias("member_pos", "member")
+        ).filter(F.col("member.type") == 1)
+        member_ways = members.join(
+            ways.select(
+                F.col("id").alias("way_id"),
+                F.col("refs").alias("way_refs"),
+            ),
+            members["member.id"] == F.col("way_id"),
+            "left",
+        )
+        way_complete = member_ways.groupBy("rel_id").agg(
+            (F.count("*") == F.count("way_id")).alias("_ok"),
+            F.count("*").alias("_n_members"),
+        )
+
+        # J3: fill member way coords (drop relation when any way incomplete)
+        mw = member_ways.filter(F.col("way_id").isNotNull()).select(
+            "rel_id", "member_pos", F.col("way_id").alias("id"), F.col("way_refs").alias("refs")
+        )
+        mw_resolved = (
+            resolve_way_coords(mw, coords, keep_cols=["rel_id", "member_pos", "refs"])
+            .withColumnRenamed("id", "way_id")
+            .withColumnRenamed("refs", "way_refs")
+        )
+        coord_complete = mw.groupBy("rel_id").agg(F.count("*").alias("_n_ways")).join(
+            mw_resolved.groupBy("rel_id").agg(F.count("*").alias("_n_resolved")),
+            on="rel_id",
+            how="left",
+        ).filter(F.col("_n_ways") == F.coalesce(F.col("_n_resolved"), F.lit(0))).select("rel_id")
+
+        complete_ids = way_complete.filter("_ok").select("rel_id").join(
+            coord_complete, on="rel_id", how="inner"
+        )
+
+        assembled = (
+            mw_resolved.join(complete_ids, on="rel_id", how="leftsemi")
+            .groupBy("rel_id")
+            .applyInPandas(
+                _assemble_multipolygons(self.max_ring_gap, self.srid), MULTIPOLYGON_SCHEMA
+            )
+        )
+
+        complete_rels = needed.join(
+            complete_ids.withColumnRenamed("rel_id", "id"), on="id", how="leftsemi"
+        )
+
+        out: dict[str, list[DataFrame]] = {}
+        # polygon tables (handleMultiPolygon)
+        if poly_units:
+            with_geom = complete_rels.join(
+                assembled, complete_rels["id"] == assembled["rel_id"], "inner"
+            )
+            for i, unit in enumerate(poly_units):
+                m = F.col(self._match_col(i))
+                matched = with_geom.filter(m.isNotNull()).filter(
+                    table_filter_expr(
+                        self.mapping, unit.table, F.col("tags"), m["key"], F.lit(True), relation=True
+                    )
+                )
+                ctx = RowContext(
+                    tags=F.col("tags"),
+                    osm_id=elements.relation_osm_id(F.col("id"), self.mapping.single_id_space),
+                    match_key=m["key"],
+                    match_value=m["value"],
+                    geom_wkb=F.col("wkb"),
+                    geom_area=F.col("area"),
+                    geom_bbox=F.struct(
+                        F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy")
+                    ),
+                )
+                out.setdefault(unit.table.name, []).append(self._project_unit(unit, matched, ctx))
+
+        # relation tables (handleRelation — empty geometry)
+        for j, unit in enumerate(rel_units):
+            m = F.col(self._match_col(len(poly_units) + j))
+            matched = complete_rels.filter(m.isNotNull()).filter(
+                table_filter_expr(
+                    self.mapping, unit.table, F.col("tags"), m["key"], F.lit(True), relation=True
+                )
+            )
+            ctx = RowContext(
+                tags=F.col("tags"),
+                osm_id=elements.relation_osm_id(F.col("id"), self.mapping.single_id_space),
+                match_key=m["key"],
+                match_value=m["value"],
+                geom_wkb=F.lit(None).cast("binary"),
+                geom_area=F.lit(0.0),
+                geom_bbox=F.struct(
+                    F.lit(0.0).alias("minx"),
+                    F.lit(0.0).alias("miny"),
+                    F.lit(0.0).alias("maxx"),
+                    F.lit(0.0).alias("maxy"),
+                ),
+            )
+            out.setdefault(unit.table.name, []).append(self._project_unit(unit, matched, ctx))
+        return {name: _union_all(dfs) for name, dfs in out.items()}
+
+    # ---- full run ----
+
+    def prepare_coords(self, nodes: DataFrame) -> DataFrame:
+        """All nodes (tagged + untagged) as projected (id, x, y)."""
+        return self.project_xy(nodes).select("id", "x", "y")
+
+    def run(
+        self, nodes: DataFrame, ways: DataFrame, relations: DataFrame
+    ) -> dict[str, DataFrame]:
+        coords = self.prepare_coords(nodes)
+        tables: dict[str, list[DataFrame]] = {}
+        for part in (
+            self.relation_tables(relations, ways, coords),
+            self.way_tables(ways, coords),
+            self.node_tables(nodes),
+        ):
+            for name, df in part.items():
+                tables.setdefault(name, []).append(df)
+        return {name: _union_all(dfs) for name, dfs in tables.items()}
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def read_osm_tables(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Read nodes/ways/relations parquet produced by sources.osm_xml."""
+    return (
+        spark.read.parquet(f"{path}/nodes.parquet"),
+        spark.read.parquet(f"{path}/ways.parquet"),
+        spark.read.parquet(f"{path}/relations.parquet"),
+    )
