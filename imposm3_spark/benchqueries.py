@@ -1,0 +1,815 @@
+"""Query registry: the engine's operator surface exposed as named queries.
+
+Each entry pairs a PySpark implementation with an equivalent ANSI-SQL oracle
+(run by the driver in DuckDB on the same parquet). Column names and rounding
+are aligned on both sides, so row-count + schema + value-hash all match.
+
+Sections:
+  tpch_*    generic relational surface (scan/filter/join/agg/window/sort)
+  osm_*     imposm3 operator analogs exercised on the synthetic tables
+            (projection math, column-type truth tables, way resolution J1,
+            tag->table matching F2, wayzorder)
+  doc_*     training-data pipeline ops on `documents` (text analysis,
+            exact dedup, MinHash LSH, SimHash, n-gram Jaccard)
+  emb_*     similarity search on `embeddings` (brute-force cosine top-k,
+            LSH-bucketed ANN)
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from imposm3_spark.datapipe import dedup as dd
+from imposm3_spark.datapipe import similarity as sim
+from imposm3_spark.datapipe import text as tx
+from imposm3_spark.geom.build import line_length
+from imposm3_spark.geom.proj import POLE, merc_to_wgs_lat, merc_to_wgs_lon, wgs_to_merc_x, wgs_to_merc_y
+from imposm3_spark.pipeline.resolve import resolve_way_coords
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (session sets nanosAsLong); convert
+        # to a proper timestamp at microsecond precision
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "tpch_q5",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "events_top_types_per_user",
+    """
+    SELECT user_id, event_type, cnt, rn FROM (
+      SELECT user_id, event_type, count(*) AS cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn <= 2 AND user_id < 100
+    """,
+)
+def events_top_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 2) & (F.col("user_id") < 100))
+        .select("user_id", "event_type", "cnt", "rn")
+    )
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+
+
+# ---------------------------------------------------------------------------
+# imposm operator analogs (SURVEY §2) on the synthetic tables
+# ---------------------------------------------------------------------------
+
+# shared synthetic lon/lat derivation (integer arithmetic -> exact doubles)
+_LON_SQL = "(c_custkey % 36000) / 100.0 - 180.0"
+_LAT_SQL = "(c_custkey % 17000) / 100.0 - 85.0"
+
+
+@register(
+    "osm_merc_roundtrip",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM customer
+    )
+    SELECT id,
+           round(lon * {POLE!r} / 180.0, 4) AS merc_x,
+           round(ln(tan((lat + 90.0) * pi() / 360.0)) / pi() * {POLE!r}, 4) AS merc_y,
+           round((lon * {POLE!r} / 180.0) / {POLE!r} * 180.0, 6) AS lon_rt,
+           round(180.0 / pi() * (2 * atan(exp((ln(tan((lat + 90.0) * pi() / 360.0)) / pi() * {POLE!r}) / {POLE!r} * pi())) - pi() / 2), 6) AS lat_rt
+    FROM pts
+    """,
+)
+def osm_merc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2.6 WgsToMerc/MercToWgs (proj/proj.go:9-21) as column expressions."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        (F.expr(_LON_SQL)).alias("lon"),
+        (F.expr(_LAT_SQL)).alias("lat"),
+    )
+    x = wgs_to_merc_x(F.col("lon"))
+    y = wgs_to_merc_y(F.col("lat"))
+    return c.select(
+        "id",
+        F.round(x, 4).alias("merc_x"),
+        F.round(y, 4).alias("merc_y"),
+        F.round(merc_to_wgs_lon(x), 6).alias("lon_rt"),
+        F.round(merc_to_wgs_lat(y), 6).alias("lat_rt"),
+    )
+
+
+@register(
+    "osm_column_types",
+    """
+    WITH vals AS (
+      SELECT p_partkey,
+             CASE p_partkey % 6 WHEN 0 THEN '' WHEN 1 THEN '0' WHEN 2 THEN 'false'
+                  WHEN 3 THEN 'no' WHEN 4 THEN 'yes' WHEN 5 THEN '-1' END AS v,
+             p_size, p_brand
+      FROM part
+    )
+    SELECT p_partkey,
+           NOT (v IN ('', '0', 'false', 'no')) AS bool_v,
+           CAST(NOT (v IN ('', '0', 'false', 'no')) AS TINYINT) AS boolint_v,
+           CAST(CASE WHEN v IN ('1', 'yes', 'true') THEN 1
+                     WHEN v = '-1' THEN -1 ELSE 0 END AS TINYINT) AS direction_v,
+           CAST(CASE WHEN p_size > 40 THEN NULL ELSE p_size END AS INT) AS integer_v,
+           CAST(CASE p_brand WHEN 'Brand#1' THEN 1 WHEN 'Brand#2' THEN 2
+                     WHEN 'Brand#3' THEN 3 ELSE 0 END AS INT) AS enum_v
+    FROM vals
+    """,
+)
+def osm_column_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2.6 scalar column-type truth tables (mapping/columns.go:67-129),
+    exercised through the real registry builders."""
+    from imposm3_spark.mapping.columns import RowContext, build_column
+    from imposm3_spark.mapping.config import Column as ColCfg
+
+    p = _t(spark, sf_dir, "part")
+    v = (
+        F.when(F.col("p_partkey") % 6 == 0, F.lit(""))
+        .when(F.col("p_partkey") % 6 == 1, F.lit("0"))
+        .when(F.col("p_partkey") % 6 == 2, F.lit("false"))
+        .when(F.col("p_partkey") % 6 == 3, F.lit("no"))
+        .when(F.col("p_partkey") % 6 == 4, F.lit("yes"))
+        .otherwise(F.lit("-1"))
+    )
+    df = p.select(
+        "p_partkey",
+        F.create_map(
+            F.lit("v"), v,
+            F.lit("size"), F.when(F.col("p_size") > 40, F.lit("overflow")).otherwise(
+                F.col("p_size").cast("string")
+            ),
+            F.lit("brand"), F.col("p_brand"),
+        ).alias("tags"),
+    )
+    ctx = RowContext(
+        tags=F.col("tags"), osm_id=F.col("p_partkey"),
+        match_key=F.lit("v"), match_value=F.lit("v"),
+    )
+    return df.select(
+        "p_partkey",
+        build_column(ColCfg(name="bool_v", type="bool", key="v"), ctx),
+        build_column(ColCfg(name="boolint_v", type="boolint", key="v"), ctx),
+        build_column(ColCfg(name="direction_v", type="direction", key="v"), ctx),
+        build_column(ColCfg(name="integer_v", type="integer", key="size"), ctx),
+        build_column(
+            ColCfg(
+                name="enum_v", type="enumerate", key="brand",
+                args={"values": ["Brand#1", "Brand#2", "Brand#3"]},
+            ),
+            ctx,
+        ),
+    )
+
+
+_HIGHWAY_SQL = """CASE o_orderkey % 5 WHEN 0 THEN 'motorway' WHEN 1 THEN 'primary'
+    WHEN 2 THEN 'residential' WHEN 3 THEN 'secondary' ELSE 'footpath' END"""
+
+
+@register(
+    "osm_wayzorder",
+    f"""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 7 - 3 AS VARCHAR) AS layer,
+             {_HIGHWAY_SQL} AS hw,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'yes' ELSE 'no' END AS bridge,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'true' ELSE '' END AS tunnel
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(CAST(layer AS BIGINT) * 10
+                + (CASE hw WHEN 'motorway' THEN 9 WHEN 'primary' THEN 6
+                        WHEN 'residential' THEN 3 WHEN 'secondary' THEN 5 ELSE 0 END)
+                + (CASE WHEN bridge IN ('true','yes','1') THEN 10 ELSE 0 END)
+                - (CASE WHEN tunnel IN ('true','yes','1') THEN 10 ELSE 0 END) AS INT) AS z_order
+    FROM w
+    """,
+)
+def osm_wayzorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2.6 wayzorder (mapping/columns.go:264-291) through the registry."""
+    from imposm3_spark.mapping.columns import RowContext, build_column
+    from imposm3_spark.mapping.config import Column as ColCfg
+
+    o = _t(spark, sf_dir, "orders")
+    hw = (
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("motorway"))
+        .when(F.col("o_orderkey") % 5 == 1, F.lit("primary"))
+        .when(F.col("o_orderkey") % 5 == 2, F.lit("residential"))
+        .when(F.col("o_orderkey") % 5 == 3, F.lit("secondary"))
+        .otherwise(F.lit("footpath"))
+    )
+    df = o.select(
+        "o_orderkey",
+        F.create_map(
+            F.lit("layer"), (F.col("o_orderkey") % 7 - 3).cast("string"),
+            F.lit("bridge"), F.when(F.col("o_orderkey") % 3 == 0, F.lit("yes")).otherwise(F.lit("no")),
+            F.lit("tunnel"), F.when(F.col("o_orderkey") % 4 == 0, F.lit("true")).otherwise(F.lit("")),
+        ).alias("tags"),
+        hw.alias("hw"),
+    )
+    ctx = RowContext(
+        tags=F.col("tags"), osm_id=F.col("o_orderkey"),
+        match_key=F.lit("highway"), match_value=F.col("hw"),
+    )
+    return df.select(
+        "o_orderkey",
+        build_column(ColCfg(name="z_order", type="wayzorder"), ctx),
+    )
+
+
+@register(
+    "osm_way_resolve",
+    """
+    WITH coords AS (
+      SELECT p_partkey AS id,
+             (p_partkey % 20000) / 10.0 AS x,
+             (p_partkey % 10000) / 10.0 AS y
+      FROM part WHERE p_partkey % 50 != 0
+    ),
+    refs AS (
+      SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS ref
+      FROM lineitem
+    ),
+    joined AS (
+      SELECT r.way_id, r.pos, r.ref, c.x, c.y
+      FROM refs r LEFT JOIN coords c ON r.ref = c.id
+    ),
+    complete AS (
+      SELECT way_id FROM joined GROUP BY way_id HAVING count(*) = count(x)
+    ),
+    seg AS (
+      -- (pos, ref) matches the engine's array_sort(struct(linenumber, partkey))
+      SELECT way_id, pos, x, y,
+             lag(x) OVER (PARTITION BY way_id ORDER BY pos, ref) AS px,
+             lag(y) OVER (PARTITION BY way_id ORDER BY pos, ref) AS py
+      FROM joined WHERE way_id IN (SELECT way_id FROM complete)
+    )
+    SELECT way_id,
+           count(*) AS n_points,
+           round(coalesce(sum(sqrt((x - px) * (x - px) + (y - py) * (y - py))), 0.0), 3) AS length
+    FROM seg GROUP BY way_id
+    """,
+)
+def osm_way_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 way⋈coords resolution (cache/delta.go:162-198) through the real
+    resolve_way_coords, incl. the any-missing-ref-drops-way semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ways = li.groupBy(F.col("l_orderkey").alias("id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_partkey"))),
+            lambda s: s["l_partkey"],
+        ).alias("refs")
+    )
+    coords = part.filter(F.col("p_partkey") % 50 != 0).select(
+        F.col("p_partkey").alias("id"),
+        ((F.col("p_partkey") % 20000) / 10.0).alias("x"),
+        ((F.col("p_partkey") % 10000) / 10.0).alias("y"),
+    )
+    resolved = resolve_way_coords(ways, coords)
+    return resolved.select(
+        F.col("id").alias("way_id"),
+        F.size("coords").cast("long").alias("n_points"),
+        F.round(line_length(F.col("coords")), 3).alias("length"),
+    )
+
+
+@register(
+    "osm_tag_match",
+    """
+    WITH elems AS (
+      SELECT p_partkey AS id, p_brand AS brand,
+             CASE p_partkey % 4 WHEN 0 THEN 'urban' WHEN 1 THEN 'rural'
+                  WHEN 2 THEN 'industrial' ELSE 'park' END AS zone
+      FROM part
+    ),
+    matches AS (
+      SELECT id, 'zones' AS dest_table,
+             CASE WHEN zone = 'urban' THEN 0
+                  WHEN zone = 'park' THEN 1
+                  WHEN brand = 'Brand#1' THEN 2 END AS ord,
+             CASE WHEN zone IN ('urban', 'park') THEN 'zone'
+                  WHEN brand = 'Brand#1' THEN 'brand' END AS mkey,
+             CASE WHEN zone IN ('urban', 'park') THEN zone
+                  WHEN brand = 'Brand#1' THEN brand END AS mvalue
+      FROM elems
+      WHERE zone IN ('urban', 'park') OR brand = 'Brand#1'
+      UNION ALL
+      SELECT id, 'industrial_areas', 0, 'zone', zone
+      FROM elems WHERE zone = 'industrial'
+    )
+    SELECT id, dest_table, mkey, mvalue FROM (
+      SELECT id, dest_table, mkey, mvalue,
+             row_number() OVER (PARTITION BY id, dest_table ORDER BY ord) AS rn
+      FROM matches
+    ) WHERE rn = 1
+    """,
+)
+def osm_tag_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 tag->table matching (mapping/matcher.go:166-233) through the real
+    compiled MatchUnits: wildcard values, lowest-declaration-order wins."""
+    from imposm3_spark.mapping.config import Mapping
+    from imposm3_spark.mapping.matcher import compile_match_units
+
+    raw = {
+        "tables": {
+            "zones": {
+                "type": "point",
+                "mapping": {"zone": ["urban", "park"], "brand": ["Brand#1"]},
+                "columns": [],
+            },
+            "industrial_areas": {
+                "type": "point",
+                "mapping": {"zone": ["industrial"]},
+                "columns": [],
+            },
+        }
+    }
+    units = compile_match_units(Mapping.parse(raw), "point")
+    p = _t(spark, sf_dir, "part")
+    zone = (
+        F.when(F.col("p_partkey") % 4 == 0, F.lit("urban"))
+        .when(F.col("p_partkey") % 4 == 1, F.lit("rural"))
+        .when(F.col("p_partkey") % 4 == 2, F.lit("industrial"))
+        .otherwise(F.lit("park"))
+    )
+    elems = p.select(
+        F.col("p_partkey").alias("id"),
+        F.create_map(F.lit("zone"), zone, F.lit("brand"), F.col("p_brand")).alias("tags"),
+    )
+    outs = []
+    for unit in units:
+        m = unit.match_expr(F.col("tags"))
+        outs.append(
+            elems.select(
+                "id",
+                F.lit(unit.table.name).alias("dest_table"),
+                m["key"].alias("mkey"),
+                m["value"].alias("mvalue"),
+            ).filter(m.isNotNull())
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+@register(
+    "doc_text_stats",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_TOKENS} END AS tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           len(tokens) AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+           round(CASE WHEN len(tokens) > 0
+                 THEN CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE) / len(tokens)
+                 ELSE 0.0 END, 6) AS avg_token_len,
+           round(CASE WHEN length(text) > 0
+                 THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / length(text)
+                 ELSE 0.0 END, 6) AS punct_ratio
+    FROM toks
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count(t).cast("long").alias("n_tokens"),
+        tx.bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
+        F.round(tx.avg_token_len(t), 6).alias("avg_token_len"),
+        F.round(tx.punct_ratio(t), 6).alias("punct_ratio"),
+    )
+
+
+@register(
+    "doc_quality",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_TOKENS} END AS tokens
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(tokens) AS n_tok,
+             CASE WHEN len(tokens) > 0
+                  THEN CAST(len(list_filter(list_transform(tokens, t -> lower(t)),
+                       t -> t IN ('the','and','of','to','a','in','is','that'))) AS DOUBLE) / len(tokens)
+                  ELSE 0.0 END AS sw_ratio,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS p_ratio,
+             CASE WHEN len(tokens) > 0
+                  THEN CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE) / len(tokens)
+                  ELSE 0.0 END AS atl
+      FROM toks
+    )
+    SELECT doc_id,
+           round(CAST((CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN sw_ratio > 0.01 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN p_ratio < 0.2 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) AS DOUBLE), 2) AS quality
+    FROM feat
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(tx.quality_score(F.col("text")), 2).alias("quality"))
+
+
+@register(
+    "doc_fingerprint",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(
+             range(1, greatest(len(tokens) - 3, 0) + 1),
+             i -> md5(array_to_string(tokens[i:i+3], ' ')))) AS fingerprint
+    FROM toks
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "doc_dedup_exact",
+    """
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM unioned GROUP BY md5(text)
+    """,
+)
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: union the corpus with an id-shifted copy so every doc
+    has exactly one duplicate, keep min-id representative."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    unioned = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return dd.exact_dedup(unioned)
+
+
+_SQL_SHINGLES = r"""list_transform(
+      range(1, greatest(len(tokens) - 2, 0) + 1),
+      i -> array_to_string(tokens[i:i+2], ' '))"""
+
+
+def _sql_minhash_bands(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    sig = ",\n             ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS sig{i}"
+        for i in range(num_hashes)
+    )
+    bands = []
+    for bi, b in enumerate(range(0, num_hashes, rows_per_band)):
+        parts = " || ".join(f"sig{b + r}" for r in range(rows_per_band))
+        bands.append(f"SELECT doc_id AS doc, {bi} AS band_idx, md5({parts}) AS band_key FROM sigs WHERE sig{b} IS NOT NULL")
+    return (
+        rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks
+    ), sigs AS (
+      SELECT doc_id,
+             {sig}
+      FROM sh
+    ), bands AS (
+      """
+        + "\n      UNION ALL\n      ".join(bands)
+        + """
+    )"""
+    )
+
+
+@register(
+    "doc_minhash_pairs",
+    _sql_minhash_bands()
+    + """
+    SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    """,
+)
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the fixture is one small parquet file -> one input partition; spread
+    # the hash work (at real scale the scan already has many splits)
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    return dd.minhash_lsh_pairs(d)
+
+
+@register(
+    "doc_simhash",
+    None,  # oracle attached below (generated)
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    return d.select("doc_id", dd.simhash(F.col("text")).alias("simhash"))
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    # sum over bits of 2^b when the (+1/-1) token vote for bit b is positive
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(tokens, t -> "
+        f"CASE WHEN ((('0x' || substr(md5(t), 1, 15))::BIGINT >> {b}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    )
+    SELECT doc_id, CAST(coalesce({terms}, 0) AS BIGINT) AS simhash FROM toks
+    """
+
+
+ORACLES["doc_simhash"] = _sql_simhash()
+
+
+@register(
+    "doc_ngram_jaccard",
+    _sql_minhash_bands()
+    + rf"""
+    , cand AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    ), sets AS (
+      SELECT doc_id AS doc, list_distinct({_SQL_SHINGLES}) AS sh
+      FROM (SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+            FROM documents)
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cand JOIN sets sa ON cand.id_a = sa.doc JOIN sets sb ON cand.id_b = sb.doc
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.2
+    """,
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    return dd.ngram_jaccard_pairs(d, threshold=0.2)
+
+
+@register(
+    "doc_langid",
+    None,  # generated below
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.langid(F.col("text")).alias("lang_guess"))
+
+
+def _sql_langid() -> str:
+    hit_cols = []
+    for code, sw in tx.LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in sw)
+        hit_cols.append(
+            f"len(list_filter(tokens, t -> t IN ({lst}))) AS hits_{code}"
+        )
+    # best = max hits, ties -> earlier code order, zero hits -> 'und'
+    codes = sorted(tx.LANG_STOPWORDS)
+    best = "CASE"
+    for code in codes:
+        others_ge = " AND ".join(
+            f"hits_{code} >= hits_{other}" for other in codes if other != code
+        )
+        best += f" WHEN hits_{code} > 0 AND {others_ge} THEN '{code}'"
+    best += " ELSE 'und' END"
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, {", ".join(hit_cols)} FROM toks
+    )
+    SELECT doc_id, {best} AS lang_guess FROM hits
+    """
+
+
+ORACLES["doc_langid"] = _sql_langid()
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             round(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS sim
+      FROM q CROSS JOIN embeddings e WHERE q.query_id != e.vec_id
+    )
+    SELECT query_id, cand_id AS vec_id, rank, sim FROM (
+      SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return sim.brute_force_topk(e, q, k=3)
+
+
+@register("emb_lsh_topk")  # no SQL oracle: LSH planes are engine-side; rows-only check
+def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return sim.lsh_topk(e, q, k=3)

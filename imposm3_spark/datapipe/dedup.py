@@ -1,0 +1,175 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup is a hash-groupBy (one shuffle on the content hash).
+- near-dup never does the O(n^2) self-join: MinHash signatures are computed
+  per row (scan-speed, no shuffle), then candidates come from an equi-join
+  on (band_index, band_key) — shuffle proportional to docs x bands, and the
+  quadratic blowup is confined to same-bucket collisions.
+- all hashing is md5-based so the DuckDB oracle computes bit-identical
+  values (no engine-private hash functions in results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from imposm3_spark.datapipe.text import tokens
+
+
+def content_hash(text: Column) -> Column:
+    return F.md5(text)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per distinct content hash."""
+    h = content_hash(F.col(text_col))
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("_h")
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def minhash_signature(sh: Column, num_hashes: int = 8) -> list[Column]:
+    """num_hashes MinHash values: sig_i = min over shingles of md5(i|s).
+
+    Hex-string min — lexicographic order on fixed-width hex equals numeric
+    order, and any engine with md5() reproduces it."""
+    def hasher(i: int):
+        # NOTE: a two-parameter lambda would be bound as (element, index)
+        # by transform — build the per-i closure explicitly
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return [F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+
+
+def minhash_signatures_relational(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc, s0..s{k-1}) MinHash signature table.
+
+    Performance-critical shape: higher-order array functions are interpreted
+    (not whole-stage-codegen'd) and every column referencing the shingle
+    subtree re-evaluates it — per-column array_min signatures were ~50x
+    slower. Instead: explode shingles to rows once, hash with plain md5
+    expressions (codegen'd), and take num_hashes MIN aggregates in ONE
+    groupBy(doc) pass. One shuffle keyed by doc id — scales linearly, no
+    skew (docs are unique keys)."""
+    sh_rows = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), shingle_k)).alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    return sh_rows.groupBy("doc").agg(*aggs)
+
+
+def lsh_band_keys(sig: list[Column], rows_per_band: int = 2) -> list[Column]:
+    """Band keys: md5 of the concatenated signature rows of each band."""
+    assert len(sig) % rows_per_band == 0
+    keys = []
+    for b in range(0, len(sig), rows_per_band):
+        keys.append(F.md5(F.concat(*sig[b : b + rows_per_band])))
+    return keys
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH."""
+    sigs = minhash_signatures_relational(df, text_col, id_col, num_hashes, shingle_k)
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)]))
+        for b in range(num_hashes // rows_per_band)
+    ]
+    banded = sigs.select(
+        F.col("doc"),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
+    ).filter(F.col("band_key").isNotNull())
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash over whitespace tokens with md5-derived token hashes.
+
+    Token hash = first 15 hex chars of md5 as a 60-bit int; bit b of the
+    simhash is 1 iff the (+1/-1) vote sum over tokens is positive."""
+    toks = tokens(F.lower(text))
+
+    def tok_hash(t: Column) -> Column:
+        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+
+    def make_vote(bit: int):
+        def merge(acc: Column, t: Column) -> Column:
+            is_set = F.shiftright(tok_hash(t), bit).bitwiseAND(F.lit(1)) == 1
+            return acc + F.when(is_set, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        vote = F.aggregate(toks, F.lit(0), make_vote(b))
+        out = out + F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    shingle_k: int = 3,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates (two-stage: cheap recall via
+    LSH, exact verify on the candidate set only)."""
+    cands = minhash_lsh_pairs(df, text_col, id_col, shingle_k=shingle_k, **lsh_kwargs)
+    sets = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    j = (
+        cands.join(sets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return j

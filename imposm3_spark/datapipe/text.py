@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Spark SQL expressions (JVM-side, codegen'd — no UDFs)
+over a `text` string column: tokenization, token counting, quality scoring,
+language-id heuristic, document fingerprinting. Each has an exactly-matching
+ANSI-SQL formulation used by the DuckDB oracle (see benchqueries.py), so the
+semantics are pinned engine-independently.
+
+Scale: every op is embarrassingly parallel over rows — no shuffle at all.
+At 100 TB these run at scan speed; only the aggregations a caller adds
+(group by lang, histograms) shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish word/number/symbol pieces (shared with the oracle SQL)
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
+    "es": ["el", "la", "los", "y", "de", "que", "un", "es"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty string -> empty array)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, TOKEN_SPLIT_RE)
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pieces (letter runs / digit runs / single symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Non-alphanumeric-non-space chars / total chars."""
+    n = F.length(text)
+    punct = F.size(F.regexp_extract_all(text, F.lit("[^a-zA-Z0-9\\s]"), 0))
+    return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(text))
+    sw = LANG_STOPWORDS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    low punctuation + sane mean token length. Deterministic, documented in
+    the oracle SQL of `doc_quality`."""
+    n_tok = token_count(text)
+    len_score = F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(0.25)).otherwise(F.lit(0.0))
+    sw_score = F.when(stopword_ratio(text) > 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+    punct_score = F.when(punct_ratio(text) < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+    atl = avg_token_len(text)
+    atl_score = F.when((atl >= 2.0) & (atl <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
+    return len_score + sw_score + punct_score + atl_score
+
+
+def langid(text: Column) -> Column:
+    """Stopword-vote language id: the language with the most stopword hits
+    wins; ties broken by language code order; no hits -> 'und'."""
+    toks = tokens(F.lower(text))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # iterate in reverse code order so earlier codes win ties via >=
+    for code in sorted(LANG_STOPWORDS, reverse=True):
+        sw = LANG_STOPWORDS[code]
+        hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+        take = (hits > 0) & (hits >= best_hits)
+        best_lang = F.when(take, F.lit(code)).otherwise(best_lang)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint(text: Column, ngram: int = 4) -> Column:
+    """Document fingerprint: lexicographic-min md5 over word n-gram shingles
+    (winnowing-style). Identical in any engine with md5()."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (ngram - 1), F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, ngram))
+    )
+    return F.array_min(F.transform(shingles, F.md5))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard text-analysis columns."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_bpe_tokens": bpe_token_count(t),
+            "avg_token_len": avg_token_len(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio_en": stopword_ratio(t),
+            "quality": quality_score(t),
+            "lang_guess": langid(t),
+            "fingerprint": fingerprint(t),
+        }
+    )
