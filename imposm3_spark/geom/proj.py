@@ -48,6 +48,24 @@ def webmerc_area_factor(mid_y: Column) -> Column:
     return F.pow(F.cos(lat), F.lit(2.0))
 
 
+COORD_FACTOR = 11930464.7083  # ((2<<31)-1)/360.0 — cache/binary/serialize.go:5
+
+
+def quantize_coord(c: Column) -> Column:
+    """Reference cache round-trip: every node coordinate is stored as
+    uint32((c+180)*factor) and read back as q/factor-180
+    (cache/binary/serialize.go:7-13). Go's float->uint32 conversion
+    truncates; (c+180) is non-negative, so floor == trunc. Applied to all
+    coords for geometry byte-parity with the reference."""
+    q = F.floor((c + F.lit(180.0)) * F.lit(COORD_FACTOR))
+    return q / F.lit(COORD_FACTOR) - F.lit(180.0)
+
+
+def py_quantize_coord(c: float) -> float:
+    q = int((c + 180.0) * COORD_FACTOR)
+    return q / COORD_FACTOR - 180.0
+
+
 # Python-side scalar versions (for tests / driver-side use)
 def py_wgs_to_merc(lon: float, lat: float) -> tuple[float, float]:
     x = lon * POLE / 180.0

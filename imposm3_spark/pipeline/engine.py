@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from imposm3_spark import elements
 from imposm3_spark.geom import build as gb
 from imposm3_spark.geom import py_geom, wkb as wkblib
-from imposm3_spark.geom.proj import wgs_to_merc_x, wgs_to_merc_y
+from imposm3_spark.geom.proj import quantize_coord, wgs_to_merc_x, wgs_to_merc_y
 from imposm3_spark.mapping.columns import RowContext, build_column
 from imposm3_spark.mapping.config import Mapping
 from imposm3_spark.mapping.matcher import (
@@ -123,11 +123,13 @@ class ImportPipeline:
     # ---- shared helpers ----
 
     def project_xy(self, df: DataFrame, lon: str = "lon", lat: str = "lat") -> DataFrame:
+        # every coordinate passes through the reference's uint32 cache
+        # encoding (cache/binary/serialize.go) — reproduce for geometry
+        # parity, then project
+        qlon, qlat = quantize_coord(F.col(lon)), quantize_coord(F.col(lat))
         if self.srid == 3857:
-            return df.withColumns(
-                {"x": wgs_to_merc_x(F.col(lon)), "y": wgs_to_merc_y(F.col(lat))}
-            )
-        return df.withColumns({"x": F.col(lon), "y": F.col(lat)})
+            return df.withColumns({"x": wgs_to_merc_x(qlon), "y": wgs_to_merc_y(qlat)})
+        return df.withColumns({"x": qlon, "y": qlat})
 
     def _project_unit(self, unit: MatchUnit, df: DataFrame, ctx: RowContext) -> DataFrame:
         cols = [build_column(c, ctx) for c in unit.table.columns]
@@ -283,12 +285,11 @@ class ImportPipeline:
             members["member.id"] == F.col("way_id"),
             "left",
         )
-        way_complete = member_ways.groupBy("rel_id").agg(
-            (F.count("*") == F.count("way_id")).alias("_ok"),
-            F.count("*").alias("_n_members"),
-        )
 
-        # J3: fill member way coords (drop relation when any way incomplete)
+        # J3: fill member way coords. A relation is dropped only when one of
+        # its WAY members is missing or has an unresolvable ref
+        # (cache/ways.go:99-114, writer/relations.go:80-99) — relations with
+        # zero way members (e.g. route masters) stay complete.
         mw = member_ways.filter(F.col("way_id").isNotNull()).select(
             "rel_id", "member_pos", F.col("way_id").alias("id"), F.col("way_refs").alias("refs")
         )
@@ -297,14 +298,21 @@ class ImportPipeline:
             .withColumnRenamed("id", "way_id")
             .withColumnRenamed("refs", "way_refs")
         )
-        coord_complete = mw.groupBy("rel_id").agg(F.count("*").alias("_n_ways")).join(
-            mw_resolved.groupBy("rel_id").agg(F.count("*").alias("_n_resolved")),
-            on="rel_id",
-            how="left",
-        ).filter(F.col("_n_ways") == F.coalesce(F.col("_n_resolved"), F.lit(0))).select("rel_id")
-
-        complete_ids = way_complete.filter("_ok").select("rel_id").join(
-            coord_complete, on="rel_id", how="inner"
+        bad_missing_way = member_ways.filter(F.col("way_id").isNull()).select("rel_id")
+        bad_unresolved = (
+            mw.groupBy("rel_id")
+            .agg(F.count("*").alias("_n_ways"))
+            .join(
+                mw_resolved.groupBy("rel_id").agg(F.count("*").alias("_n_resolved")),
+                on="rel_id",
+                how="left",
+            )
+            .filter(F.col("_n_ways") != F.coalesce(F.col("_n_resolved"), F.lit(0)))
+            .select("rel_id")
+        )
+        bad = bad_missing_way.unionByName(bad_unresolved)
+        complete_ids = needed.select(F.col("id").alias("rel_id")).join(
+            bad, on="rel_id", how="left_anti"
         )
 
         assembled = (
@@ -370,6 +378,130 @@ class ImportPipeline:
             out.setdefault(unit.table.name, []).append(self._project_unit(unit, matched, ctx))
         return {name: _union_all(dfs) for name, dfs in out.items()}
 
+    # ---- relation_member tables (writer/relations.go:216-283) ----
+
+    def relation_member_tables(
+        self, relations: DataFrame, ways: DataFrame, nodes: DataFrame
+    ) -> dict[str, DataFrame]:
+        """One row per member of each matched relation.
+
+        All-or-nothing semantics (route_relation_test.go NoRouteWith
+        MissingMember): if ANY member fails to resolve — node not in
+        nodes/coords, way not cached or with unresolvable/degenerate
+        geometry, member relation unknown — the whole relation is skipped.
+
+        Member geometry: node -> Point, way -> LineString (never polygon),
+        relation -> POLYGON EMPTY. from_member columns read the member
+        element's (prefiltered) tags.
+        """
+        units = self.relation_member_units
+        if not units:
+            return {}
+        df = relations.withColumn(
+            "tags", tag_prefilter_expr(self.mapping, "relation", F.col("tags"))
+        )
+        df = self._with_matches(df, units)
+        needed = df.filter(self._any_match(units))
+
+        members = needed.select(
+            F.col("id").alias("rel_id"),
+            F.posexplode("members").alias("member_index", "member"),
+        )
+
+        # node members (type 0): nodes table covers both tagged nodes and
+        # bare coords (reference falls back Nodes -> Coords)
+        node_side = self.project_xy(nodes).select(
+            F.col("id").alias("m_id"),
+            tag_prefilter_expr(self.mapping, "node", F.col("tags")).alias("m_tags"),
+            gb.point_wkb_udf(F.col("x"), F.col("y"), F.lit(self.srid)).alias("m_wkb"),
+        )
+        # way members (type 1): linestring geometry; needs >=2 deduped coords
+        way_coords = resolve_way_coords(
+            ways.select("id", "refs"), self.prepare_coords(nodes)
+        ).withColumn("_coords", gb.dedup_coords(F.col("coords")))
+        way_side = (
+            ways.select(
+                F.col("id").alias("m_id"),
+                tag_prefilter_expr(self.mapping, "way", F.col("tags")).alias("m_tags"),
+            )
+            .join(
+                way_coords.select(
+                    F.col("id").alias("m_id"),
+                    F.col("_coords").alias("m_coords"),
+                ),
+                on="m_id",
+                how="inner",
+            )
+            .filter(gb.valid_linestring(F.col("m_coords")))
+            .select(
+                "m_id",
+                "m_tags",
+                gb.linestring_wkb_udf(F.col("m_coords"), F.lit(self.srid)).alias("m_wkb"),
+            )
+        )
+        # relation members (type 2): tags only, POLYGON EMPTY geometry
+        empty_poly = wkblib.polygon_wkb([], self.srid)
+        rel_side = relations.select(
+            F.col("id").alias("m_id"),
+            tag_prefilter_expr(self.mapping, "relation", F.col("tags")).alias("m_tags"),
+            F.lit(empty_poly).alias("m_wkb"),
+        )
+
+        def resolve_kind(kind: int, side: DataFrame) -> DataFrame:
+            part = members.filter(F.col("member.type") == kind)
+            return part.join(side, part["member.id"] == side["m_id"], "left").select(
+                "rel_id",
+                "member_index",
+                "member",
+                "m_tags",
+                "m_wkb",
+                F.col("m_id").isNotNull().alias("_resolved"),
+            )
+
+        resolved = (
+            resolve_kind(0, node_side)
+            .unionByName(resolve_kind(1, way_side))
+            .unionByName(resolve_kind(2, rel_side))
+        )
+        complete = resolved.groupBy("rel_id").agg(
+            F.min(F.col("_resolved").cast("int")).alias("_all")
+        ).filter(F.col("_all") == 1).select("rel_id")
+        resolved = resolved.join(complete, on="rel_id", how="leftsemi")
+
+        rel_rows = needed.select(
+            F.col("id").alias("rel_id"),
+            F.col("tags").alias("rel_tags"),
+            *[F.col(self._match_col(i)) for i in range(len(units))],
+        )
+        joined = resolved.join(rel_rows, on="rel_id", how="inner")
+
+        out: dict[str, list[DataFrame]] = {}
+        for i, unit in enumerate(units):
+            m = F.col(self._match_col(i))
+            matched = joined.filter(m.isNotNull()).filter(
+                table_filter_expr(
+                    self.mapping, unit.table, F.col("rel_tags"), m["key"], F.lit(True), relation=True
+                )
+            )
+            ctx = RowContext(
+                tags=F.col("rel_tags"),
+                osm_id=elements.relation_osm_id(F.col("rel_id"), self.mapping.single_id_space),
+                match_key=m["key"],
+                match_value=m["value"],
+                geom_wkb=F.col("m_wkb"),
+                geom_area=F.lit(0.0),
+                geom_bbox=None,
+                member_id=F.col("member.id"),
+                member_role=F.col("member.role"),
+                member_type=F.col("member.type"),
+                member_index=F.col("member_index").cast("int"),
+                member_tags=F.coalesce(
+                    F.col("m_tags"), F.from_json(F.lit("{}"), "map<string,string>")
+                ),
+            )
+            out.setdefault(unit.table.name, []).append(self._project_unit(unit, matched, ctx))
+        return {name: _union_all(dfs) for name, dfs in out.items()}
+
     # ---- full run ----
 
     def prepare_coords(self, nodes: DataFrame) -> DataFrame:
@@ -382,6 +514,7 @@ class ImportPipeline:
         coords = self.prepare_coords(nodes)
         tables: dict[str, list[DataFrame]] = {}
         for part in (
+            self.relation_member_tables(relations, ways, nodes),
             self.relation_tables(relations, ways, coords),
             self.way_tables(ways, coords),
             self.node_tables(nodes),
