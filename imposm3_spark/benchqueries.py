@@ -513,6 +513,288 @@ def osm_tag_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "osm_tag_prefilter",
+    """
+    WITH elems AS (
+      SELECT p_partkey AS id, p_brand, p_type, p_size FROM part
+    ), tags AS (
+      SELECT id, 'brand' AS k, p_brand AS v FROM elems
+      UNION ALL SELECT id, 'ptype', p_type FROM elems
+      UNION ALL SELECT id, 'size', CAST(p_size AS VARCHAR) FROM elems
+    )
+    SELECT id, k, v FROM tags
+    WHERE k = 'brand' OR (k = 'size' AND v IN ('1', '2', '3'))
+    """,
+)
+def osm_tag_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 tag prefilter (mapping/filter.go:15-124): map_filter keeps only
+    mapping-referenced keys/values; output exploded for comparability."""
+    p = _t(spark, sf_dir, "part")
+    tags = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("ptype"), F.col("p_type"),
+        F.lit("size"), F.col("p_size").cast("string"),
+    )
+    kept = F.map_filter(
+        tags,
+        lambda k, v: (k == "brand") | ((k == "size") & v.isin("1", "2", "3")),
+    )
+    return (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("id"), F.explode(kept).alias("k", "v"))
+    )
+
+
+@register(
+    "osm_hstore_render",
+    """
+    SELECT o_orderkey,
+           concat('"priority"=>"', o_orderpriority, '", "status"=>"', o_orderstatus, '"') AS tags
+    FROM orders
+    """,
+)
+def osm_hstore_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hstore_tags column type (mapping/columns.go:171-196) via registry."""
+    from imposm3_spark.mapping.columns import RowContext, build_column
+    from imposm3_spark.mapping.config import Column as ColCfg
+
+    o = _t(spark, sf_dir, "orders")
+    df = o.select(
+        "o_orderkey",
+        F.create_map(
+            F.lit("priority"), F.col("o_orderpriority"),
+            F.lit("status"), F.col("o_orderstatus"),
+        ).alias("tags"),
+    )
+    ctx = RowContext(
+        tags=F.col("tags"), osm_id=F.col("o_orderkey"),
+        match_key=F.lit(""), match_value=F.lit(""),
+    )
+    return df.select(
+        "o_orderkey", build_column(ColCfg(name="tags", type="hstore_tags"), ctx)
+    )
+
+
+@register(
+    "osm_rel_resolve",
+    """
+    WITH rels AS (
+      SELECT o_orderkey AS rel_id, o_custkey FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    members AS (
+      SELECT r.rel_id, l.l_partkey AS way_id, l.l_linenumber AS pos
+      FROM rels r JOIN lineitem l ON l.l_orderkey = r.rel_id
+    ),
+    resolved AS (
+      SELECT m.rel_id, m.way_id, p.p_retailprice
+      FROM members m LEFT JOIN (SELECT * FROM part WHERE p_partkey % 7 != 0) p
+        ON m.way_id = p.p_partkey
+    ),
+    complete AS (
+      SELECT rel_id FROM resolved GROUP BY rel_id
+      HAVING count(*) = count(p_retailprice)
+    )
+    SELECT rel_id, count(*) AS n_members,
+           round(sum(p_retailprice), 2) AS total_price
+    FROM resolved WHERE rel_id IN (SELECT rel_id FROM complete)
+    GROUP BY rel_id
+    """,
+)
+def osm_rel_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 relation member resolution with all-or-nothing completeness
+    (cache/ways.go:99-114: any missing member way drops the relation)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 != 0)
+    members = o.select(F.col("o_orderkey").alias("rel_id")).join(
+        li.select(F.col("l_orderkey").alias("rel_id"), F.col("l_partkey").alias("way_id")),
+        on="rel_id",
+    )
+    resolved = members.join(
+        part.select(F.col("p_partkey").alias("way_id"), "p_retailprice"),
+        on="way_id",
+        how="left",
+    )
+    complete = (
+        resolved.groupBy("rel_id")
+        .agg((F.count("*") == F.count("p_retailprice")).alias("_ok"))
+        .filter("_ok")
+        .select("rel_id")
+    )
+    return (
+        resolved.join(complete, on="rel_id", how="leftsemi")
+        .groupBy("rel_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "osm_closed_way_dispatch",
+    """
+    WITH ways AS (
+      SELECT o_orderkey AS id,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN [o_orderkey, o_orderkey+1, o_orderkey+2, o_orderkey+3, o_orderkey]
+                  ELSE [o_orderkey, o_orderkey+1, o_orderkey+2] END AS refs,
+             CASE o_orderkey % 4 WHEN 0 THEN 'yes' WHEN 1 THEN 'no' ELSE '' END AS area_tag
+      FROM orders
+    )
+    SELECT id,
+           (len(refs) >= 4 AND refs[1] = refs[-1]) AS is_closed,
+           (NOT ((len(refs) >= 4 AND refs[1] = refs[-1]) AND area_tag = 'yes')) AS as_line,
+           ((len(refs) >= 4 AND refs[1] = refs[-1]) AND area_tag != 'no') AS as_polygon
+    FROM ways
+    """,
+)
+def osm_closed_way_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 closed-way area/linestring dispatch (mapping/matcher.go:137-155,
+    element.go:49-51) through the engine's is_closed_refs expression."""
+    from imposm3_spark.geom.build import is_closed_refs
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    refs = F.when(
+        k % 3 == 0, F.array(k, k + 1, k + 2, k + 3, k)
+    ).otherwise(F.array(k, k + 1, k + 2))
+    area_tag = (
+        F.when(k % 4 == 0, F.lit("yes")).when(k % 4 == 1, F.lit("no")).otherwise(F.lit(""))
+    )
+    df = o.select(k.alias("id"), refs.alias("refs"), area_tag.alias("area_tag"))
+    closed = is_closed_refs(F.col("refs"))
+    return df.select(
+        "id",
+        closed.alias("is_closed"),
+        (~(closed & (F.col("area_tag") == "yes"))).alias("as_line"),
+        (closed & (F.col("area_tag") != "no")).alias("as_polygon"),
+    )
+
+
+@register(
+    "osm_id_mangle",
+    f"""
+    SELECT s_suppkey AS id,
+           s_suppkey AS node_osm_id,
+           -s_suppkey AS way_osm_id,
+           CAST(-100000000000000000 AS BIGINT) - s_suppkey AS rel_osm_id,
+           -s_suppkey AS rel_osm_id_dual
+    FROM supplier
+    """,
+)
+def osm_id_mangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-id-space mangling (element/element.go:36-48, writer/
+    ways.go:60-65, relations.go:65-70) through the engine helpers."""
+    from imposm3_spark import elements as el
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    return s.select(
+        k.alias("id"),
+        el.node_osm_id(k).alias("node_osm_id"),
+        el.way_osm_id(k, single_id_space=True).alias("way_osm_id"),
+        el.relation_osm_id(k, single_id_space=True).alias("rel_osm_id"),
+        el.relation_osm_id(k, single_id_space=False).alias("rel_osm_id_dual"),
+    )
+
+
+@register(
+    "osm_diff_frontier",
+    """
+    WITH ways AS (
+      SELECT l_orderkey AS way_id, l_partkey AS node_id FROM lineitem
+    ),
+    changed_nodes AS (
+      SELECT DISTINCT p_partkey AS node_id FROM part WHERE p_partkey % 97 = 0
+    ),
+    dep_ways AS (
+      SELECT DISTINCT way_id FROM ways
+      WHERE node_id IN (SELECT node_id FROM changed_nodes)
+    ),
+    rels AS (
+      SELECT o_custkey AS rel_id, o_orderkey AS way_id FROM orders
+    ),
+    dep_rels AS (
+      SELECT DISTINCT rel_id FROM rels
+      WHERE way_id IN (SELECT way_id FROM dep_ways)
+    )
+    SELECT 'way' AS kind, way_id AS id FROM dep_ways
+    UNION ALL
+    SELECT 'relation', rel_id FROM dep_rels
+    """,
+)
+def osm_diff_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/T3 cascading invalidation (update/process.go:220-259): changed
+    nodes -> dependent ways -> dependent relations, via the engine's
+    reverse-reference semi-joins."""
+    from imposm3_spark.diff import refindex as ri
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    ways = li.groupBy(F.col("l_orderkey").alias("id")).agg(
+        F.collect_set("l_partkey").alias("refs")
+    )
+    changed = part.filter(F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("id")
+    ).distinct()
+    dep_ways = ri.dependent_ways(ways, changed)
+    rels = o.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.transform(
+            F.collect_set("o_orderkey"),
+            lambda w: F.struct(
+                w.alias("id"), F.lit(1).cast("tinyint").alias("type"), F.lit("").alias("role")
+            ),
+        ).alias("members")
+    )
+    dep_rels = ri.dependent_relations(rels, changed_way_ids=dep_ways)
+    return dep_ways.select(F.lit("way").alias("kind"), F.col("id")).unionByName(
+        dep_rels.select(F.lit("relation").alias("kind"), F.col("id"))
+    )
+
+
+@register(
+    "osm_expire_tiles",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM customer
+    ), merc AS (
+      SELECT id,
+             lon * {POLE!r} / 180.0 AS x,
+             ln(tan((lat + 90.0) * pi() / 360.0)) / pi() * {POLE!r} AS y
+      FROM pts
+    )
+    SELECT id,
+           CAST(floor((x + {POLE!r}) / (2 * {POLE!r}) * 16384.0) AS INT) AS tile_x,
+           CAST(floor(({POLE!r} - y) / (2 * {POLE!r}) * 16384.0) AS INT) AS tile_y,
+           14 AS zoom
+    FROM merc
+    WHERE abs(x) <= {POLE!r} AND abs(y) <= {POLE!r}
+    """,
+)
+def osm_expire_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 tile expiry math (expire/tilelist.go:33-44): point -> z14 tile."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.expr(_LON_SQL).alias("lon"),
+        F.expr(_LAT_SQL).alias("lat"),
+    )
+    x = wgs_to_merc_x(F.col("lon"))
+    y = wgs_to_merc_y(F.col("lat"))
+    return (
+        c.select("id", x.alias("x"), y.alias("y"))
+        .filter((F.abs(F.col("x")) <= POLE) & (F.abs(F.col("y")) <= POLE))
+        .select(
+            "id",
+            F.floor((F.col("x") + POLE) / (2 * POLE) * 16384.0).cast("int").alias("tile_x"),
+            F.floor((F.lit(POLE) - F.col("y")) / (2 * POLE) * 16384.0).cast("int").alias("tile_y"),
+            F.lit(14).alias("zoom"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------

@@ -1,0 +1,182 @@
+"""Incremental update: apply OsmChange batches to element state + output
+tables (SURVEY §2.8 T1-T8; reference: update/process.go:23-317).
+
+Semantics ported:
+- last-write-wins per element id within a batch (T1)
+- delete-before-insert: every changed element's rows are removed from all
+  output tables before rebuilt rows are inserted (T2, update/deleter.go)
+- cascading invalidation: a changed node rebuilds referencing ways and
+  relations; a changed way rebuilds referencing relations — computed
+  against the union of OLD and NEW reference indexes so both the previous
+  and the new geometry owners are refreshed (T3, update/process.go:220-259)
+- the rebuild reuses the exact import pipeline on the affected subset (T5)
+
+Spark shape: a batch is pure DataFrame algebra — anti-join + union for
+state, semi-joins for the frontier, the ImportPipeline for rebuild. Wrap
+`apply_batch` in foreachBatch for Structured Streaming; state tables would
+be Delta/parquet at scale (here: in-memory DataFrames, .persist()ed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from imposm3_spark import elements as el
+from imposm3_spark.diff import refindex as ri
+from imposm3_spark.pipeline.engine import ImportPipeline, _union_all
+
+
+@dataclass
+class OsmState:
+    """Current element snapshot (the Spark analog of OSMCache)."""
+
+    nodes: DataFrame
+    ways: DataFrame
+    relations: DataFrame
+
+    def persist(self) -> "OsmState":
+        return OsmState(self.nodes.persist(), self.ways.persist(), self.relations.persist())
+
+
+def _last_change_per_id(changes: DataFrame, kind: str) -> DataFrame:
+    ch = changes.filter(F.col("kind") == kind)
+    w = Window.partitionBy(F.col(kind)["id"]).orderBy(F.desc("pos"))
+    return ch.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+
+
+def apply_changes_to_state(state: OsmState, changes: DataFrame) -> OsmState:
+    """New element snapshot after the batch (T4)."""
+
+    def upd(df: DataFrame, kind: str) -> DataFrame:
+        last = _last_change_per_id(changes, kind)
+        changed_ids = last.select(F.col(kind)["id"].alias("id"))
+        kept = df.join(changed_ids, "id", "left_anti")
+        upserts = last.filter(F.col("op") != "delete").select(f"{kind}.*")
+        return kept.unionByName(upserts)
+
+    return OsmState(
+        nodes=upd(state.nodes, "node"),
+        ways=upd(state.ways, "way"),
+        relations=upd(state.relations, "relation"),
+    )
+
+
+@dataclass
+class Frontier:
+    """Element ids whose output rows must be rebuilt."""
+
+    node_ids: DataFrame  # (id)
+    way_ids: DataFrame
+    rel_ids: DataFrame
+
+
+def compute_frontier(state: OsmState, new_state: OsmState, changes: DataFrame) -> Frontier:
+    """T3: changed ids + transitive dependents (2 hops max: node->way->rel).
+
+    Dependencies are resolved against BOTH the old and new state: the old
+    index catches ways/relations that referenced a now-deleted element; the
+    new index catches references added by the batch."""
+    changed_nodes = changes.filter(F.col("kind") == "node").select(
+        F.col("node")["id"].alias("id")
+    ).distinct()
+    changed_ways = changes.filter(F.col("kind") == "way").select(
+        F.col("way")["id"].alias("id")
+    ).distinct()
+    changed_rels = changes.filter(F.col("kind") == "relation").select(
+        F.col("relation")["id"].alias("id")
+    ).distinct()
+
+    dep_ways = _union_all(
+        [
+            ri.dependent_ways(state.ways, changed_nodes),
+            ri.dependent_ways(new_state.ways, changed_nodes),
+        ]
+    ).distinct()
+    way_frontier = changed_ways.unionByName(dep_ways).distinct()
+
+    dep_rels = _union_all(
+        [
+            ri.dependent_relations(state.relations, changed_nodes, way_frontier),
+            ri.dependent_relations(new_state.relations, changed_nodes, way_frontier),
+        ]
+    ).distinct()
+    rel_frontier = changed_rels.unionByName(dep_rels).distinct()
+
+    return Frontier(node_ids=changed_nodes, way_ids=way_frontier, rel_ids=rel_frontier)
+
+
+def affected_osm_ids(pipe: ImportPipeline, frontier: Frontier) -> dict[str, DataFrame]:
+    """osm_id sets to DELETE per table type, with the writers' id mangling
+    (T2; update/deleter.go deletes by id from every possibly-matching
+    table)."""
+    single = pipe.mapping.single_id_space
+    node_ids = frontier.node_ids.select(el.node_osm_id(F.col("id")).alias("osm_id"))
+    way_ids = frontier.way_ids.select(el.way_osm_id(F.col("id"), single).alias("osm_id"))
+    rel_ids = frontier.rel_ids.select(el.relation_osm_id(F.col("id"), single).alias("osm_id"))
+    return {
+        "point": node_ids,
+        "linestring": way_ids,
+        "polygon": way_ids.unionByName(rel_ids),
+        "geometry": node_ids.unionByName(way_ids).unionByName(rel_ids),
+        "relation": rel_ids,
+        "relation_member": rel_ids,
+    }
+
+
+def rebuild_tables(
+    pipe: ImportPipeline, new_state: OsmState, frontier: Frontier
+) -> dict[str, DataFrame]:
+    """T5: run the import pipeline on the frontier subset. Coordinates and
+    member elements resolve against the FULL new state (a moved node must
+    pull its way's other, unchanged nodes)."""
+    nodes = new_state.nodes.join(frontier.node_ids, "id", "leftsemi")
+    ways = new_state.ways.join(frontier.way_ids, "id", "leftsemi")
+    rels = new_state.relations.join(frontier.rel_ids, "id", "leftsemi")
+
+    coords = pipe.prepare_coords(new_state.nodes)
+    tables: dict[str, list[DataFrame]] = {}
+    parts = (
+        pipe.relation_member_tables(rels, new_state.ways, new_state.nodes),
+        pipe.relation_tables(rels, new_state.ways, coords),
+        pipe.way_tables(ways, coords),
+        pipe.node_tables(nodes),
+    )
+    for part in parts:
+        for name, df in part.items():
+            tables.setdefault(name, []).append(df)
+    return {name: _union_all(dfs) for name, dfs in tables.items()}
+
+
+def apply_batch(
+    pipe: ImportPipeline,
+    state: OsmState,
+    tables: dict[str, DataFrame],
+    changes: DataFrame,
+) -> tuple[OsmState, dict[str, DataFrame]]:
+    """One diff batch end-to-end: state upsert, frontier, delete+rebuild.
+
+    Returns (new_state, new_tables). The delete+insert pair per table is
+    exactly the reference's sync-tx mode (database/postgis/tx.go:116-199);
+    against a real PostGIS sink this maps to DELETE WHERE osm_id IN (...)
+    followed by batched INSERTs inside one transaction (see
+    sinks/postgis.py)."""
+    new_state = apply_changes_to_state(state, changes)
+    frontier = compute_frontier(state, new_state, changes)
+    rebuilt = rebuild_tables(pipe, new_state, frontier)
+    delete_ids = affected_osm_ids(pipe, frontier)
+
+    new_tables: dict[str, DataFrame] = {}
+    for name, df in tables.items():
+        table_type = pipe.mapping.tables[name].type
+        dels = delete_ids.get(table_type)
+        kept = df.join(dels, "osm_id", "left_anti") if dels is not None else df
+        if name in rebuilt:
+            kept = kept.unionByName(rebuilt[name])
+        new_tables[name] = kept
+    for name, df in rebuilt.items():
+        if name not in new_tables:
+            new_tables[name] = df
+    return new_state, new_tables

@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import BinaryType, DoubleType, StructField, StructType
 
 from imposm3_spark.geom import wkb as wkblib
 
@@ -136,3 +136,36 @@ def polygon_wkb_udf(coords: pd.Series, srid: pd.Series) -> pd.Series:
                 ring.append(ring[0])
             out.append(wkblib.polygon_wkb([ring], int(s)))
     return pd.Series(out, dtype=object)
+
+
+_WKB_AREA_STRUCT = StructType(
+    [StructField("wkb", BinaryType()), StructField("area", DoubleType())]
+)
+
+
+@pandas_udf(_WKB_AREA_STRUCT)
+def polygon_valid_wkb_area_udf(coords: pd.Series, srid: pd.Series) -> pd.DataFrame:
+    """Way-polygon build + MakeValid + area in one pass (writer/ways.go:
+    146-150): self-intersecting rings are split into simple sub-rings,
+    classified shell/hole, and the area is computed on the repaired
+    geometry (a bowtie's halves ADD instead of cancel)."""
+    from imposm3_spark.geom import py_geom
+
+    wkbs, areas = [], []
+    for arr, s in zip(coords, srid):
+        if arr is None or len(arr) < 4:
+            wkbs.append(None)
+            areas.append(None)
+            continue
+        ring = [(c["x"], c["y"]) for c in arr]
+        polygons, area = py_geom.repair_polygon(ring)
+        if not polygons:
+            wkbs.append(None)
+            areas.append(None)
+            continue
+        if len(polygons) == 1:
+            wkbs.append(wkblib.polygon_wkb(polygons[0], int(s)))
+        else:
+            wkbs.append(wkblib.multipolygon_wkb(polygons, int(s)))
+        areas.append(area)
+    return pd.DataFrame({"wkb": wkbs, "area": areas})

@@ -309,6 +309,234 @@ def _closed(coords: list[Coord]) -> list[Coord]:
     return coords
 
 
+# ---------------------------------------------------------------------------
+# Simplify (G6) — Douglas-Peucker, topology-guarded for rings
+# (reference: ST_SimplifyPreserveTopology in generalized-table SQL,
+#  database/postgis/columns.go:46-64)
+# ---------------------------------------------------------------------------
+
+
+def _point_seg_dist(p: Coord, a: Coord, b: Coord) -> float:
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    if dx == 0.0 and dy == 0.0:
+        return math.hypot(p[0] - a[0], p[1] - a[1])
+    t = ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / (dx * dx + dy * dy)
+    t = max(0.0, min(1.0, t))
+    return math.hypot(p[0] - (a[0] + t * dx), p[1] - (a[1] + t * dy))
+
+
+def simplify_dp(coords: list[Coord], tolerance: float) -> list[Coord]:
+    """Douglas-Peucker line simplification (endpoints kept)."""
+    n = len(coords)
+    if n < 3 or tolerance <= 0:
+        return list(coords)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        best_d = -1.0
+        best_i = -1
+        for i in range(lo + 1, hi):
+            d = _point_seg_dist(coords[i], coords[lo], coords[hi])
+            if d > best_d:
+                best_d, best_i = d, i
+        if best_d > tolerance:
+            keep[best_i] = True
+            stack.append((lo, best_i))
+            stack.append((best_i, hi))
+    return [c for i, c in enumerate(coords) if keep[i]]
+
+
+def simplify_ring(coords: list[Coord], tolerance: float) -> list[Coord]:
+    """Ring simplification with a topology guard: a ring that would collapse
+    (<4 points incl. closing) keeps its original coords — the
+    'PreserveTopology' behavior the reference relies on."""
+    out = simplify_dp(coords, tolerance)
+    if len(out) < 4:
+        return list(coords)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MakeValid (G2) — self-intersecting ring repair without GEOS
+# (geom/geos/geos.go:284-295; applied writer/ways.go:146-150,
+#  multipolygon.go:196-200)
+# ---------------------------------------------------------------------------
+
+
+def _seg_intersection(p1: Coord, p2: Coord, p3: Coord, p4: Coord) -> Coord | None:
+    """Proper or touching intersection point of two segments (None when
+    parallel/collinear or outside both segments).
+
+    The point is computed in exact rational arithmetic and rounded once to
+    double — GEOS uses extended-precision (DD) intersection, and plain
+    double math shifts the point enough to move repaired-polygon areas by
+    ~100 m² at continental scale (observed against the reference's
+    completedb expectations)."""
+    from fractions import Fraction
+
+    x1, y1 = Fraction(p1[0]), Fraction(p1[1])
+    x2, y2 = Fraction(p2[0]), Fraction(p2[1])
+    x3, y3 = Fraction(p3[0]), Fraction(p3[1])
+    x4, y4 = Fraction(p4[0]), Fraction(p4[1])
+    d1x, d1y = x2 - x1, y2 - y1
+    d2x, d2y = x4 - x3, y4 - y3
+    denom = d1x * d2y - d1y * d2x
+    if denom == 0:
+        return None
+    t = ((x3 - x1) * d2y - (y3 - y1) * d2x) / denom
+    u = ((x3 - x1) * d1y - (y3 - y1) * d1x) / denom
+    if 0 <= t <= 1 and 0 <= u <= 1:
+        return (float(x1 + t * d1x), float(y1 + t * d1y))
+    return None
+
+
+def ring_is_simple(coords: Sequence[Coord]) -> bool:
+    """True when no two non-adjacent segments of the closed ring intersect
+    and no vertex repeats (other than the closing one)."""
+    n = len(coords) - 1  # segments
+    if n < 3:
+        return True
+    seen = set()
+    for pt in coords[:-1]:
+        if pt in seen:
+            return False
+        seen.add(pt)
+    for i in range(n):
+        for j in range(i + 1, n):
+            adjacent = j == i + 1 or (i == 0 and j == n - 1)
+            if adjacent:
+                continue
+            if _seg_intersection(coords[i], coords[i + 1], coords[j], coords[j + 1]):
+                return False
+    return True
+
+
+def _insert_intersections(coords: list[Coord]) -> list[Coord]:
+    """Closed ring -> vertex sequence with every segment-crossing point
+    inserted (the same float tuple on both segments)."""
+    n = len(coords) - 1
+    extra: dict[int, list[tuple[float, Coord]]] = {i: [] for i in range(n)}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i + 1 or (i == 0 and j == n - 1):
+                continue
+            pt = _seg_intersection(coords[i], coords[i + 1], coords[j], coords[j + 1])
+            if pt is None:
+                continue
+
+            def param(a: Coord, b: Coord, p: Coord) -> float:
+                dx, dy = b[0] - a[0], b[1] - a[1]
+                return ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / (dx * dx + dy * dy)
+
+            extra[i].append((param(coords[i], coords[i + 1], pt), pt))
+            extra[j].append((param(coords[j], coords[j + 1], pt), pt))
+    out: list[Coord] = []
+    for i in range(n):
+        out.append(coords[i])
+        for _t, pt in sorted(extra[i], key=lambda e: e[0]):
+            if pt != out[-1]:
+                out.append(pt)
+    out.append(coords[-1])
+    return out
+
+
+def _split_at_repeats(seq: list[Coord]) -> list[list[Coord]]:
+    """Walk the vertex sequence; every revisit of a point closes a loop,
+    which is emitted as a candidate ring."""
+    rings: list[list[Coord]] = []
+    path: list[Coord] = []
+    index: dict[Coord, int] = {}
+    for pt in seq:
+        if pt in index:
+            i = index[pt]
+            loop = path[i:] + [pt]
+            if len(loop) >= 4 and ring_area(loop) > 0.0:
+                rings.append(loop)
+            for p in path[i + 1 :]:
+                index.pop(p, None)
+            path = path[: i + 1]
+        else:
+            index[pt] = len(path)
+            path.append(pt)
+    return rings
+
+
+def winding_number(pt: Coord, ring: Sequence[Coord]) -> int:
+    """Signed winding number of a closed ring around pt."""
+    wn = 0
+    x, y = pt
+    for i in range(len(ring) - 1):
+        ax, ay = ring[i]
+        bx, by = ring[i + 1]
+        cross = (bx - ax) * (y - ay) - (x - ax) * (by - ay)
+        if ay <= y:
+            if by > y and cross > 0:
+                wn += 1
+        else:
+            if by <= y and cross < 0:
+                wn -= 1
+    return wn
+
+
+def _loop_interior_point(loop: Sequence[Coord]) -> Coord:
+    """Area centroid (inside for the convex-ish loops the splitter emits)."""
+    a2 = 0.0
+    cx = cy = 0.0
+    for i in range(len(loop) - 1):
+        x1, y1 = loop[i]
+        x2, y2 = loop[i + 1]
+        w = x1 * y2 - x2 * y1
+        a2 += w
+        cx += (x1 + x2) * w
+        cy += (y1 + y2) * w
+    if a2 == 0.0:
+        return loop[0]
+    return (cx / (3 * a2), cy / (3 * a2))
+
+
+def make_valid_rings(coords: list[Coord]) -> list[Ring]:
+    """MakeValid for one closed ring — the reference repairs with
+    buffer(0) (geom/geos/geos.go:284-295), whose JTS semantics keep only
+    the regions of POSITIVE winding w.r.t. the traversal: a bowtie loses
+    its opposite-wound lobe (completedb RelationUpdatedByNode expects one
+    triangle of the figure-8). A simple ring passes through unchanged."""
+    if coords[0] != coords[-1]:
+        coords = coords + [coords[0]]
+    if ring_is_simple(coords):
+        return [Ring([], [], list(coords))]
+    loops = _split_at_repeats(_insert_intersections(coords))
+    # buffer(0) keeps the lobes wound in the ring's DOMINANT direction: the
+    # figure-8 triangle test (multipolygon_test.go:519-601) keeps the big
+    # lobe and drops the oppositely-wound tip. Dominant = sign of the total
+    # signed area; zero-sum bowties fall back to positive winding.
+    total = ring_signed_area(coords)
+    dominant = 1 if total >= 0 else -1
+    scored = [(winding_number(_loop_interior_point(lp), coords), lp) for lp in loops]
+    kept = [lp for wn, lp in scored if wn * dominant > 0]
+    if not kept:
+        kept = [lp for wn, lp in scored if wn != 0] or loops
+    return [Ring([], [], lp) for lp in kept]
+
+
+def repair_polygon(coords: list[Coord]) -> tuple[list[list[list[Coord]]], float]:
+    """(polygons, area) of a possibly self-intersecting way-polygon ring —
+    the way-writer's Polygon + MakeValid pair (writer/ways.go:146-150).
+    Bowties split into multiple shells; pinched-off interior loops become
+    holes (odd containment depth)."""
+    rings = make_valid_rings(list(coords))
+    if not rings:
+        return [], 0.0
+    for r in rings:
+        r.area = ring_area(r.coords)
+    rings.sort(key=lambda r: -r.area)
+    polygons, _outer = build_multipolygon(rings)
+    return polygons, multipolygon_area(polygons)
+
+
 def multipolygon_area(polygons: list[list[list[Coord]]]) -> float:
     """Sum of shell areas minus hole areas (planar)."""
     total = 0.0

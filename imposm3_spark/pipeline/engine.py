@@ -62,7 +62,20 @@ def _assemble_multipolygons(max_ring_gap: float, srid: int):
             member_ways.append((int(row["way_id"]), list(row["way_refs"]), coords))
         try:
             rings = py_geom.build_rings(member_ways, max_ring_gap)
-            polygons, outer_ids = py_geom.build_multipolygon(rings)
+            # MakeValid on the assembled geometry (multipolygon.go:196-200):
+            # split self-intersecting rings before classification
+            expanded: list[py_geom.Ring] = []
+            for r in rings:
+                subs = py_geom.make_valid_rings(r.coords)
+                if len(subs) == 1 and subs[0].coords == r.coords:
+                    expanded.append(r)  # was already simple
+                else:
+                    for s in subs:
+                        expanded.append(py_geom.Ring(list(r.way_ids), [], s.coords))
+            for r in expanded:
+                r.area = py_geom.ring_area(r.coords)
+            expanded.sort(key=lambda r: -r.area)
+            polygons, outer_ids = py_geom.build_multipolygon(expanded)
         except (py_geom.NoRingError, ValueError):
             return pd.DataFrame(columns=[
                 "rel_id", "wkb", "area", "minx", "miny", "maxx", "maxy", "outer_way_ids",
@@ -238,8 +251,11 @@ class ImportPipeline:
                 geom_wkb = gb.linestring_wkb_udf(F.col("_coords"), F.lit(self.srid))
                 geom_area = F.lit(0.0)
             else:
-                geom_wkb = gb.polygon_wkb_udf(F.col("_coords"), F.lit(self.srid))
-                geom_area = gb.ring_area(F.col("_coords"))
+                # build + MakeValid + area in one pandas UDF (identical UDF
+                # calls are deduplicated by ExtractPythonUDFs)
+                pg = gb.polygon_valid_wkb_area_udf(F.col("_coords"), F.lit(self.srid))
+                geom_wkb = pg["wkb"]
+                geom_area = pg["area"]
             ctx = RowContext(
                 tags=F.col("tags"),
                 osm_id=elements.way_osm_id(F.col("id"), self.mapping.single_id_space),

@@ -60,6 +60,7 @@ RELATION_SCHEMA = T.StructType(
 
 CHANGE_SCHEMA = T.StructType(
     [
+        T.StructField("pos", T.LongType(), False),  # order within the file
         T.StructField("op", T.StringType(), False),  # create|modify|delete
         T.StructField("kind", T.StringType(), False),  # node|way|relation
         T.StructField("node", NODE_SCHEMA, True),
@@ -137,10 +138,11 @@ def read_osc_xml(spark: SparkSession, path: str | Path) -> DataFrame:
         if op not in ("create", "modify", "delete"):
             continue
         for e in block:
+            pos = len(rows)
             if e.tag == "node":
-                rows.append((op, "node", _parse_node(e), None, None))
+                rows.append((pos, op, "node", _parse_node(e), None, None))
             elif e.tag == "way":
-                rows.append((op, "way", None, _parse_way(e), None))
+                rows.append((pos, op, "way", None, _parse_way(e), None))
             elif e.tag == "relation":
-                rows.append((op, "relation", None, None, _parse_relation(e)))
+                rows.append((pos, op, "relation", None, None, _parse_relation(e)))
     return spark.createDataFrame(rows, CHANGE_SCHEMA)
