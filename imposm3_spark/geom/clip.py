@@ -1,0 +1,148 @@
+"""Limit-to clipping (SURVEY §2.2 F8, §2.3 J6; reference geom/limit/
+limit.go).
+
+- points: bbox shortcut + point-in-polygon (limit.go:321-340) — exact
+- linestrings: exact clip — segments are split at feature-boundary
+  crossings (rational-precision intersections) and pieces kept when their
+  midpoint lies inside; contiguous kept pieces are re-merged
+  (ST_Intersection + ST_LineMerge analog, limit.go:275-317 + G8)
+- polygons: contains fast path (fully inside -> unchanged, limit.go:280),
+  intersecting polygons are kept WHOLE — a documented divergence: polygon
+  boolean intersection is not implemented in the pure-python kernel (the
+  reference cuts via GEOS Intersection). Dropping fully-outside polygons
+  and passing through contained ones covers the pruning semantics.
+
+The reference's grid-splitting of the clip polygon (limit.go:25-109) is an
+optimization for its per-row sequential clipping; Spark parallelizes rows,
+so it is unnecessary (SURVEY §4)."""
+
+from __future__ import annotations
+
+from imposm3_spark.geom import py_geom
+from imposm3_spark.sources.geojson import Feature
+
+Coord = tuple[float, float]
+
+
+class Limiter:
+    """Broadcastable clip region (union of GeoJSON features)."""
+
+    def __init__(self, features: list[Feature]):
+        self.features = features
+        boxes = [f.bbox() for f in features]
+        self.bbox = (
+            min(b[0] for b in boxes),
+            min(b[1] for b in boxes),
+            max(b[2] for b in boxes),
+            max(b[3] for b in boxes),
+        )
+
+    # ---- point (F8) ----
+
+    def intersects_point(self, x: float, y: float) -> bool:
+        minx, miny, maxx, maxy = self.bbox
+        if not (minx <= x <= maxx and miny <= y <= maxy):
+            return False
+        return any(f.contains_point(x, y) for f in self.features)
+
+    # ---- helpers ----
+
+    def _boundary_rings(self) -> list[list[Coord]]:
+        return [ring for f in self.features for poly in f.polygons for ring in poly]
+
+    def contains_all(self, coords: list[Coord]) -> bool:
+        return all(self.intersects_point(x, y) for x, y in coords)
+
+    # ---- linestring clip (J6) ----
+
+    def clip_line(self, coords: list[Coord]) -> list[list[Coord]]:
+        """Exact linestring clip: split at boundary crossings, keep inside
+        pieces, merge contiguous runs."""
+        if len(coords) < 2:
+            return []
+        # NOTE: no vertex-based fast path — both endpoints inside does not
+        # mean the segment stays inside a concave region; the reference's
+        # fast path is a prepared CONTAINS of the whole geometry
+        rings = self._boundary_rings()
+        out: list[list[Coord]] = []
+        current: list[Coord] = []
+
+        def flush():
+            nonlocal current
+            if len(current) >= 2:
+                out.append(current)
+            current = []
+
+        for i in range(len(coords) - 1):
+            a, b = coords[i], coords[i + 1]
+            # boundary crossing parameters along a->b
+            cuts: list[tuple[float, Coord]] = []
+            for ring in rings:
+                for j in range(len(ring) - 1):
+                    pt = py_geom._seg_intersection(a, b, ring[j], ring[j + 1])
+                    if pt is not None and pt != a and pt != b:
+                        dx, dy = b[0] - a[0], b[1] - a[1]
+                        denom = dx * dx + dy * dy
+                        t = ((pt[0] - a[0]) * dx + (pt[1] - a[1]) * dy) / denom if denom else 0.0
+                        cuts.append((t, pt))
+            pieces = [a] + [pt for _t, pt in sorted(cuts)] + [b]
+            for k in range(len(pieces) - 1):
+                p, q = pieces[k], pieces[k + 1]
+                mid = ((p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0)
+                if self.intersects_point(*mid):
+                    if not current:
+                        current = [p, q]
+                    elif current[-1] == p:
+                        current.append(q)
+                    else:
+                        flush()
+                        current = [p, q]
+                else:
+                    flush()
+        flush()
+        return out
+
+    # ---- polygon clip (J6, pass-through variant) ----
+
+    def clip_polygon(self, rings: list[list[Coord]]) -> list[list[list[Coord]]]:
+        """[] when disjoint from the limit region; [rings] when any part
+        intersects (contained polygons pass the fast path unchanged;
+        boundary-crossing polygons are NOT cut — see module docstring)."""
+        shell = rings[0]
+        sminx, sminy, smaxx, smaxy = py_geom.bbox(shell)
+        minx, miny, maxx, maxy = self.bbox
+        if smaxx < minx or sminx > maxx or smaxy < miny or sminy > maxy:
+            return []
+        # any shell vertex inside -> intersects
+        if any(self.intersects_point(x, y) for x, y in shell):
+            return [rings]
+        # limit region inside the polygon? sample a feature vertex
+        probe = self.features[0].polygons[0][0][0]
+        if py_geom.point_in_ring(probe, shell) >= 0:
+            return [rings]
+        # boundary crossing without any vertex inside
+        for f in self.features:
+            for poly in f.polygons:
+                for ring in poly:
+                    for j in range(len(ring) - 1):
+                        for i in range(len(shell) - 1):
+                            if py_geom._seg_intersection(
+                                shell[i], shell[i + 1], ring[j], ring[j + 1]
+                            ):
+                                return [rings]
+        return []
+
+
+# ---- geojson_intersects / geojson_intersects_feature (J5, §2.6) ----
+
+
+def intersects_feature_property(
+    features: list[Feature], prop: str, x: float, y: float
+) -> str | None:
+    """Property of the first feature containing the point
+    (mapping/columns_intersection.go:70-105)."""
+    for f in features:
+        if f.contains_point(x, y):
+            v = f.properties.get(prop)
+            return str(v) if v is not None else ""
+    return None

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+
+import pandas as pd
 from typing import Any, Callable
 
 from pyspark.sql import Column
@@ -343,8 +345,90 @@ _REGISTRY["member_type"] = _member_col("member_type")
 _REGISTRY["member_index"] = _member_col("member_index")
 
 
-# ---- spatial join column types (J5) are built by the pipeline, which has
-# the GeoJSON features; registered lazily in pipeline/geojson_cols.py ----
+# ---- spatial join column types (J5) — mapping/columns_intersection.go ----
+# Features load once per column (driver) and broadcast into a pandas UDF
+# over the built geometry's WKB — the Spark analog of the reference's
+# prepared-geometry STRtree per worker. SRID is fixed at 3857 like the
+# reference (columns_intersection.go:57 "TODO make SRID configurable").
+
+
+def _load_intersection_features(cfg: ColumnCfg):
+    from imposm3_spark.sources.geojson import load_geojson
+
+    path = cfg.args.get("geojson")
+    if not path:
+        raise ValueError("missing geojson in args for geojson_feature_intersections")
+    return load_geojson(path, transform=3857)
+
+
+def _geom_points(parsed: dict) -> list[tuple[float, float]]:
+    t = parsed["type"]
+    if t == "Point":
+        return [parsed["coords"]]
+    if t == "LineString":
+        return parsed["coords"]
+    if t == "Polygon":
+        return parsed["coords"][0]
+    if t == "MultiPolygon":
+        return [pt for poly in parsed["coords"] for pt in poly[0]]
+    if t == "MultiLineString":
+        return [pt for line in parsed["coords"] for pt in line]
+    return []
+
+
+def _make_intersects_udf(features, prop: str | None):
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType, StringType
+
+    from imposm3_spark.geom import wkb as wkblib
+
+    def first_hit(buf):
+        if buf is None:
+            return None
+        parsed = wkblib.parse_wkb(bytes(buf))
+        for f in features:
+            if any(f.contains_point(x, y) for x, y in _geom_points(parsed)):
+                return f
+        return None
+
+    if prop is None:
+
+        @pandas_udf(BooleanType())
+        def intersects(wkb_col: pd.Series) -> pd.Series:
+            return pd.Series([first_hit(b) is not None for b in wkb_col])
+
+        return intersects
+
+    @pandas_udf(StringType())
+    def intersects_feature(wkb_col: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb_col:
+            hit = first_hit(b)
+            out.append("" if hit is None else str(hit.properties.get(prop, "")))
+        return pd.Series(out)
+
+    return intersects_feature
+
+
+@register("geojson_intersects")
+def _geojson_intersects(cfg: ColumnCfg, ctx: RowContext) -> Column:
+    # columns_intersection.go:107-131: true when the geometry intersects
+    # any feature of the external GeoJSON
+    if ctx.geom_wkb is None:
+        raise ValueError("geojson_intersects needs geometry")
+    features = _load_intersection_features(cfg)
+    return _make_intersects_udf(features, None)(ctx.geom_wkb)
+
+
+@register("geojson_intersects_feature")
+def _geojson_intersects_feature(cfg: ColumnCfg, ctx: RowContext) -> Column:
+    # columns_intersection.go:70-105: `property` of the first intersecting
+    # feature ('' when none)
+    if ctx.geom_wkb is None:
+        raise ValueError("geojson_intersects_feature needs geometry")
+    prop = str(cfg.args.get("property", ""))
+    features = _load_intersection_features(cfg)
+    return _make_intersects_udf(features, prop)(ctx.geom_wkb)
 
 
 SPARK_TYPE_BY_COLUMN_TYPE: dict[str, str] = {

@@ -120,11 +120,15 @@ class ImportPipeline:
     the scan (writer/writer.go NodesToSrid); 4326 keeps lon/lat.
     """
 
-    def __init__(self, mapping: Mapping, srid: int = 3857):
+    def __init__(self, mapping: Mapping, srid: int = 3857, limiter=None):
         if srid not in (3857, 4326):
             raise ValueError("only EPSG:3857 and EPSG:4326 are supported")  # config.go:156-160
         self.mapping = mapping
         self.srid = srid
+        # optional limit-to region (geom/clip.Limiter): F8 point filter +
+        # J6 geometry clip. Pickled into UDF closures (small polygon set),
+        # the Spark analog of the reference's per-worker prepared geoms.
+        self.limiter = limiter
         # writer/ways.go:37-41: 0.1m gap closing (projected); ~0.1m in degrees
         self.max_ring_gap = 1e-1 if srid == 3857 else 1e-6
         self.point_units = compile_match_units(mapping, POINT)
@@ -151,6 +155,72 @@ class ImportPipeline:
     def _match_col(self, i: int) -> str:
         return f"_match_{i}"
 
+    def _limit_points_udf(self):
+        """F8 point filter (geom/limit/limit.go:321-340) over projected
+        coords."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BooleanType
+
+        limiter = self.limiter
+
+        @pandas_udf(BooleanType())
+        def inside(x: pd.Series, y: pd.Series) -> pd.Series:
+            return pd.Series(
+                [limiter.intersects_point(float(a), float(b)) for a, b in zip(x, y)]
+            )
+
+        return inside
+
+    def _clip_line_udf(self):
+        """J6 linestring clip: ARRAY<STRUCT<x,y>> -> ARRAY of clipped
+        parts (each part becomes its own output row, like the reference's
+        per-part InsertLineString loop, writer/ways.go:168-178)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        limiter = self.limiter
+
+        @pandas_udf("array<array<struct<x:double,y:double>>>")
+        def clip(coords: pd.Series) -> pd.Series:
+            out = []
+            for arr in coords:
+                if arr is None:
+                    out.append([])
+                    continue
+                pts = [(c["x"], c["y"]) for c in arr]
+                out.append(
+                    [
+                        [{"x": x, "y": y} for x, y in part]
+                        for part in limiter.clip_line(pts)
+                    ]
+                )
+            return pd.Series(out, dtype=object)
+
+        return clip
+
+    def _keep_polygon_udf(self):
+        """J6 polygon keep/drop (contains fast path; boundary-crossing
+        polygons pass through whole — see geom/clip.py)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BooleanType
+
+        limiter = self.limiter
+
+        @pandas_udf(BooleanType())
+        def keep(coords: pd.Series) -> pd.Series:
+            out = []
+            for arr in coords:
+                if arr is None or len(arr) < 4:
+                    out.append(False)
+                    continue
+                ring = [(c["x"], c["y"]) for c in arr]
+                out.append(bool(limiter.clip_polygon([ring])))
+            return pd.Series(out)
+
+        return keep
+
     def _with_matches(self, df: DataFrame, units: list[MatchUnit]) -> DataFrame:
         """Evaluate every unit's match expression in one pass (no shuffle)."""
         return df.withColumns({self._match_col(i): u.match_expr(F.col("tags")) for i, u in enumerate(units)})
@@ -173,6 +243,8 @@ class ImportPipeline:
         )
         df = df.filter(F.size("tags") > 0)
         df = self.project_xy(df)
+        if self.limiter is not None:
+            df = df.filter(self._limit_points_udf()(F.col("x"), F.col("y")))
         df = self._with_matches(df, units).filter(self._any_match(units))
 
         out: dict[str, list[DataFrame]] = {}
@@ -247,6 +319,14 @@ class ImportPipeline:
                     self.mapping, unit.table, F.col("tags"), m["key"], F.col("_closed"), relation=False
                 )
             )
+            if self.limiter is not None:
+                if is_line:
+                    # each clipped part becomes its own row
+                    matched = matched.withColumn(
+                        "_coords", F.explode(self._clip_line_udf()(F.col("_coords")))
+                    )
+                else:
+                    matched = matched.filter(self._keep_polygon_udf()(F.col("_coords")))
             if is_line:
                 geom_wkb = gb.linestring_wkb_udf(F.col("_coords"), F.lit(self.srid))
                 geom_area = F.lit(0.0)
