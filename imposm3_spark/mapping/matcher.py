@@ -147,8 +147,9 @@ def _kv_filter(tags: Column, key: str, values: list[str], require: bool) -> Colu
     if ANY in values:
         hit = v.isNotNull()
     else:
-        hit = v.isin(*values) if values else F.lit(False)
-    return hit if require else ~F.coalesce(hit, F.lit(False))
+        # coalesce: absent tag -> NULL -> must mean 'no hit', not unknown
+        hit = F.coalesce(v.isin(*values), F.lit(False)) if values else F.lit(False)
+    return hit if require else ~hit
 
 
 def _regexp_filter(tags: Column, key: str, pattern: str, require: bool) -> Column:

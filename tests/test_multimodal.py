@@ -1,0 +1,55 @@
+"""Multimodal column plumbing (stubbed decode, real Spark shapes)."""
+
+import hashlib
+
+import pytest
+
+from imposm3_spark.datapipe.multimodal import (
+    MEDIA_SCHEMA,
+    dedup_media_exact,
+    extract_image_features,
+    resize_images,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG-fake-1", ("image/png", 640, 480, None)),
+        (2, "image", b"\x89PNG-fake-2", ("image/png", 100, 50, None)),
+        (3, "image", b"\x89PNG-fake-1", ("image/png", 640, 480, None)),  # dup payload
+        (4, "video", b"RIFF-fake", ("video/mp4", 1920, 1080, 3500)),
+        (5, "audio", b"OGG-fake", ("audio/ogg", None, None, 2000)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_image_features(media):
+    out = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    r = out[1]
+    assert r["sha256"] == hashlib.sha256(b"\x89PNG-fake-1").hexdigest()
+    assert r["n_bytes"] == len(b"\x89PNG-fake-1")
+    assert len(r["features"]) == 8
+    assert all(0.0 <= f <= 1.0 for f in r["features"])
+    # deterministic: identical payloads -> identical features
+    assert out[1]["features"] == out[3]["features"]
+
+
+def test_resize_metadata(media):
+    out = {r["media_id"]: r["meta"] for r in resize_images(media, max_side=256).collect()}
+    assert out[1]["width"] == 256 and out[1]["height"] == 192
+    assert out[2]["width"] == 100 and out[2]["height"] == 50  # already small
+
+
+def test_sample_video_frames(media):
+    rows = sample_video_frames(media, every_ms=1000).collect()
+    assert {r["media_id"] for r in rows} == {4}
+    assert sorted(r["frame_ts_ms"] for r in rows) == [0, 1000, 2000]
+
+
+def test_dedup_media(media):
+    out = {r["media_id"]: r["dup_count"] for r in dedup_media_exact(media).collect()}
+    assert out[1] == 2  # ids 1 and 3 share a payload
+    assert 3 not in out
