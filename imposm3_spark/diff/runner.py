@@ -89,6 +89,17 @@ class ReplicationRunner:
             return False
         changes = read_osc_xml(self.spark, path)
         new_state, new_tables = apply_batch(self.pipe, self.state, self.tables, changes)
+        if self.expire_dir is not None:
+            from imposm3_spark.diff.update import compute_frontier, expired_tiles_for_batch
+            from imposm3_spark.expire.tiles import TileExpireList
+
+            ns = OsmState(*[getattr(new_state, a) for a in ("nodes", "ways", "relations")])
+            frontier = compute_frontier(self.state, ns, changes)
+            tiles = expired_tiles_for_batch(self.pipe, self.state, ns, frontier)
+            tl = TileExpireList(max_zoom=14)
+            for r in tiles.collect():
+                tl.tiles.setdefault(r["z"], set()).add((r["x"], r["y"]))
+            tl.flush(self.expire_dir)
         # persist the new versions before dropping the old ones
         new_state = OsmState(
             new_state.nodes.localCheckpoint(),

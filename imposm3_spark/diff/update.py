@@ -150,6 +150,62 @@ def rebuild_tables(
     return {name: _union_all(dfs) for name, dfs in tables.items()}
 
 
+def expired_tiles_for_batch(
+    pipe: ImportPipeline,
+    state: OsmState,
+    new_state: OsmState,
+    frontier: Frontier,
+    max_zoom: int = 14,
+) -> DataFrame:
+    """T7: z/x/y tiles touched by the batch — both the OLD geometries (the
+    deleter expires already-gone shapes, update/deleter.go:24-33) and the
+    NEW ones (writers expire inserted shapes). Ways expire as lines/boxes
+    via their node runs, changed nodes as padded points.
+
+    Returns DISTINCT (z, x, y); feed to TileExpireList/flush for the file
+    sink (S14)."""
+    from imposm3_spark.expire.tiles import expired_tiles
+    from imposm3_spark.pipeline.resolve import resolve_way_coords
+
+    parts = []
+    for st in (state, new_state):
+        coords = st.nodes.select("id", "lon", "lat")
+        ways = st.ways.join(frontier.way_ids, "id", "leftsemi")
+        resolved = resolve_way_coords(
+            ways.select(
+                "id",
+                "refs",
+                (
+                    (F.size("refs") >= 4)
+                    & (F.try_element_at("refs", F.lit(1)) == F.try_element_at("refs", F.lit(-1)))
+                ).alias("closed"),
+            ),
+            coords.select("id", F.col("lon").alias("x"), F.col("lat").alias("y")),
+            keep_cols=["closed"],
+        )
+        parts.append(
+            resolved.select(
+                F.transform(
+                    "coords", lambda c: F.struct(c["x"].alias("lon"), c["y"].alias("lat"))
+                ).alias("coords"),
+                F.col("closed"),
+            )
+        )
+        changed_nodes = st.nodes.join(frontier.node_ids, "id", "leftsemi")
+        parts.append(
+            changed_nodes.select(
+                F.array(
+                    F.struct(F.col("lon").alias("lon"), F.col("lat").alias("lat"))
+                ).alias("coords"),
+                F.lit(False).alias("closed"),
+            )
+        )
+    geoms = parts[0]
+    for p in parts[1:]:
+        geoms = geoms.unionByName(p)
+    return expired_tiles(geoms, max_zoom=max_zoom)
+
+
 def apply_batch(
     pipe: ImportPipeline,
     state: OsmState,
