@@ -955,10 +955,9 @@ def _sql_minhash_bands(num_hashes: int = 8, rows_per_band: int = 2) -> str:
     """,
 )
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the fixture is one small parquet file -> one input partition; spread
-    # the hash work (at real scale the scan already has many splits)
-    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    return dd.minhash_lsh_pairs(d)
+    # signature computation repartitions internally (spreads hash work even
+    # when the fixture is a single small parquet split)
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -966,8 +965,7 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # oracle attached below (generated)
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    return d.select("doc_id", dd.simhash(F.col("text")).alias("simhash"))
+    return dd.simhash_table(_t(spark, sf_dir, "documents"))
 
 
 def _sql_simhash(bits: int = 16) -> str:
@@ -1016,8 +1014,7 @@ ORACLES["doc_simhash"] = _sql_simhash()
     """,
 )
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    return dd.ngram_jaccard_pairs(d, threshold=0.2)
+    return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
 @register(

