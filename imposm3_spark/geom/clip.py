@@ -7,10 +7,10 @@ limit.go).
   midpoint lies inside; contiguous kept pieces are re-merged
   (ST_Intersection + ST_LineMerge analog, limit.go:275-317 + G8)
 - polygons: contains fast path (fully inside -> unchanged, limit.go:280),
-  intersecting polygons are kept WHOLE — a documented divergence: polygon
-  boolean intersection is not implemented in the pure-python kernel (the
-  reference cuts via GEOS Intersection). Dropping fully-outside polygons
-  and passing through contained ones covers the pruning semantics.
+  boundary-crossing polygons are CUT with the pure-python boolean
+  intersection kernel (`geom/poly_clip.py` — the GEOS ``Intersection``
+  analog, limit.go:303). Clip features are treated as disjoint (the usual
+  limit-to shape); overlapping features would double-count the overlap.
 
 The reference's grid-splitting of the clip polygon (limit.go:25-109) is an
 optimization for its per-row sequential clipping; Spark parallelizes rows,
@@ -18,7 +18,7 @@ so it is unnecessary (SURVEY §4)."""
 
 from __future__ import annotations
 
-from imposm3_spark.geom import py_geom
+from imposm3_spark.geom import poly_clip, py_geom
 from imposm3_spark.sources.geojson import Feature
 
 Coord = tuple[float, float]
@@ -102,35 +102,55 @@ class Limiter:
         flush()
         return out
 
-    # ---- polygon clip (J6, pass-through variant) ----
+    # ---- polygon clip (J6) ----
+
+    def _contained_in_feature_poly(self, rings: list[list[Coord]], fpoly) -> bool:
+        """Prepared-contains fast path (limit.go:280): every subject vertex
+        inside-or-on the feature shell, no boundary crossings, and the
+        feature polygon has no holes (a hole could punch the subject
+        without any vertex leaving)."""
+        if len(fpoly) > 1:
+            return False
+        shell = fpoly[0]
+        for ring in rings:
+            for pt in ring:
+                if py_geom.point_in_ring(pt, shell) < 0:
+                    return False
+        for ring in rings:
+            for i in range(len(ring) - 1):
+                for j in range(len(shell) - 1):
+                    pt = py_geom._seg_intersection(
+                        ring[i], ring[i + 1], shell[j], shell[j + 1]
+                    )
+                    if pt is not None and pt != ring[i] and pt != ring[i + 1]:
+                        return False
+        return True
 
     def clip_polygon(self, rings: list[list[Coord]]) -> list[list[list[Coord]]]:
-        """[] when disjoint from the limit region; [rings] when any part
-        intersects (contained polygons pass the fast path unchanged;
-        boundary-crossing polygons are NOT cut — see module docstring)."""
+        """Exact polygon clip: [] when disjoint; [rings] unchanged when
+        fully contained (fast path); otherwise the boolean intersection
+        pieces (possibly several polygons-with-holes)."""
         shell = rings[0]
         sminx, sminy, smaxx, smaxy = py_geom.bbox(shell)
         minx, miny, maxx, maxy = self.bbox
         if smaxx < minx or sminx > maxx or smaxy < miny or sminy > maxy:
             return []
-        # any shell vertex inside -> intersects
-        if any(self.intersects_point(x, y) for x, y in shell):
-            return [rings]
-        # limit region inside the polygon? sample a feature vertex
-        probe = self.features[0].polygons[0][0][0]
-        if py_geom.point_in_ring(probe, shell) >= 0:
-            return [rings]
-        # boundary crossing without any vertex inside
+        out: list[list[list[Coord]]] = []
         for f in self.features:
-            for poly in f.polygons:
-                for ring in poly:
-                    for j in range(len(ring) - 1):
-                        for i in range(len(shell) - 1):
-                            if py_geom._seg_intersection(
-                                shell[i], shell[i + 1], ring[j], ring[j + 1]
-                            ):
-                                return [rings]
-        return []
+            for fpoly in f.polygons:
+                if self._contained_in_feature_poly(rings, fpoly):
+                    return [rings]
+                out.extend(poly_clip.polygon_intersection(rings, fpoly))
+        return out
+
+    def clip_polygons(
+        self, polygons: list[list[list[Coord]]]
+    ) -> list[list[list[Coord]]]:
+        """Clip each polygon of a multipolygon; concatenates the pieces."""
+        out: list[list[list[Coord]]] = []
+        for poly in polygons:
+            out.extend(self.clip_polygon(poly))
+        return out
 
 
 # ---- geojson_intersects / geojson_intersects_feature (J5, §2.6) ----

@@ -44,13 +44,16 @@ MULTIPOLYGON_SCHEMA = (
 )
 
 
-def _assemble_multipolygons(max_ring_gap: float, srid: int):
+def _assemble_multipolygons(max_ring_gap: float, srid: int, limiter=None):
     """applyInPandas kernel: member ways of one relation -> multipolygon.
 
     Ports geom/multipolygon.go buildRings + buildRelGeometry (ring merge,
     gap closing, shell/hole classification by containment parity). Runs
     per-relation inside Arrow batches — the only Python hot spot of the
     pipeline, bounded by relation count (~10^7 on a planet), not node count.
+
+    With a limiter, the assembled polygons are cut against the limit-to
+    region (writer/relations.go:108-116 limiter.Clip).
     """
 
     def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -80,6 +83,12 @@ def _assemble_multipolygons(max_ring_gap: float, srid: int):
             return pd.DataFrame(columns=[
                 "rel_id", "wkb", "area", "minx", "miny", "maxx", "maxy", "outer_way_ids",
             ])
+        if limiter is not None:
+            polygons = limiter.clip_polygons(polygons)
+            if not polygons:
+                return pd.DataFrame(columns=[
+                    "rel_id", "wkb", "area", "minx", "miny", "maxx", "maxy", "outer_way_ids",
+                ])
         if len(polygons) == 1:
             wkb = wkblib.polygon_wkb(polygons[0], srid)
         else:
@@ -199,27 +208,47 @@ class ImportPipeline:
 
         return clip
 
-    def _keep_polygon_udf(self):
-        """J6 polygon keep/drop (contains fast path; boundary-crossing
-        polygons pass through whole — see geom/clip.py)."""
+    def _polygon_clip_udf(self):
+        """J6 polygon cut: build + MakeValid + boolean intersection with
+        the limit-to region, emitting WKB/area/bbox of the clipped result
+        (contained polygons pass through unchanged — limit.go:280; crossing
+        polygons are cut like GEOS Intersection — limit.go:303)."""
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
-        from pyspark.sql.types import BooleanType
 
         limiter = self.limiter
+        srid = self.srid
 
-        @pandas_udf(BooleanType())
-        def keep(coords: pd.Series) -> pd.Series:
-            out = []
+        @pandas_udf(
+            "struct<wkb:binary,area:double,minx:double,miny:double,"
+            "maxx:double,maxy:double>"
+        )
+        def clip(coords: pd.Series) -> pd.DataFrame:
+            rows = []
+            empty = (None, None, None, None, None, None)
             for arr in coords:
                 if arr is None or len(arr) < 4:
-                    out.append(False)
+                    rows.append(empty)
                     continue
                 ring = [(c["x"], c["y"]) for c in arr]
-                out.append(bool(limiter.clip_polygon([ring])))
-            return pd.Series(out)
+                polygons, _area = py_geom.repair_polygon(ring)
+                polygons = limiter.clip_polygons(polygons)
+                if not polygons:
+                    rows.append(empty)
+                    continue
+                if len(polygons) == 1:
+                    wkb = wkblib.polygon_wkb(polygons[0], srid)
+                else:
+                    wkb = wkblib.multipolygon_wkb(polygons, srid)
+                area = py_geom.multipolygon_area(polygons)
+                pts = [pt for poly in polygons for r in poly for pt in r]
+                minx, miny, maxx, maxy = py_geom.bbox(pts)
+                rows.append((wkb, area, minx, miny, maxx, maxy))
+            return pd.DataFrame(
+                rows, columns=["wkb", "area", "minx", "miny", "maxx", "maxy"]
+            )
 
-        return keep
+        return clip
 
     def _with_matches(self, df: DataFrame, units: list[MatchUnit]) -> DataFrame:
         """Evaluate every unit's match expression in one pass (no shuffle)."""
@@ -319,17 +348,28 @@ class ImportPipeline:
                     self.mapping, unit.table, F.col("tags"), m["key"], F.col("_closed"), relation=False
                 )
             )
-            if self.limiter is not None:
-                if is_line:
+            geom_bbox = gb.bbox(F.col("_coords"))
+            if is_line:
+                if self.limiter is not None:
                     # each clipped part becomes its own row
                     matched = matched.withColumn(
                         "_coords", F.explode(self._clip_line_udf()(F.col("_coords")))
                     )
-                else:
-                    matched = matched.filter(self._keep_polygon_udf()(F.col("_coords")))
-            if is_line:
                 geom_wkb = gb.linestring_wkb_udf(F.col("_coords"), F.lit(self.srid))
                 geom_area = F.lit(0.0)
+            elif self.limiter is not None:
+                # build + MakeValid + boolean cut in one pandas UDF
+                matched = matched.withColumn(
+                    "_pg", self._polygon_clip_udf()(F.col("_coords"))
+                ).filter(F.col("_pg.wkb").isNotNull())
+                geom_wkb = F.col("_pg.wkb")
+                geom_area = F.col("_pg.area")
+                geom_bbox = F.struct(
+                    F.col("_pg.minx").alias("minx"),
+                    F.col("_pg.miny").alias("miny"),
+                    F.col("_pg.maxx").alias("maxx"),
+                    F.col("_pg.maxy").alias("maxy"),
+                )
             else:
                 # build + MakeValid + area in one pandas UDF (identical UDF
                 # calls are deduplicated by ExtractPythonUDFs)
@@ -343,7 +383,7 @@ class ImportPipeline:
                 match_value=m["value"],
                 geom_wkb=geom_wkb,
                 geom_area=geom_area,
-                geom_bbox=gb.bbox(F.col("_coords")),
+                geom_bbox=geom_bbox,
             )
             out.setdefault(unit.table.name, []).append(self._project_unit(unit, matched, ctx))
         return {name: _union_all(dfs) for name, dfs in out.items()}
@@ -415,7 +455,8 @@ class ImportPipeline:
             mw_resolved.join(complete_ids, on="rel_id", how="leftsemi")
             .groupBy("rel_id")
             .applyInPandas(
-                _assemble_multipolygons(self.max_ring_gap, self.srid), MULTIPOLYGON_SCHEMA
+                _assemble_multipolygons(self.max_ring_gap, self.srid, self.limiter),
+                MULTIPOLYGON_SCHEMA,
             )
         )
 

@@ -1,10 +1,9 @@
 """Limit-to clipping + GeoJSON source tests.
 
-Point/line vectors ported from geom/limit/limit_test.go:264-304 (TestClipper
-with geom/limit/clipping.geojson, mercator). Polygon-cut output is a
-documented divergence (kept whole), so only the keep/drop decision is
-asserted for polygons."""
+Point/line/polygon vectors ported from geom/limit/limit_test.go:264-304
+(TestClipper with geom/limit/clipping.geojson, mercator)."""
 
+from imposm3_spark.geom import poly_clip, py_geom
 from imposm3_spark.geom.clip import Limiter, intersects_feature_property
 from imposm3_spark.sources.geojson import load_geojson
 
@@ -39,8 +38,9 @@ def test_line_clipped_into_two_parts():
             assert lim.intersects_point(*mid)
 
 
-def test_polygon_keep_drop():
-    # limit_test.go:293-303: intersecting polygon is kept (we keep it whole)
+def test_polygon_cut():
+    # limit_test.go:293-303: a boundary-crossing polygon is CUT — one
+    # result polygon with strictly smaller area
     lim = make_limiter()
     ring = [
         (1106543, 7082055),
@@ -48,9 +48,48 @@ def test_polygon_keep_drop():
         (1112184.9, 7084424.5),
         (1106543, 7082055),
     ]
-    assert lim.clip_polygon([ring]) == [[ring]]
+    out = lim.clip_polygon([ring])
+    assert len(out) == 1
+    area = py_geom.multipolygon_area(out)
+    assert 0 < area < py_geom.ring_area(ring)
     far = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
     assert lim.clip_polygon([far]) == []
+
+
+def _sq(x0, y0, x1, y1):
+    return [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+
+
+def test_polygon_intersection_kernel():
+    pi, area = poly_clip.polygon_intersection, py_geom.multipolygon_area
+    # overlapping squares
+    r = pi([_sq(0, 0, 10, 10)], [_sq(5, 5, 15, 15)])
+    assert len(r) == 1 and abs(area(r) - 25) < 1e-9
+    # containment both ways (fast-path-free kernel)
+    assert abs(area(pi([_sq(2, 2, 4, 4)], [_sq(0, 0, 10, 10)])) - 4) < 1e-9
+    assert abs(area(pi([_sq(0, 0, 10, 10)], [_sq(2, 2, 4, 4)])) - 4) < 1e-9
+    # identical + disjoint
+    assert abs(area(pi([_sq(0, 0, 10, 10)], [_sq(0, 0, 10, 10)])) - 100) < 1e-9
+    assert pi([_sq(0, 0, 1, 1)], [_sq(5, 5, 6, 6)]) == []
+    # subject donut clipped by right half -> half donut
+    donut = [_sq(0, 0, 10, 10), _sq(3, 3, 7, 7)]
+    assert abs(area(pi(donut, [_sq(5, 0, 10, 10)])) - 42) < 1e-9
+    # concave U clipped by a top bar -> two parts
+    u = [(0, 0), (10, 0), (10, 10), (7, 10), (7, 3), (3, 3), (3, 10), (0, 10), (0, 0)]
+    r = pi([u], [_sq(0, 8, 10, 12)])
+    assert len(r) == 2 and abs(area(r) - 12) < 1e-9
+    # clip hole punches the subject -> donut result
+    r = pi([_sq(0, 0, 10, 10)], [_sq(-1, -1, 11, 11), _sq(4, 4, 6, 6)])
+    assert abs(area(r) - 96) < 1e-9 and len(r[0]) == 2
+    # edge-touch only -> empty
+    assert area(pi([_sq(0, 0, 5, 5)], [_sq(5, 0, 10, 5)])) < 1e-9
+
+
+def test_contained_polygon_passes_unchanged():
+    lim = make_limiter()
+    # a tiny square around an interior point passes through identically
+    inner = _sq(1106500, 7082000, 1106600, 7082100)
+    assert lim.clip_polygon([inner]) == [[inner]]
 
 
 def test_geojson_properties_and_intersects_feature():

@@ -95,6 +95,77 @@ def test_limit_and_intersects(spark, clip_file):
     assert max(x for x, _y in coords) <= bx + 1e-6
 
 
+POLY_MAPPING = """
+{"tables": {
+  "landuse": {"type": "polygon",
+               "mapping": {"landuse": ["park"]},
+               "columns": [{"name": "osm_id", "type": "id"},
+                            {"name": "geometry", "type": "geometry"},
+                            {"name": "area", "type": "area"}]}
+}}
+"""
+
+
+def test_polygon_cut_through_pipeline(spark, clip_file):
+    """A closed way crossing the limit boundary is cut (J6): output area
+    equals the part inside the box, not the full polygon."""
+    mapping = load_mapping_str(POLY_MAPPING, fmt="json")
+    limiter = Limiter(load_geojson(clip_file, transform=3857))
+
+    # square from (0.5,0.2) to (1.5,0.8): right half sticks out of the box
+    nodes = spark.createDataFrame(
+        [
+            (20, 0.5, 0.2, {}),
+            (21, 1.5, 0.2, {}),
+            (22, 1.5, 0.8, {}),
+            (23, 0.5, 0.8, {}),
+            # fully-inside square (0.1,0.1)-(0.2,0.2)
+            (30, 0.1, 0.1, {}),
+            (31, 0.2, 0.1, {}),
+            (32, 0.2, 0.2, {}),
+            (33, 0.1, 0.2, {}),
+            # fully-outside square
+            (40, 5.0, 5.0, {}),
+            (41, 6.0, 5.0, {}),
+            (42, 6.0, 6.0, {}),
+            (43, 5.0, 6.0, {}),
+        ],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [
+            (200, [20, 21, 22, 23, 20], {"landuse": "park"}),
+            (300, [30, 31, 32, 33, 30], {"landuse": "park"}),
+            (400, [40, 41, 42, 43, 40], {"landuse": "park"}),
+        ],
+        WAY_SCHEMA,
+    )
+    rels = spark.createDataFrame(
+        [], "id bigint, members array<struct<id:bigint,type:tinyint,role:string>>, tags map<string,string>"
+    )
+    pipe = ImportPipeline(mapping, srid=3857, limiter=limiter)
+    out = pipe.run(nodes, ways, rels)
+    rows = {r["osm_id"]: r for r in out["landuse"].collect()}
+    assert set(rows) == {200, 300}  # outside polygon dropped
+
+    from imposm3_spark.geom.proj import py_wgs_to_merc
+
+    x0, _ = py_wgs_to_merc(0.5, 0.0)
+    x1, _ = py_wgs_to_merc(1.0, 0.0)
+    y0 = py_wgs_to_merc(0.0, 0.2)[1]
+    y1 = py_wgs_to_merc(0.0, 0.8)[1]
+    want = (x1 - x0) * (y1 - y0)  # cut at the box edge x=merc(1.0)
+    assert abs(rows[200]["area"] - want) / want < 1e-6
+
+    # contained polygon keeps its full area
+    fx0, _ = py_wgs_to_merc(0.1, 0.0)
+    fx1, _ = py_wgs_to_merc(0.2, 0.0)
+    fy0 = py_wgs_to_merc(0.0, 0.1)[1]
+    fy1 = py_wgs_to_merc(0.0, 0.2)[1]
+    full = (fx1 - fx0) * (fy1 - fy0)
+    assert abs(rows[300]["area"] - full) / full < 1e-6
+
+
 def test_without_limiter_keeps_everything(spark, clip_file):
     mapping = load_mapping_str(MAPPING % (clip_file, clip_file), fmt="json")
     nodes = spark.createDataFrame(
