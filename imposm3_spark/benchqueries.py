@@ -916,8 +916,11 @@ _SQL_SHINGLES = r"""list_transform(
 
 
 def _sql_minhash_bands(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    # one md5 per shingle, sliced into num_hashes fixed-width sub-hashes
+    # (matches datapipe.dedup.minhash_signature)
+    width = 32 // num_hashes
     sig = ",\n             ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}|' || s))) AS sig{i}"
+        f"list_min(list_transform(mh, m -> substr(m, {1 + i * width}, {width}))) AS sig{i}"
         for i in range(num_hashes)
     )
     bands = []
@@ -932,7 +935,7 @@ def _sql_minhash_bands(num_hashes: int = 8, rows_per_band: int = 2) -> str:
                   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
       FROM documents
     ), sh AS (
-      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks
+      SELECT doc_id, list_transform({_SQL_SHINGLES}, s -> md5(s)) AS mh FROM toks
     ), sigs AS (
       SELECT doc_id,
              {sig}

@@ -34,25 +34,38 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingles."""
+    """Word k-gram shingles.
+
+    Built with zip_with over k shifted slices of the token array — the
+    lambdas reference ONLY their lambda variables. The naive
+    transform(sequence(1,n), i -> concat_ws(' ', slice(toks, i, k)))
+    re-evaluates the outer `toks` subtree (a regexp split) once PER
+    ELEMENT — Spark's higher-order functions bind lambda variables but
+    re-evaluate captured expressions, an O(n^2) trap on the hot path."""
     toks = tokens(F.lower(text))
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    m = F.greatest(n - (k - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(1, k):
+        nxt = F.slice(toks, 1 + j, m)
+        out = F.zip_with(out, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
 
 
 def minhash_signature(sh: Column, num_hashes: int = 8) -> list[Column]:
-    """num_hashes MinHash values: sig_i = min over shingles of md5(i|s).
+    """num_hashes MinHash values: sig_i = min over shingles of the i-th
+    fixed-width slice of md5(s) — ONE md5 per shingle, split into
+    num_hashes sub-hashes (the standard one-strong-hash trick; the slices
+    are independent under the random-oracle assumption).
 
     Hex-string min — lexicographic order on fixed-width hex equals numeric
     order, and any engine with md5() reproduces it."""
-    def hasher(i: int):
-        # NOTE: a two-parameter lambda would be bound as (element, index)
-        # by transform — build the per-i closure explicitly
-        prefix = f"{i}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    return [F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+    width = 32 // num_hashes
+    mh = F.transform(sh, lambda s: F.md5(s))
+    return [
+        F.array_min(F.transform(mh, lambda m: m.substr(1 + i * width, width)))
+        for i in range(num_hashes)
+    ]
 
 
 def minhash_signatures_relational(
@@ -68,26 +81,26 @@ def minhash_signatures_relational(
     (not whole-stage-codegen'd) and every column referencing the shingle
     subtree re-evaluates it — naive per-column array_min signatures
     re-tokenize and re-shingle the text num_hashes times (~50x slower).
-    Instead, project the shingle array ONCE and repartition by doc id: the
-    exchange materializes the projection (CollapseProject cannot cross an
-    Exchange), so the num_hashes array_min(transform(md5)) columns read the
-    already-built array. Zero extra shuffles beyond the repartition (which
-    also spreads the hash work and is the partitioning downstream LSH
-    wants); an explode + groupBy(doc) variant paid a second shuffle and ran
-    ~4x slower end-to-end. Docs with no shingles get NULL signatures (the
-    LSH banding filters them)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"), shingles(F.col(text_col), shingle_k).alias("sh")
-    ).repartition(F.col("doc"))
-
-    def hasher(i: int):
-        prefix = f"{i}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    return sh.select(
+    Instead, project the per-shingle md5 array ONCE and repartition by doc
+    id: the exchange materializes the projection (CollapseProject cannot
+    cross an Exchange), so the num_hashes array_min(substr) columns read
+    the already-hashed array. ONE md5 per shingle (sub-hash slices, see
+    minhash_signature) instead of num_hashes md5s. Zero extra shuffles
+    beyond the repartition (which also spreads the hash work and is the
+    partitioning downstream LSH wants); an explode + groupBy(doc) variant
+    paid a second shuffle and ran ~4x slower end-to-end. Docs with no
+    shingles get NULL signatures (the LSH banding filters them)."""
+    width = 32 // num_hashes
+    mh = F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.md5(s))
+    hashed = df.select(F.col(id_col).alias("doc"), mh.alias("mh")).repartition(
+        F.col("doc")
+    )
+    return hashed.select(
         "doc",
         *[
-            F.array_min(F.transform(F.col("sh"), hasher(i))).alias(f"s{i}")
+            F.array_min(
+                F.transform(F.col("mh"), lambda m: m.substr(1 + i * width, width))
+            ).alias(f"s{i}")
             for i in range(num_hashes)
         ],
     )

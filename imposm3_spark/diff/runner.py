@@ -74,6 +74,7 @@ class ReplicationRunner:
     diff_dir: str
     state_file: str
     expire_dir: str | None = None
+    gens: dict[str, DataFrame] | None = None  # generalized tables (T6)
 
     def current_sequence(self) -> int:
         p = Path(self.state_file)
@@ -88,7 +89,9 @@ class ReplicationRunner:
         if path is None:
             return False
         changes = read_osc_xml(self.spark, path)
-        new_state, new_tables = apply_batch(self.pipe, self.state, self.tables, changes)
+        new_state, new_tables, affected = apply_batch(
+            self.pipe, self.state, self.tables, changes, with_affected=True
+        )
         if self.expire_dir is not None:
             from imposm3_spark.diff.update import compute_frontier, expired_tiles_for_batch
             from imposm3_spark.expire.tiles import TileExpireList
@@ -107,6 +110,14 @@ class ReplicationRunner:
             new_state.relations.localCheckpoint(),
         )
         new_tables = {n: df.localCheckpoint() for n, df in new_tables.items()}
+        if self.gens is not None:
+            # per-id gen refresh (T6) off the MATERIALIZED base tables
+            from imposm3_spark.pipeline.generalize import refresh_generalized_tables
+
+            new_gens = refresh_generalized_tables(
+                self.pipe.mapping, self.gens, new_tables, affected
+            )
+            self.gens = {n: df.localCheckpoint() for n, df in new_gens.items()}
         self.state = new_state
         self.tables = new_tables
         write_state_txt(self.state_file, seq)

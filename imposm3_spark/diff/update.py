@@ -211,14 +211,21 @@ def apply_batch(
     state: OsmState,
     tables: dict[str, DataFrame],
     changes: DataFrame,
-) -> tuple[OsmState, dict[str, DataFrame]]:
+    with_affected: bool = False,
+):
     """One diff batch end-to-end: state upsert, frontier, delete+rebuild.
 
-    Returns (new_state, new_tables). The delete+insert pair per table is
-    exactly the reference's sync-tx mode (database/postgis/tx.go:116-199);
-    against a real PostGIS sink this maps to DELETE WHERE osm_id IN (...)
-    followed by batched INSERTs inside one transaction (see
-    sinks/postgis.py)."""
+    Returns (new_state, new_tables); with_affected=True additionally
+    returns the per-table-type affected osm_id sets, which feed the
+    per-id generalized-table refresh (generalize.refresh_generalized_
+    tables) — call that AFTER materializing new_tables (checkpoint /
+    sink write), otherwise the gen lineage re-executes the whole rebuild
+    per gen table.
+
+    The delete+insert pair per table is exactly the reference's sync-tx
+    mode (database/postgis/tx.go:116-199); against a real PostGIS sink
+    this maps to DELETE WHERE osm_id IN (...) followed by batched INSERTs
+    inside one transaction (see sinks/postgis.py)."""
     new_state = apply_changes_to_state(state, changes)
     frontier = compute_frontier(state, new_state, changes)
     rebuilt = rebuild_tables(pipe, new_state, frontier)
@@ -235,4 +242,6 @@ def apply_batch(
     for name, df in rebuilt.items():
         if name not in new_tables:
             new_tables[name] = df
+    if with_affected:
+        return new_state, new_tables, delete_ids
     return new_state, new_tables

@@ -137,6 +137,30 @@ def _geometry_cols(table: Table) -> dict[str, bool]:
     return out
 
 
+def _root_base_table(mapping: Mapping, name: str) -> Table:
+    """Base (non-generalized) table a gen chain roots in — column types
+    come from there (postgis.go:249-302)."""
+    base = mapping.generalized_tables[name].source
+    while base in mapping.generalized_tables:
+        base = mapping.generalized_tables[base].source
+    return mapping.tables[base]
+
+
+def _generalize_df(df: DataFrame, gt, base_table: Table) -> DataFrame:
+    """The gen-table SELECT body: sql_filter + per-geometry simplify."""
+    if gt.sql_filter:
+        df = (
+            df.withColumn("__geom_area", wkb_area_udf(F.col("geometry")))
+            .filter(F.expr(_rewrite_sql_filter(gt.sql_filter)))
+            .drop("__geom_area")
+        )
+    for col_name, validated in _geometry_cols(base_table).items():
+        df = df.withColumn(
+            col_name, make_simplify_udf(gt.tolerance, validated)(F.col(col_name))
+        )
+    return df
+
+
 def build_generalized_tables(
     mapping: Mapping, tables: dict[str, DataFrame]
 ) -> dict[str, DataFrame]:
@@ -147,19 +171,52 @@ def build_generalized_tables(
         src_df = out.get(gt.source) or tables.get(gt.source)
         if src_df is None:
             continue
-        # column types come from the BASE table the chain roots in
-        base = gt.source
-        while base in mapping.generalized_tables:
-            base = mapping.generalized_tables[base].source
-        base_table = mapping.tables[base]
-        df = src_df
-        if gt.sql_filter:
-            df = df.withColumn(
-                "__geom_area", wkb_area_udf(F.col("geometry"))
-            ).filter(F.expr(_rewrite_sql_filter(gt.sql_filter))).drop("__geom_area")
-        for col_name, validated in _geometry_cols(base_table).items():
-            df = df.withColumn(
-                col_name, make_simplify_udf(gt.tolerance, validated)(F.col(col_name))
-            )
-        out[name] = df
+        out[name] = _generalize_df(src_df, gt, _root_base_table(mapping, name))
+    return out
+
+
+def _id_column(table: Table) -> str:
+    """Name of the source table's id-typed column (spec.go:201-213 —
+    the reference panics when missing; we raise)."""
+    for col in table.columns:
+        if col.type == "id":
+            return col.name
+    raise ValueError(f"table {table.name} has no id column for gen refresh")
+
+
+def refresh_generalized_tables(
+    mapping: Mapping,
+    gens: dict[str, DataFrame],
+    tables: dict[str, DataFrame],
+    affected_ids: dict[str, DataFrame],
+) -> dict[str, DataFrame]:
+    """Per-id incremental gen refresh (SURVEY §2.3 J7, §2.8 T6; reference
+    postgis.go:463-523 updatedIDs + spec.go DeleteSQL/InsertSQL): for each
+    gen table, DELETE the affected osm_ids, then re-INSERT the
+    generalization of just those rows from the (already updated) source.
+
+    gens: previous gen tables; tables: NEW base tables (post apply_batch);
+    affected_ids: table-type -> DataFrame(osm_id) as produced by
+    diff.update.affected_osm_ids. Gen-of-gen sources read the refreshed
+    parent (topological order), exactly like the reference's dependency-
+    ordered worker pool."""
+    out: dict[str, DataFrame] = {}
+    for name in generalization_order(mapping):
+        gt = mapping.generalized_tables[name]
+        base_table = _root_base_table(mapping, name)
+        src_df = out.get(gt.source) or tables.get(gt.source)
+        old = gens.get(name)
+        if src_df is None:
+            if old is not None:
+                out[name] = old
+            continue
+        ids = affected_ids.get(base_table.type)
+        if old is None or ids is None:
+            out[name] = _generalize_df(src_df, gt, base_table)
+            continue
+        id_col = _id_column(base_table)
+        ids_renamed = ids.withColumnRenamed("osm_id", id_col).distinct()
+        kept = old.join(ids_renamed, id_col, "left_anti")
+        subset = src_df.join(ids_renamed, id_col, "leftsemi")
+        out[name] = kept.unionByName(_generalize_df(subset, gt, base_table))
     return out

@@ -27,19 +27,28 @@ def updated(spark):
     tables = pipe.run(nodes, ways, relations)
     tables = {n: df.localCheckpoint() for n, df in tables.items()}
 
+    # initial generalized tables (A6), then refreshed PER AFFECTED ID
+    # through the batch (T6/J7) — the gen assertions below therefore
+    # validate the incremental path, not a wholesale rebuild
+    from imposm3_spark.pipeline.generalize import build_generalized_tables
+
+    gen_needed = {"roads_gen0", "roads_gen1", "waterareas_gen0", "waterareas_gen1",
+                  "landusages_gen0", "landusages_gen1"}
+    gens0 = build_generalized_tables(mapping, tables)
+    gens0 = {n: df.localCheckpoint() for n, df in gens0.items() if n in gen_needed}
+
     state = OsmState(nodes, ways, relations)
     changes = read_osc_xml(spark, CHANGES)
-    new_state, new_tables = apply_batch(pipe, state, tables, changes)
+    new_state, new_tables, affected = apply_batch(
+        pipe, state, tables, changes, with_affected=True
+    )
     needed = {"roads", "landusages", "waterareas", "places", "buildings", "barrierpoints"}
     out = {n: df.localCheckpoint() for n, df in new_tables.items() if n in needed}
 
-    # generalized-table refresh (T6) from the updated base tables
-    from imposm3_spark.pipeline.generalize import build_generalized_tables
+    from imposm3_spark.pipeline.generalize import refresh_generalized_tables
 
-    gens = build_generalized_tables(mapping, out)
-    gen_needed = {"roads_gen0", "roads_gen1", "waterareas_gen0", "waterareas_gen1",
-                  "landusages_gen0", "landusages_gen1"}
-    out.update({n: df.localCheckpoint() for n, df in gens.items() if n in gen_needed})
+    new_gens = refresh_generalized_tables(mapping, gens0, out, affected)
+    out.update({n: df.localCheckpoint() for n, df in new_gens.items() if n in gen_needed})
     return out
 
 
