@@ -14,8 +14,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
 from imposm3_spark import benchqueries as bq
 from imposm3_spark.session import get_spark
+
+
+def _warm_udf():
+    # created lazily — pandas_udf needs an active SparkContext
+    @pandas_udf("long")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v
+
+    return _warm
 
 
 def main() -> None:
@@ -23,8 +36,11 @@ def main() -> None:
     spark = get_spark("imposm3-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers with one cheap action
+    # warm the JVM + parquet footers with one cheap action, and the Python
+    # UDF workers + Arrow serialization path (first pandas_udf call pays
+    # worker fork + Arrow init, ~1-2s that is engine startup, not query time)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(1000).select(F.sum(_warm_udf()(F.col("id")))).collect()
 
     timings: dict[str, float] = {}
     for name, fn in bq.QUERIES.items():

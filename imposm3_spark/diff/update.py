@@ -150,6 +150,45 @@ def rebuild_tables(
     return {name: _union_all(dfs) for name, dfs in tables.items()}
 
 
+def _resolve_latlon(ways: DataFrame, nodes: DataFrame, keep_cols: list[str]) -> DataFrame:
+    """Attach lon/lat coord arrays to ways, position-ordered. Unresolvable
+    refs become (0,0) placeholder nodes — the tile expiry skips them,
+    exactly like the reference's partially-filled ways (tilelist.go
+    skip-empty-node checks)."""
+    ex = ways.select("id", "refs").dropDuplicates(["id"]).select(
+        "id", F.posexplode("refs").alias("pos", "ref")
+    )
+    j = ex.join(nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref", "left")
+    agg = j.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "pos",
+                    F.struct(
+                        F.coalesce("lon", F.lit(0.0)).alias("lon"),
+                        F.coalesce("lat", F.lit(0.0)).alias("lat"),
+                    ).alias("c"),
+                )
+            )
+        ).alias("_pts")
+    )
+    resolved = agg.select("id", F.transform("_pts", lambda p: p["c"]).alias("coords"))
+    return ways.select("id", *[c for c in keep_cols if c != "id"]).join(
+        resolved, "id", "inner"
+    )
+
+
+def _any_match(pipe: ImportPipeline, units, tags, closed, relation: bool):
+    from imposm3_spark.mapping.matcher import table_filter_expr
+
+    cond = F.lit(False)
+    for u in units:
+        m = u.match_expr(tags)
+        f = table_filter_expr(pipe.mapping, u.table, tags, m["key"], closed, relation=relation)
+        cond = cond | (m.isNotNull() & f)
+    return cond
+
+
 def expired_tiles_for_batch(
     pipe: ImportPipeline,
     state: OsmState,
@@ -158,48 +197,107 @@ def expired_tiles_for_batch(
     max_zoom: int = 14,
 ) -> DataFrame:
     """T7: z/x/y tiles touched by the batch — both the OLD geometries (the
-    deleter expires already-gone shapes, update/deleter.go:24-33) and the
-    NEW ones (writers expire inserted shapes). Ways expire as lines/boxes
-    via their node runs, changed nodes as padded points.
+    deleter expires rows it removes, update/deleter.go:136-238) and the
+    NEW ones (writers expire inserted rows). Expiry is MATCH-AWARE: only
+    elements whose tags match the mapping on that side expire — a node
+    modified to an unmapped tag expires its old location but not its new
+    one (test/expire_tiles_test.go:100-104).
+
+    - matched nodes expire as padded points
+    - matched ways as line walks; closed geometry (polygon match) as bbox
+      fills with the <64/<500 zoom cascade
+    - matched relations expire every way member's node run; the deleter
+      side uses closed=polygon-matched (deleter.go:153), the writer side
+      closed=true (writer/relations.go:127-131)
 
     Returns DISTINCT (z, x, y); feed to TileExpireList/flush for the file
     sink (S14)."""
     from imposm3_spark.expire.tiles import expired_tiles
-    from imposm3_spark.pipeline.resolve import resolve_way_coords
+    from imposm3_spark.mapping.matcher import tag_prefilter_expr
 
     parts = []
-    for st in (state, new_state):
-        coords = st.nodes.select("id", "lon", "lat")
-        ways = st.ways.join(frontier.way_ids, "id", "leftsemi")
-        resolved = resolve_way_coords(
-            ways.select(
-                "id",
-                "refs",
-                (
-                    (F.size("refs") >= 4)
-                    & (F.try_element_at("refs", F.lit(1)) == F.try_element_at("refs", F.lit(-1)))
-                ).alias("closed"),
-            ),
-            coords.select("id", F.col("lon").alias("x"), F.col("lat").alias("y")),
-            keep_cols=["closed"],
+    for st, is_new in ((state, False), (new_state, True)):
+        all_nodes = st.nodes.select("id", "lon", "lat")
+
+        # nodes (deleter.go:206-238; writer/nodes.go:91-92)
+        nd = (
+            st.nodes.join(frontier.node_ids, "id", "leftsemi")
+            .filter(F.size("tags") > 0)
+            .withColumn("tags", tag_prefilter_expr(pipe.mapping, "node", F.col("tags")))
+        )
+        nd = nd.filter(
+            _any_match(pipe, pipe.point_units, F.col("tags"), F.lit(False), relation=False)
         )
         parts.append(
-            resolved.select(
-                F.transform(
-                    "coords", lambda c: F.struct(c["x"].alias("lon"), c["y"].alias("lat"))
-                ).alias("coords"),
-                F.col("closed"),
-            )
-        )
-        changed_nodes = st.nodes.join(frontier.node_ids, "id", "leftsemi")
-        parts.append(
-            changed_nodes.select(
-                F.array(
-                    F.struct(F.col("lon").alias("lon"), F.col("lat").alias("lat"))
-                ).alias("coords"),
+            nd.select(
+                F.array(F.struct(F.col("lon"), F.col("lat"))).alias("coords"),
                 F.lit(False).alias("closed"),
             )
         )
+
+        # ways (deleter.go:159-204; writer/ways.go:122-123)
+        wy = (
+            st.ways.join(frontier.way_ids, "id", "leftsemi")
+            .filter(F.size("tags") > 0)
+            .withColumn("tags", tag_prefilter_expr(pipe.mapping, "way", F.col("tags")))
+        )
+        closed = (F.size("refs") >= 4) & (
+            F.try_element_at("refs", F.lit(1)) == F.try_element_at("refs", F.lit(-1))
+        )
+        area_tag = F.coalesce(F.col("tags").getItem("area"), F.lit(""))
+        as_line = ~(closed & (area_tag == "yes"))
+        as_poly = closed & (area_tag != "no")
+        line_m = as_line & _any_match(
+            pipe, pipe.line_units, F.col("tags"), closed, relation=False
+        )
+        poly_m = as_poly & _any_match(
+            pipe, pipe.polygon_units, F.col("tags"), closed, relation=False
+        )
+        wy = wy.withColumns({"_line_m": line_m, "_poly_m": poly_m}).filter(
+            F.col("_line_m") | F.col("_poly_m")
+        )
+        parts.append(
+            _resolve_latlon(wy, all_nodes, keep_cols=["_poly_m"]).select(
+                "coords", F.col("_poly_m").alias("closed")
+            )
+        )
+
+        # relations: every way member's node run (deleter.go:136-155;
+        # writer/relations.go:127-131)
+        rl = (
+            st.relations.join(frontier.rel_ids, "id", "leftsemi")
+            .filter(F.size("tags") > 0)
+            .withColumn("tags", tag_prefilter_expr(pipe.mapping, "relation", F.col("tags")))
+        )
+        rpoly_m = _any_match(
+            pipe, pipe.polygon_units, F.col("tags"), F.lit(True), relation=True
+        )
+        rother_m = _any_match(
+            pipe,
+            pipe.relation_units + pipe.relation_member_units,
+            F.col("tags"),
+            F.lit(True),
+            relation=True,
+        )
+        rl = rl.withColumn("_poly_m", rpoly_m).filter(F.col("_poly_m") | rother_m)
+        member_ways = (
+            rl.select("_poly_m", F.explode("members").alias("m"))
+            .filter(F.col("m.type") == 1)
+            .select(F.col("m.id").alias("way_id"), "_poly_m")
+            .join(
+                st.ways.select(F.col("id").alias("way_id"), "refs"),
+                "way_id",
+                "inner",
+            )
+            .select(F.col("way_id").alias("id"), "refs", "_poly_m")
+        )
+        rel_closed = F.lit(True) if is_new else F.col("_poly_m")
+        parts.append(
+            _resolve_latlon(member_ways, all_nodes, keep_cols=["_poly_m"]).select(
+                "coords", rel_closed.alias("closed")
+            )
+        )
+
     geoms = parts[0]
     for p in parts[1:]:
         geoms = geoms.unionByName(p)

@@ -61,4 +61,7 @@ def test_expired_tiles_for_batch(spark):
     assert set(point_tiles(3.5, 1.5, 14)) <= tiles
     # the dependent way's line tiles (old and new first-node) expired
     assert set(point_tiles(3.05, 2.0, 14)) & tiles  # shared endpoint region
-    assert len(tiles) >= 6
+    # node 10 is UNMAPPED: it expires only through way 100's line walk,
+    # not as its own padded point (match-aware expiry,
+    # test/expire_tiles_test.go:100-104)
+    assert len(tiles) >= 5
