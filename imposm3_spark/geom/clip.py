@@ -24,11 +24,33 @@ from imposm3_spark.sources.geojson import Feature
 Coord = tuple[float, float]
 
 
-class Limiter:
-    """Broadcastable clip region (union of GeoJSON features)."""
+def _point_seg_dist2(p: Coord, a: Coord, b: Coord) -> float:
+    """Squared distance from point to segment."""
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    denom = dx * dx + dy * dy
+    if denom == 0.0:
+        ex, ey = p[0] - a[0], p[1] - a[1]
+        return ex * ex + ey * ey
+    t = ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / denom
+    t = max(0.0, min(1.0, t))
+    ex, ey = p[0] - (a[0] + t * dx), p[1] - (a[1] + t * dy)
+    return ex * ex + ey * ey
 
-    def __init__(self, features: list[Feature]):
+
+class Limiter:
+    """Broadcastable clip region (union of GeoJSON features).
+
+    `buffer` widens the POINT test only (reference NewFromGeoJSON's
+    buffered geometry feeds IntersectsBuffer for cache pruning,
+    limit.go:321-340): a point within `buffer` of the region passes.
+    Output geometries are still clipped against the exact region — we
+    never prune coords, so boundary-crossing ways resolve fully and the
+    cut is exact (the reference needs the buffer so near-edge geometries
+    keep their outside nodes in the cache)."""
+
+    def __init__(self, features: list[Feature], buffer: float = 0.0):
         self.features = features
+        self.buffer = buffer
         boxes = [f.bbox() for f in features]
         self.bbox = (
             min(b[0] for b in boxes),
@@ -41,9 +63,19 @@ class Limiter:
 
     def intersects_point(self, x: float, y: float) -> bool:
         minx, miny, maxx, maxy = self.bbox
-        if not (minx <= x <= maxx and miny <= y <= maxy):
+        b = self.buffer
+        if not (minx - b <= x <= maxx + b and miny - b <= y <= maxy + b):
             return False
-        return any(f.contains_point(x, y) for f in self.features)
+        if any(f.contains_point(x, y) for f in self.features):
+            return True
+        if b <= 0.0:
+            return False
+        b2 = b * b
+        for ring in self._boundary_rings():
+            for i in range(len(ring) - 1):
+                if _point_seg_dist2((x, y), ring[i], ring[i + 1]) <= b2:
+                    return True
+        return False
 
     # ---- helpers ----
 

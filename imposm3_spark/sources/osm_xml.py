@@ -125,24 +125,28 @@ def read_osm_xml(
     )
 
 
-def read_osc_xml(spark: SparkSession, path: str | Path) -> DataFrame:
-    """Parse an OsmChange (.osc / .osc.gz) file into a CDC DataFrame.
-
-    Parity: vendor/go-osm/parser/diff + update/process.go:33-46. Each row is
-    one change: op (create|modify|delete), kind, and the element payload.
-    """
-    root = _read_xml(path)
+def parse_osc_rows(root: ET.Element, pos_offset: int = 0) -> list[tuple]:
+    """OsmChange XML root -> CHANGE_SCHEMA tuples (order preserved)."""
     rows: list[tuple] = []
     for block in root:
         op = block.tag  # create | modify | delete
         if op not in ("create", "modify", "delete"):
             continue
         for e in block:
-            pos = len(rows)
+            pos = pos_offset + len(rows)
             if e.tag == "node":
                 rows.append((pos, op, "node", _parse_node(e), None, None))
             elif e.tag == "way":
                 rows.append((pos, op, "way", None, _parse_way(e), None))
             elif e.tag == "relation":
                 rows.append((pos, op, "relation", None, None, _parse_relation(e)))
-    return spark.createDataFrame(rows, CHANGE_SCHEMA)
+    return rows
+
+
+def read_osc_xml(spark: SparkSession, path: str | Path) -> DataFrame:
+    """Parse an OsmChange (.osc / .osc.gz) file into a CDC DataFrame.
+
+    Parity: vendor/go-osm/parser/diff + update/process.go:33-46. Each row is
+    one change: op (create|modify|delete), kind, and the element payload.
+    """
+    return spark.createDataFrame(parse_osc_rows(_read_xml(path)), CHANGE_SCHEMA)

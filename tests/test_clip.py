@@ -105,6 +105,18 @@ def test_geojson_properties_and_intersects_feature():
     assert res is None or isinstance(res, str)
 
 
+def test_intersects_buffer():
+    # limit_test.go:306-320 TestClipperWithBuffer: buffer 0.1 deg in WGS84
+    feats = load_geojson(CLIPPING)
+    lim = Limiter(feats, buffer=0.1)
+    assert lim.intersects_point(9.94, 53.53)
+    assert not lim.intersects_point(9.04, 53.53)
+    # a point just outside the exact region but inside the buffer ring
+    exact = Limiter(feats)
+    assert not exact.intersects_point(9.89, 53.53)
+    assert lim.intersects_point(9.89, 53.53)
+
+
 def test_wgs84_no_transform():
     feats = load_geojson(CLIPPING)
     lim = Limiter(feats)
