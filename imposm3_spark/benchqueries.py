@@ -1095,3 +1095,27 @@ def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return sim.lsh_topk(e, q, k=3)
+
+
+@register(
+    "emb_neardup",
+    """
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+)
+def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, broadcast-one-side)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_pairs(e, threshold=0.4)
+
+
+@register("emb_ivf_topk")  # no SQL oracle: IVF cells are engine-side; rows-only check
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(e, q, k=3)

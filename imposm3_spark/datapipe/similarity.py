@@ -8,6 +8,13 @@
   expressions; candidates come from a bucket equi-join, then exact rerank.
   At 100 TB the bucket join replaces the cross product; recall is tunable
   via bits/tables.
+- cosine_neardup_pairs: embedding-cosine near-duplicate detection —
+  all (a, b) pairs with cosine >= threshold. Exact variant broadcasts the
+  normalized corpus and does one BLAS matmul per Arrow batch (mapInPandas);
+  lsh_neardup_pairs is the no-broadcast scale path (multi-table bucket
+  join + exact verify).
+- ivf_topk: IVF approximate NN — deterministic k-means coarse quantizer,
+  candidates from the nprobe nearest centroid cells, exact rerank.
 """
 
 from __future__ import annotations
@@ -125,6 +132,177 @@ def lsh_topk(
     )
     scored = (
         q_b.join(emb_b, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("vec_id"), "rank", "sim")
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id, b_id, sim) with
+    a_id < b_id and round(cosine, 6) >= threshold.
+
+    Exact, broadcast-one-side design: the L2-normalized corpus matrix is
+    broadcast (n x dim doubles — fine up to a few million rows); each
+    Arrow batch of the scan side then scores against it with ONE numpy
+    matmul, so the work is BLAS-bound, embarrassingly parallel over
+    batches, and shuffle-free. When neither side fits in a broadcast
+    (true 100 TB corpora), use lsh_neardup_pairs instead.
+    """
+    spark = embeddings.sparkSession
+    corpus = embeddings.select(id_col, vec_col).toPandas()
+    ids = corpus[id_col].to_numpy(dtype=np.int64)
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in corpus[vec_col]])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(M)
+
+    out_schema = "a_id bigint, b_id bigint, sim double"
+
+    def score(batches):
+        cids = b_ids.value
+        C = b_mat.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = np.round(Q @ C.T, 6)
+            # keep a_id < b_id once: row side provides the smaller id
+            keep = (sims >= threshold) & (qids[:, None] < cids[None, :])
+            qi, ci = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"a_id": qids[qi], "b_id": cids[ci], "sim": sims[qi, ci]}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    bits: int = 8,
+    tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for cosine near-dup: candidates from `tables` independent
+    random-hyperplane bucket joins (union, dedup), then exact cosine verify.
+
+    No broadcast of the corpus — the bucket equi-joins shuffle on bucket
+    keys, so this works when both sides are 100 TB-class. Recall < 1 by
+    design (a pair is found iff it collides in at least one table); raise
+    `tables`/lower `bits` to trade cost for recall.
+    """
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cands = None
+    for t in range(tables):
+        planes = [_hyperplane(1000 * (t + 1) + i, dim) for i in range(bits)]
+        keyed = base.select("id", "vec", lsh_bucket(F.col("vec"), planes).alias("bucket"))
+        a = keyed.select(
+            F.col("id").alias("a_id"), F.col("vec").alias("avec"), "bucket"
+        )
+        b = keyed.select(
+            F.col("id").alias("b_id"), F.col("vec").alias("bvec"), "bucket"
+        )
+        pairs = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id")).drop("bucket")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    deduped = cands.dropDuplicates(["a_id", "b_id"])
+    return (
+        deduped.withColumn("sim", F.round(cosine(F.col("avec"), F.col("bvec")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", "sim")
+    )
+
+
+def _kmeans_centroids(
+    M: np.ndarray, k: int, iters: int = 5, seed: int = 7
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on L2-normalized rows (LCG-seeded init,
+    driver-side — the quantizer is tiny; training it distributed would be
+    groupBy(assign).avg() with the same math)."""
+    n = len(M)
+    state = seed
+    idx = []
+    while len(idx) < k:
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+        i = state % n
+        if i not in idx:
+            idx.append(i)
+    C = M[np.asarray(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(M @ C.T, axis=1)
+        for j in range(k):
+            members = M[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-300)
+    return C
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    ncentroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: a coarse k-means quantizer partitions the
+    corpus into cells; each query exactly reranks only the `nprobe`
+    nearest cells. Returns (query_id, vec_id, rank, sim).
+
+    Spark shape: cell assignment is a vectorized pandas UDF (one matmul
+    per Arrow batch against the broadcast centroid matrix); the
+    candidate-generation is a cell-id equi-join (shuffle on ~ncentroids
+    keys — at scale use sqrt(n) centroids so cells stay executor-sized);
+    rerank is the same expression-side cosine + window as lsh_topk."""
+    # bounded deterministic training sample (TakeOrdered — cheap at scale)
+    train = embeddings.orderBy(id_col).limit(4096).select(vec_col).toPandas()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in train[vec_col]])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    C = _kmeans_centroids(M, min(ncentroids, len(M)))
+
+    def assign_cells(n_cells: int):
+        CT = C.T
+
+        @pandas_udf("array<int>")
+        def cells(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="object")
+            Q = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+            sims = Q @ CT
+            top = np.argsort(-sims, axis=1)[:, :n_cells]
+            return pd.Series([row.astype("int32").tolist() for row in top])
+
+        return cells
+
+    emb_cells = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        assign_cells(1)(F.col(vec_col))[0].alias("cell"),
+    )
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(assign_cells(nprobe)(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        q_cells.join(emb_cells, "cell")
         .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
     )

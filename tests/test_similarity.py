@@ -134,3 +134,69 @@ class TestMinhashPairs:
         pairs = [(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(df).collect()]
         assert len(pairs) == len(set(pairs))
         assert all(a < b for a, b in pairs)
+
+
+class TestCosineNearDup:
+    def test_matches_python_all_pairs(self, spark):
+        emb = _vectors(spark, n=40)
+        data = {r.vec_id: r.embedding for r in emb.collect()}
+        th = 0.4
+        want = set()
+        for a in data:
+            for b in data:
+                if a < b and round(_cosine_py(data[a], data[b]), 6) >= th:
+                    want.add((a, b))
+        got = {
+            (r.a_id, r.b_id): r.sim
+            for r in sim.cosine_neardup_pairs(emb, threshold=th).collect()
+        }
+        assert set(got) == want
+        for (a, b), s in got.items():
+            assert s == pytest.approx(round(_cosine_py(data[a], data[b]), 6), abs=1e-9)
+
+    def test_lsh_neardup_subset_of_exact(self, spark):
+        emb = _vectors(spark, n=40)
+        exact = {
+            (r.a_id, r.b_id)
+            for r in sim.cosine_neardup_pairs(emb, threshold=0.4).collect()
+        }
+        lsh = {
+            (r.a_id, r.b_id): r.sim
+            for r in sim.lsh_neardup_pairs(emb, threshold=0.4, bits=4, tables=4, dim=8).collect()
+        }
+        # LSH may miss pairs (recall < 1) but must never invent or mis-score
+        assert set(lsh) <= exact
+        # identical vectors always collide -> decent recall on this data
+        assert len(lsh) > 0
+
+
+class TestIvf:
+    def test_scores_agree_with_brute_force_and_decent_recall(self, spark):
+        emb = _vectors(spark)
+        q = emb.filter(F.col("vec_id") < 3)
+        exact_all = {
+            (r.query_id, r.vec_id): r.sim
+            for r in sim.brute_force_topk(emb, q, k=49).collect()
+        }
+        exact_top = {
+            (r.query_id, r.vec_id)
+            for r in sim.brute_force_topk(emb, q, k=3).collect()
+        }
+        got = sim.ivf_topk(emb, q, k=3, ncentroids=8, nprobe=4).collect()
+        for r in got:
+            assert exact_all[(r.query_id, r.vec_id)] == pytest.approx(r.sim, abs=1e-6)
+        hits = sum(1 for r in got if (r.query_id, r.vec_id) in exact_top)
+        assert hits / len(exact_top) >= 0.5  # nprobe=4 of 8 cells
+
+    def test_nprobe_all_cells_is_exact(self, spark):
+        emb = _vectors(spark, n=30)
+        q = emb.filter(F.col("vec_id") < 2)
+        want = {
+            (r.query_id, r.rank): r.vec_id
+            for r in sim.brute_force_topk(emb, q, k=3).collect()
+        }
+        got = {
+            (r.query_id, r.rank): r.vec_id
+            for r in sim.ivf_topk(emb, q, k=3, ncentroids=4, nprobe=4).collect()
+        }
+        assert got == want
