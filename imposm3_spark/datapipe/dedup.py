@@ -122,6 +122,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
 
@@ -132,7 +133,15 @@ def minhash_lsh_pairs(
     subtree on both sides and shuffle it twice; here the shuffle volume is
     exactly docs x bands rows. Pair blowup stays confined to same-bucket
     collisions either way (that is the LSH contract: band width bounds the
-    collision probability)."""
+    collision probability).
+
+    `max_bucket_size`: at corpus scale a degenerate band (boilerplate,
+    empty-ish docs) can collect millions of ids -> a quadratic pair
+    explosion in ONE task. The cap drops buckets larger than it (the same
+    move as the reference's fixed fan-out thresholds, e.g. the 64/500-tile
+    expiry caps) — an oversized bucket means the band carries ~no
+    information; its true duplicates still collide in the other bands.
+    None (default) keeps exact LSH semantics."""
     sigs = minhash_signatures_relational(df, text_col, id_col, num_hashes, shingle_k)
     band_cols = [
         F.md5(F.concat(*[F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)]))
@@ -147,6 +156,8 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
         .filter(F.size("docs") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("docs") <= max_bucket_size)
     # all ordered pairs from the sorted id array: docs[i-1] x docs[i:]
     pair_expr = F.expr(
         "flatten(transform(sequence(1, size(docs) - 1), "

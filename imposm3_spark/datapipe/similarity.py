@@ -197,6 +197,7 @@ def lsh_neardup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale path for cosine near-dup: candidates from `tables` independent
     random-hyperplane bucket joins (union, dedup), then exact cosine verify.
@@ -204,13 +205,20 @@ def lsh_neardup_pairs(
     No broadcast of the corpus — the bucket equi-joins shuffle on bucket
     keys, so this works when both sides are 100 TB-class. Recall < 1 by
     design (a pair is found iff it collides in at least one table); raise
-    `tables`/lower `bits` to trade cost for recall.
+    `tables`/lower `bits` to trade cost for recall. `max_bucket_size`
+    drops degenerate hot buckets (e.g. a near-zero-vector cluster) before
+    the quadratic self-join — same rationale as minhash_lsh_pairs.
     """
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     cands = None
     for t in range(tables):
         planes = [_hyperplane(1000 * (t + 1) + i, dim) for i in range(bits)]
         keyed = base.select("id", "vec", lsh_bucket(F.col("vec"), planes).alias("bucket"))
+        if max_bucket_size is not None:
+            counts = keyed.groupBy("bucket").count()
+            keyed = keyed.join(
+                F.broadcast(counts.filter(F.col("count") <= max_bucket_size)), "bucket"
+            ).drop("count")
         a = keyed.select(
             F.col("id").alias("a_id"), F.col("vec").alias("avec"), "bucket"
         )

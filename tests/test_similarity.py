@@ -200,3 +200,34 @@ class TestIvf:
             for r in sim.ivf_topk(emb, q, k=3, ncentroids=4, nprobe=4).collect()
         }
         assert got == want
+
+
+class TestHotBucketCap:
+    def test_minhash_cap_drops_degenerate_bucket(self, spark):
+        # 6 identical docs collide in every band -> bucket of 6; cap at 5
+        # drops those buckets entirely, two genuinely-different docs remain
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(i, text) for i in range(6)]
+        rows += [(10, "one shared tail piece x"), (11, "one shared tail piece x")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        uncapped = {(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(df).collect()}
+        capped = {
+            (r.id_a, r.id_b)
+            for r in dd.minhash_lsh_pairs(df, max_bucket_size=5).collect()
+        }
+        assert (10, 11) in uncapped and (10, 11) in capped
+        assert any(a < 6 and b < 6 for a, b in uncapped)
+        assert not any(a < 6 and b < 6 for a, b in capped)
+
+    def test_emb_cap_keeps_small_buckets(self, spark):
+        rows = [(i, [1.0] * 8) for i in range(5)]  # one hot bucket of 5
+        rows += [(10, [-1.0] * 8), (11, [-1.0] * 8)]  # small bucket of 2
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        capped = {
+            (r.a_id, r.b_id)
+            for r in sim.lsh_neardup_pairs(
+                emb, threshold=0.9, bits=4, tables=2, dim=8, max_bucket_size=3
+            ).collect()
+        }
+        assert (10, 11) in capped
+        assert not any(a < 5 and b < 5 for a, b in capped)
