@@ -9,8 +9,9 @@ limit.go).
 - polygons: contains fast path (fully inside -> unchanged, limit.go:280),
   boundary-crossing polygons are CUT with the pure-python boolean
   intersection kernel (`geom/poly_clip.py` — the GEOS ``Intersection``
-  analog, limit.go:303). Clip features are treated as disjoint (the usual
-  limit-to shape); overlapping features would double-count the overlap.
+  analog, limit.go:303). Overlapping clip features are unioned once at
+  construction (poly_clip.union_all), so the cut pieces never
+  double-count an overlap.
 
 The reference's grid-splitting of the clip polygon (limit.go:25-109) is an
 optimization for its per-row sequential clipping; Spark parallelizes rows,
@@ -58,6 +59,13 @@ class Limiter:
             max(b[2] for b in boxes),
             max(b[3] for b in boxes),
         )
+        # overlapping features are unioned once, driver-side (GEOS Union
+        # analog, ops.go:53-77): the clip operators cut against disjoint
+        # polygons, so an overlap never yields duplicated pieces
+        all_polys = [poly for f in features for poly in f.polygons]
+        self.clip_polys = (
+            poly_clip.union_all(all_polys) if len(all_polys) > 1 else all_polys
+        )
 
     # ---- point (F8) ----
 
@@ -80,10 +88,19 @@ class Limiter:
     # ---- helpers ----
 
     def _boundary_rings(self) -> list[list[Coord]]:
-        return [ring for f in self.features for poly in f.polygons for ring in poly]
+        return [ring for poly in self.clip_polys for ring in poly]
 
     def contains_all(self, coords: list[Coord]) -> bool:
         return all(self.intersects_point(x, y) for x, y in coords)
+
+    def _inside_exact(self, x: float, y: float) -> bool:
+        """Containment against the EXACT region (no buffer) — the clip
+        operators use this; the buffer applies only to the F8 point
+        prefilter (limit.go:321-340 vs limit.go:275-317)."""
+        minx, miny, maxx, maxy = self.bbox
+        if not (minx <= x <= maxx and miny <= y <= maxy):
+            return False
+        return any(f.contains_point(x, y) for f in self.features)
 
     # ---- linestring clip (J6) ----
 
@@ -121,7 +138,7 @@ class Limiter:
             for k in range(len(pieces) - 1):
                 p, q = pieces[k], pieces[k + 1]
                 mid = ((p[0] + q[0]) / 2.0, (p[1] + q[1]) / 2.0)
-                if self.intersects_point(*mid):
+                if self._inside_exact(*mid):
                     if not current:
                         current = [p, q]
                     elif current[-1] == p:
@@ -168,11 +185,10 @@ class Limiter:
         if smaxx < minx or sminx > maxx or smaxy < miny or sminy > maxy:
             return []
         out: list[list[list[Coord]]] = []
-        for f in self.features:
-            for fpoly in f.polygons:
-                if self._contained_in_feature_poly(rings, fpoly):
-                    return [rings]
-                out.extend(poly_clip.polygon_intersection(rings, fpoly))
+        for fpoly in self.clip_polys:
+            if self._contained_in_feature_poly(rings, fpoly):
+                return [rings]
+            out.extend(poly_clip.polygon_intersection(rings, fpoly))
         return out
 
     def clip_polygons(

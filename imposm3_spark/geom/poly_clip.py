@@ -51,7 +51,10 @@ def _canonical(poly: Polygon) -> Polygon:
 
 
 def _insert_cuts(poly: Polygon, other: Polygon) -> Polygon:
-    """Insert every crossing point with `other`'s rings into `poly`'s rings."""
+    """Insert every crossing point with `other`'s rings into `poly`'s
+    rings — plus `other`'s vertices that lie ON a `poly` edge, so
+    collinear boundary overlaps split at the overlap endpoints and each
+    sub-edge classifies uniformly."""
     out: Polygon = []
     for ring in poly:
         n = len(ring) - 1
@@ -67,6 +70,13 @@ def _insert_cuts(poly: Polygon, other: Polygon) -> Polygon:
                         continue
                     t = ((pt[0] - a[0]) * dx + (pt[1] - a[1]) * dy) / denom if denom else 0.0
                     extra.setdefault(i, []).append((t, pt))
+                for v in oring[:-1]:
+                    if v == a or v == b or not py_geom._on_segment(
+                        v[0], v[1], a[0], a[1], b[0], b[1]
+                    ):
+                        continue
+                    t = ((v[0] - a[0]) * dx + (v[1] - a[1]) * dy) / denom if denom else 0.0
+                    extra.setdefault(i, []).append((t, v))
         new_ring: list[Coord] = []
         for i in range(n):
             new_ring.append(ring[i])
@@ -210,3 +220,107 @@ def polygon_intersection(subject: Polygon, clip: Polygon) -> list[Polygon]:
 
 def _hole_probe(ring: list[Coord]) -> Coord:
     return py_geom._loop_interior_point(ring)
+
+
+def _collinear_same_dir(mid: Coord, a: Coord, b: Coord, other: Polygon) -> bool:
+    """For an edge (a,b) whose midpoint lies on `other`'s boundary: True if
+    the collinear boundary edge of `other` runs the SAME direction (both
+    interiors on the left — exact test, no epsilon probes)."""
+    for oring in other:
+        for j in range(len(oring) - 1):
+            c, d = oring[j], oring[j + 1]
+            if c == d:
+                continue
+            if py_geom._on_segment(mid[0], mid[1], c[0], c[1], d[0], d[1]):
+                return (b[0] - a[0]) * (d[0] - c[0]) + (b[1] - a[1]) * (d[1] - c[1]) > 0
+    return False
+
+
+def polygon_union(subject: Polygon, clip: Polygon) -> list[Polygon]:
+    """Union of two polygons-with-holes (GEOS ``Union`` analog, G8;
+    reference geom/geos/ops.go:53-77 unions clipped polygon pieces).
+
+    Same overlay machinery as intersection with the dual keep-rule: keep
+    subject sub-edges whose midpoint is OUTSIDE-or-on the clip area and
+    clip sub-edges strictly outside the subject area — interiors stay on
+    the left, so stitching yields CCW shells and CW holes of the union.
+    Disjoint inputs come back as two separate polygons."""
+    subject = _canonical(subject)
+    clip = _canonical(clip)
+
+    sminx, sminy, smaxx, smaxy = py_geom.bbox(subject[0])
+    cminx, cminy, cmaxx, cmaxy = py_geom.bbox(clip[0])
+    if smaxx < cminx or sminx > cmaxx or smaxy < cminy or sminy > cmaxy:
+        return [subject, clip]
+
+    subj_cut = _insert_cuts(subject, clip)
+    clip_cut = _insert_cuts(clip, subject)
+    edges = []
+    for ring in subj_cut:
+        for i in range(len(ring) - 1):
+            a, b = ring[i], ring[i + 1]
+            if a == b:
+                continue
+            mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+            side = point_in_polygon(mid, clip)
+            if side == -1:
+                edges.append((a, b))
+            elif side == 0:
+                # collinear boundary overlap: interiors on the same side
+                # (same direction) -> union boundary, keep once (from the
+                # subject); opposite directions -> interior edge, drop
+                if _collinear_same_dir(mid, a, b, clip):
+                    edges.append((a, b))
+    for ring in clip_cut:
+        for i in range(len(ring) - 1):
+            a, b = ring[i], ring[i + 1]
+            if a == b:
+                continue
+            mid = ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0)
+            if point_in_polygon(mid, subject) == -1:
+                edges.append((a, b))
+    if not edges:
+        return []
+    edges = list(dict.fromkeys(edges))
+    rings = _stitch(edges)
+
+    shells: list[tuple[float, list[Coord]]] = []
+    holes: list[tuple[float, list[Coord]]] = []
+    for ring in rings:
+        area = py_geom.ring_signed_area(ring)
+        if area > _AREA_EPS:
+            shells.append((area, ring))
+        elif area < -_AREA_EPS:
+            holes.append((-area, ring))
+    if not shells:
+        return []
+    shells.sort(key=lambda s: s[0])
+    polys: list[Polygon] = [[ring] for _a, ring in shells]
+    for _harea, hole in holes:
+        probe = _hole_probe(hole)
+        for k, (_sarea, shell) in enumerate(shells):
+            if py_geom.point_in_ring(probe, shell) >= 0:
+                polys[k].append(hole)
+                break
+    return polys
+
+
+def union_all(polygons: list[Polygon]) -> list[Polygon]:
+    """n-ary union by fold-and-merge: each input is repeatedly unioned
+    with any overlapping accumulated polygon until disjoint. Driver-side
+    (clip regions are small); the per-row data path never calls this."""
+    result: list[Polygon] = []
+    for poly in polygons:
+        merged = _canonical(poly)
+        changed = True
+        while changed:
+            changed = False
+            for i, other in enumerate(result):
+                u = polygon_union(merged, other)
+                if len(u) == 1:
+                    merged = u[0]
+                    result.pop(i)
+                    changed = True
+                    break
+        result.append(merged)
+    return result

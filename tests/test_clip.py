@@ -3,6 +3,8 @@
 Point/line/polygon vectors ported from geom/limit/limit_test.go:264-304
 (TestClipper with geom/limit/clipping.geojson, mercator)."""
 
+import pytest
+
 from imposm3_spark.geom import poly_clip, py_geom
 from imposm3_spark.geom.clip import Limiter, intersects_feature_property
 from imposm3_spark.sources.geojson import load_geojson
@@ -124,3 +126,61 @@ def test_wgs84_no_transform():
     # (limit_test.go:306-320 uses these lon/lat probes)
     assert lim.intersects_point(9.94, 53.53)
     assert not lim.intersects_point(9.04, 53.53)
+
+
+def _usq(x0, y0, x1, y1):
+    return [[(float(x0), float(y0)), (float(x1), float(y0)), (float(x1), float(y1)),
+             (float(x0), float(y1)), (float(x0), float(y0))]]
+
+
+def _uarea(polys):
+    from imposm3_spark.geom import py_geom
+    return sum(
+        py_geom.ring_area(p[0]) - sum(py_geom.ring_area(h) for h in p[1:])
+        for p in polys
+    )
+
+
+class TestPolygonUnion:
+    # GEOS Union analog (G8, geom/geos/ops.go:53-77)
+
+    def test_overlap_disjoint_contain_touch(self):
+        from imposm3_spark.geom.poly_clip import polygon_union
+        u = polygon_union(_usq(0, 0, 2, 2), _usq(1, 1, 3, 3))
+        assert len(u) == 1 and _uarea(u) == pytest.approx(7.0)
+        u = polygon_union(_usq(0, 0, 1, 1), _usq(5, 5, 6, 6))
+        assert len(u) == 2 and _uarea(u) == pytest.approx(2.0)
+        u = polygon_union(_usq(0, 0, 4, 4), _usq(1, 1, 2, 2))
+        assert len(u) == 1 and _uarea(u) == pytest.approx(16.0)
+        u = polygon_union(_usq(0, 0, 1, 1), _usq(1, 0, 2, 1))
+        assert len(u) == 1 and _uarea(u) == pytest.approx(2.0)
+
+    def test_hole_filling(self):
+        from imposm3_spark.geom.poly_clip import polygon_union
+        subj = [
+            [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+            [(1.0, 1.0), (1.0, 3.0), (3.0, 3.0), (3.0, 1.0), (1.0, 1.0)],
+        ]
+        u = polygon_union(subj, _usq(1, 1, 3, 3))
+        assert len(u) == 1 and _uarea(u) == pytest.approx(16.0)
+        u = polygon_union(subj, _usq(1, 1, 2, 3))  # partial fill
+        assert len(u) == 1 and _uarea(u) == pytest.approx(14.0)
+        assert len(u[0]) == 2  # remaining hole
+
+    def test_union_all_chains(self):
+        from imposm3_spark.geom.poly_clip import union_all
+        u = union_all([_usq(0, 0, 2, 2), _usq(1, 1, 3, 3), _usq(2, 2, 4, 4), _usq(10, 10, 11, 11)])
+        assert len(u) == 2 and _uarea(u) == pytest.approx(11.0)
+
+
+def test_overlapping_clip_features_no_double_count():
+    """Two overlapping square features; clipping a polygon spanning both
+    must yield the overlap once (union semantics, not concatenation)."""
+    from imposm3_spark.sources.geojson import Feature
+    f1 = Feature(polygons=[_usq(0, 0, 2, 2)], properties={})
+    f2 = Feature(polygons=[_usq(1, 0, 3, 2)], properties={})
+    lim = Limiter([f1, f2])
+    # subject covers (0..3)x(0..2) entirely -> clip result area must be 6
+    subject = _usq(-1, -1, 4, 3)[0]
+    out = lim.clip_polygon([subject])
+    assert _uarea(out) == pytest.approx(6.0)
