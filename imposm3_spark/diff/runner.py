@@ -75,6 +75,10 @@ class ReplicationRunner:
     state_file: str
     expire_dir: str | None = None
     gens: dict[str, DataFrame] | None = None  # generalized tables (T6)
+    # optional durable element state (diff/state_store.py): saved after
+    # every batch; `resume()` reloads it, so a restarted runner continues
+    # from last.state.txt with id-bucketed (shuffle-free-join) state
+    state_store: "object | None" = None
 
     def current_sequence(self) -> int:
         p = Path(self.state_file)
@@ -120,8 +124,20 @@ class ReplicationRunner:
             self.gens = {n: df.localCheckpoint() for n, df in new_gens.items()}
         self.state = new_state
         self.tables = new_tables
+        if self.state_store is not None:
+            # durable publish BEFORE the sequence checkpoint: a crash
+            # between the two replays the batch onto the already-updated
+            # state, which is idempotent (last-write-wins upsert)
+            self.state_store.save(new_state)
+            self.state = self.state_store.load()
         write_state_txt(self.state_file, seq)
         return True
+
+    def resume(self) -> None:
+        """Reload element state from the durable store (restart path)."""
+        if self.state_store is None:
+            raise ValueError("no state_store configured")
+        self.state = self.state_store.load()
 
     def run(self, max_batches: int | None = None, poll_interval: float = 0.0) -> int:
         """Consume sequences until none is available (or max_batches).

@@ -318,9 +318,10 @@ def _closed(coords: list[Coord]) -> list[Coord]:
 
 def _point_seg_dist(p: Coord, a: Coord, b: Coord) -> float:
     dx, dy = b[0] - a[0], b[1] - a[1]
-    if dx == 0.0 and dy == 0.0:
+    denom = dx * dx + dy * dy
+    if denom == 0.0:  # incl. subnormal dx/dy whose squares underflow to 0
         return math.hypot(p[0] - a[0], p[1] - a[1])
-    t = ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / (dx * dx + dy * dy)
+    t = ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / denom
     t = max(0.0, min(1.0, t))
     return math.hypot(p[0] - (a[0] + t * dx), p[1] - (a[1] + t * dy))
 
