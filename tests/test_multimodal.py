@@ -3,6 +3,7 @@
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from imposm3_spark.datapipe.multimodal import (
     MEDIA_SCHEMA,
@@ -53,3 +54,21 @@ def test_dedup_media(media):
     out = {r["media_id"]: r["dup_count"] for r in dedup_media_exact(media).collect()}
     assert out[1] == 2  # ids 1 and 3 share a payload
     assert 3 not in out
+
+
+def test_features_compose_with_embedding_neardup(media):
+    """extract_image_features output feeds the embedding near-dup op
+    directly — the multimodal and similarity pipelines compose on the
+    (id, array<float>) contract."""
+    from imposm3_spark.datapipe.similarity import cosine_neardup_pairs
+
+    feats = extract_image_features(media).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("features").alias("embedding"),
+    )
+    pairs = {
+        (r.a_id, r.b_id): r.sim
+        for r in cosine_neardup_pairs(feats, threshold=0.999999).collect()
+    }
+    # identical payloads (media 1 and 3) -> identical features -> sim 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
