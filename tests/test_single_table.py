@@ -172,3 +172,43 @@ def test_any_any_inserted_nodes(anyany):
         rows = rows_of(anyany["amenities"], osm_id)
         assert len(rows) == 1, osm_id
         assert rows[0]["type"] == "shop"
+
+
+def test_srid_4326_keeps_lonlat(spark):
+    """EPSG:4326 path (config.go:156-160, writer.go:64-75): identical rows,
+    geometry carries raw lon/lat instead of mercator meters."""
+    from imposm3_spark.geom.wkb import parse_wkb
+    from imposm3_spark.mapping.config import load_mapping
+    from imposm3_spark.pipeline.engine import ImportPipeline
+    from imposm3_spark.sources.osm_xml import read_osm_xml
+
+    mapping = load_mapping("/root/reference/test/single_table_mapping.json")
+    nodes, ways, relations = read_osm_xml(
+        spark, "/root/reference/test/single_table.osm"
+    )
+    rows3857 = ImportPipeline(mapping, srid=3857).run(nodes, ways, relations)["all"].collect()
+    rows4326 = ImportPipeline(mapping, srid=4326).run(nodes, ways, relations)["all"].collect()
+    # identical row multiset (incl. duplicate-mapping rows), 14 rows
+    assert sorted(r["osm_id"] for r in rows3857) == sorted(
+        r["osm_id"] for r in rows4326
+    )
+    assert len(rows4326) == 14
+
+    src = {r["id"]: (r["lon"], r["lat"]) for r in nodes.collect()}
+    # node rows (positive ids) carry the raw fixture lon/lat in 4326
+    checked = 0
+    for row in rows4326:
+        if row["osm_id"] <= 0:
+            continue
+        g = parse_wkb(bytes(row["geometry"]))
+        assert g["srid"] == 4326
+        lon, lat = src[row["osm_id"]]
+        # coords pass through the reference's cache quantization
+        # (serialize.go:5-13) -> precision 360/(2^32-1) ~ 8.4e-8 deg
+        assert g["coords"][0] == pytest.approx(lon, abs=2e-7)
+        assert g["coords"][1] == pytest.approx(lat, abs=2e-7)
+        checked += 1
+    assert checked >= 2
+    # and the 3857 geometry is projected (different srid tag)
+    some = next(r for r in rows3857 if r["osm_id"] > 0)
+    assert parse_wkb(bytes(some["geometry"]))["srid"] == 3857
