@@ -1233,3 +1233,7 @@ def tpch_q22_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_quiet"))
     )
+
+
+# round-2 extended surface registers itself into QUERIES/ORACLES on import
+from imposm3_spark import benchqueries_ext as _ext  # noqa: E402,F401

@@ -1,0 +1,601 @@
+"""Extended relational + temporal + clustering query surface (round 2).
+
+Registered into the same QUERIES/ORACLES registry as benchqueries. Three
+groups:
+
+* ``tpch_*`` — the remaining TPC-H operator shapes expressible on the
+  driver's simplified schema (no partsupp / commitdate): left-outer
+  count distribution (q13), conditional-aggregate share (q14), window
+  max-equality (q15), distinct-count + NOT IN (q16), correlated avg
+  (q17), disjunctive pushdown (q19), nested semi (q20), nation-pair
+  (q7), profit (q9), returned-items top-k (q10).
+* ``events_*`` — rollup/grouping, gap-based sessionization, exact
+  group quantiles, as-of join, banded range join, set ops.
+* ``emb_neardup_clusters`` — connected components over the near-dup
+  pair graph (iterative label propagation; oracle = recursive CTE).
+
+Every query aliases result columns identically in Spark and SQL so the
+driver's sorted-column value hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from imposm3_spark.benchqueries import ORACLES, QUERIES, _t, register
+from imposm3_spark.datapipe import similarity as sim
+from imposm3_spark.datapipe.asof import asof_join, range_count_join
+from imposm3_spark.datapipe.cluster import connected_components
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analogs (adapted to the driver's simplified star schema)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q7_volume",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+       OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-pair shipping volume: two broadcast dims aliased twice; the
+    nation filter cuts the fact rows before the wide join output exists."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")))
+    sn = F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cn, F.col("c_nationkey") == F.col("cnk"))
+        .join(sn, F.col("s_nationkey") == F.col("snk"))
+        .filter(
+            ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+            | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+        )
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q9_profit",
+    """
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.4 * p_retailprice * l_quantity), 2) AS profit
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type = 'PROMO'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-profit by supplier nation and year; the selective part filter
+    is pushed below the fact joins (semi-reduces lineitem first)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("profit")
+        )
+    )
+
+
+@register(
+    "tpch_q10_returns",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name, c_mktsegment
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1995-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1996-01-01 00:00:00"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name", "c_mktsegment")
+    )
+
+
+@register(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving zero-order customers, then a distribution
+    re-aggregation (two shuffles; second input is one row per customer)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q14_promo",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-03-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q15_topsupp",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def tpch_q15_topsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier via max-equality (ties kept, deterministic) — the
+    scalar-subquery shape; Spark form: unpartitioned window max, which AQE
+    executes as a single-row broadcast, not a global sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("__mx", F.max("total_rev").over(w)).filter(
+        F.col("total_rev") == F.col("__mx")
+    )
+    return (
+        F.broadcast(top)
+        .join(s, F.col("s_suppkey") == F.col("suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "tpch_q16_suppcnt",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20, 25, 30)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def tpch_q16_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count + NOT IN: the exclusion list is a broadcast anti-join
+    (key set is null-free, so anti == NOT IN)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_smallqty",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def tpch_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery de-correlated into a per-part aggregate +
+    join — one extra shuffle over lineitem instead of a per-row subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(avg_qty, F.col("ak") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19_disjunct",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-attribute predicate: Catalyst extracts the common
+    subexpressions (quantity bounds push to the lineitem scan, size/brand
+    bounds to the part scan) before evaluating the OR post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q20_nested_semi",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY l_suppkey HAVING sum(l_quantity) > 300)
+    """,
+)
+def tpch_q20_nested_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN over an aggregated subquery -> semi join on the HAVING survivors."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_suppkey")
+    )
+    return s.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: rollup, sessionization, quantiles, temporal joins, set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rollup",
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(date_part('hour', ts) AS INT) AS hr, value FROM events
+    )
+    SELECT event_type, hr, count(*) AS n, round(sum(value), 4) AS total_value,
+           CAST(grouping(event_type) AS INT) AS g_type,
+           CAST(grouping(hr) AS INT) AS g_hr
+    FROM ev GROUP BY ROLLUP (event_type, hr)
+    """,
+)
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (type, hour) with grouping indicators — the
+    multi-level aggregate surface (computed in one pass, map-side partial)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hr"), "value"
+    )
+    return ev.rollup("event_type", "hr").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("hr").cast("int").alias("g_hr"),
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag -> boundary flag ->
+    running sum = session id. One shuffle on user_id serves both windows and
+    the final aggregate (same partitioning, Catalyst reuses the exchange)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "lineitem_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+           round(avg(l_quantity), 6) AS mean
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated group quantiles (Spark `percentile` == DuckDB
+    `quantile_cont`). At 100 TB swap in percentile_approx (t-digest sketch,
+    mergeable map-side) — exact form kept here for oracle equality."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qs.alias("q"), F.round(F.avg("l_quantity"), 6).alias("mean"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("q")[0], 4).alias("q25"),
+            F.round(F.col("q")[1], 4).alias("q50"),
+            F.round(F.col("q")[2], 4).alias("q75"),
+            "mean",
+        )
+    )
+
+
+@register(
+    "events_asof_order",
+    """
+    WITH ord AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           o.o_orderkey AS last_orderkey, o.o_orderdate AS last_orderdate
+    FROM events e ASOF LEFT JOIN ord o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator the reference lacks): latest order at or before
+    each event, per user. Union-merge plan — one shuffle, no row blow-up
+    (see datapipe/asof.py). Right side deduped per (key, time) so ties are
+    deterministic on both engines."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+        .withColumnRenamed("o_orderdate", "last_orderdate")
+    )
+    return asof_join(
+        ev,
+        o.withColumnRenamed("o_custkey", "user_id"),
+        on="user_id",
+        left_time="ts",
+        right_time="last_orderdate",
+        right_payload=["last_orderkey", "last_orderdate"],
+    )
+
+
+@register(
+    "orders_events_7d",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, count(e.event_id) AS n_in_range
+    FROM orders o LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_custkey < 100
+    GROUP BY 1, 2, 3
+    """,
+)
+def orders_events_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: events within 7 days after each order. The equi
+    key (user) bounds the band blow-up; AQE splits skewed users."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    ev = _t(spark, sf_dir, "events")
+    return range_count_join(
+        o,
+        ev,
+        on_left="o_custkey",
+        on_right="user_id",
+        right_time="ts",
+        lo=F.col("o_orderdate"),
+        hi=F.col("o_orderdate") + F.expr("INTERVAL 7 DAY"),
+    )
+
+
+@register(
+    "cust_active_both_years",
+    """
+    SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 2000
+    """,
+)
+def cust_active_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("c_custkey"))
+    y00 = o.filter(F.year("o_orderdate") == 2000).select(F.col("o_custkey").alias("c_custkey"))
+    return y95.intersect(y00)
+
+
+@register(
+    "cust_new_in_2001",
+    """
+    SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 2001
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) < 2001
+    """,
+)
+def cust_new_in_2001(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): customers whose first order is in 2001."""
+    o = _t(spark, sf_dir, "orders")
+    y01 = o.filter(F.year("o_orderdate") == 2001).select(F.col("o_custkey").alias("c_custkey"))
+    before = o.filter(F.year("o_orderdate") < 2001).select(F.col("o_custkey").alias("c_custkey"))
+    return y01.subtract(before)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over the pair graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_neardup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS vec_id, min(lbl) AS component FROM reach GROUP BY node
+    """,
+)
+def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components (min-label propagation) over
+    embedding near-dup pairs; component id = min vec_id reachable. Oracle =
+    exact reachability via recursive CTE."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_neardup_pairs(e, threshold=0.4)
+    return connected_components(
+        e.select("vec_id"), pairs, node_col="vec_id", src="a_id", dst="b_id"
+    )
+
+
+__all__ = ["QUERIES", "ORACLES"]
