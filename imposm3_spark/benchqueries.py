@@ -425,7 +425,7 @@ def osm_way_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("p_partkey") % 20000) / 10.0).alias("x"),
         ((F.col("p_partkey") % 10000) / 10.0).alias("y"),
     )
-    resolved = resolve_way_coords(ways, coords)
+    resolved = resolve_way_coords(ways, coords, unique_ids=True)
     return resolved.select(
         F.col("id").alias("way_id"),
         F.size("coords").cast("long").alias("n_points"),

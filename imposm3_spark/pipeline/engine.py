@@ -334,7 +334,7 @@ class ImportPipeline:
 
         # resolve coords once for all matched ways (reference fills only on
         # match too — writer/ways.go:85-97)
-        resolved = resolve_way_coords(needed, coords)
+        resolved = resolve_way_coords(needed, coords, unique_ids=True)
         resolved = resolved.withColumn("_coords", gb.dedup_coords(F.col("coords")))
 
         out: dict[str, list[DataFrame]] = {}
@@ -554,7 +554,7 @@ class ImportPipeline:
         )
         # way members (type 1): linestring geometry; needs >=2 deduped coords
         way_coords = resolve_way_coords(
-            ways.select("id", "refs"), self.prepare_coords(nodes)
+            ways.select("id", "refs"), self.prepare_coords(nodes), unique_ids=True
         ).withColumn("_coords", gb.dedup_coords(F.col("coords")))
         way_side = (
             ways.select(
