@@ -236,9 +236,24 @@ def ngram_jaccard_pairs(
     **lsh_kwargs,
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates (two-stage: cheap recall via
-    LSH, exact verify on the candidate set only)."""
-    cands = minhash_lsh_pairs(df, text_col, id_col, shingle_k=shingle_k, **lsh_kwargs)
-    sets = df.select(
+    LSH, exact verify on the candidate set only).
+
+    The candidate pair set is materialized (it is tiny — LSH's whole point)
+    and the exact-verify side shingles ONLY candidate documents: a semi
+    join restricts the corpus before the tokenize+shingle projection runs,
+    so the expensive text processing happens once corpus-wide (inside LSH)
+    instead of three times."""
+    cands = minhash_lsh_pairs(
+        df, text_col, id_col, shingle_k=shingle_k, **lsh_kwargs
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("cid"))
+        .union(cands.select("id_b"))
+        .distinct()
+    )
+    sets = df.join(
+        cand_ids, df[id_col] == F.col("cid"), "leftsemi"
+    ).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
     )

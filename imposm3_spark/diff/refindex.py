@@ -48,8 +48,13 @@ def way_rel_refs(relations: DataFrame) -> DataFrame:
 
 
 def dependent_ways(ways: DataFrame, changed_node_ids: DataFrame) -> DataFrame:
-    """way ids referencing any changed node (J8). changed_node_ids: (id)."""
-    refs = node_way_refs(ways)
+    """way ids referencing any changed node (J8). changed_node_ids: (id).
+
+    Explodes refs WITHOUT the pair-level distinct: the semi join keeps at
+    most one output row per (way, matching ref) and the final distinct on
+    way ids dedupes — pre-deduping the full pair table would add a
+    shuffle of the biggest intermediate for nothing."""
+    refs = ways.select(F.explode("refs").alias("node_id"), F.col("id").alias("way_id"))
     return (
         refs.join(changed_node_ids.withColumnRenamed("id", "node_id"), "node_id", "leftsemi")
         .select(F.col("way_id").alias("id"))
@@ -64,15 +69,22 @@ def dependent_relations(
 ) -> DataFrame:
     """relation ids referencing any changed node or way."""
     outs = []
+    members = relations.select(
+        F.col("id").alias("rel_id"), F.explode("members").alias("m")
+    )
     if changed_node_ids is not None:
-        nr = node_rel_refs(relations)
+        nr = members.filter(F.col("m.type") == 0).select(
+            F.col("m.id").alias("node_id"), "rel_id"
+        )
         outs.append(
             nr.join(
                 changed_node_ids.withColumnRenamed("id", "node_id"), "node_id", "leftsemi"
             ).select(F.col("rel_id").alias("id"))
         )
     if changed_way_ids is not None:
-        wr = way_rel_refs(relations)
+        wr = members.filter(F.col("m.type") == 1).select(
+            F.col("m.id").alias("way_id"), "rel_id"
+        )
         outs.append(
             wr.join(
                 changed_way_ids.withColumnRenamed("id", "way_id"), "way_id", "leftsemi"
