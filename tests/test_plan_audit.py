@@ -1,0 +1,138 @@
+"""Physical-plan audits: the plans we ship are the plans we want at scale.
+
+Correctness tests prove the small-SF answer; these tests pin the PHYSICAL
+properties that decide whether the same query survives a 100x scale-up:
+
+- filters reach the parquet scan (PushedFilters), so a selective query
+  reads row groups, not the table;
+- column pruning reaches the scan (ReadSchema carries only used columns);
+- dimension joins broadcast (no sort-merge exchange of the fact table
+  against a kilobyte-sized dimension);
+- no accidental CartesianProduct anywhere;
+- the hot aggregation path stays inside WholeStageCodegen.
+
+A plan regression (someone drops a broadcast hint, a filter stops being
+pushdown-able) fails here long before anyone notices a slow cluster job.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from imposm3_spark import benchqueries as bq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    # execute THIS DataFrame's queryExecution first (collect, not count —
+    # count builds a separate plan): AQE finalizes the physical plan and
+    # the WholeStageCodegen annotations only during execution
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_count(plan: str, marker: str) -> int:
+    return plan.count(marker)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """Executed (post-AQE-planning) plans for the audited queries."""
+    names = [
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
+        "tpch_q6",
+        "tpch_q7_volume",
+        "tpch_q10_returns",
+        "osm_way_resolve",
+        "osm_diff_frontier",
+        "doc_text_stats",
+        "emb_lsh_topk",
+    ]
+    return {n: _executed_plan(bq.QUERIES[n](spark, SF_DIR)) for n in names}
+
+
+def test_q1_filter_pushed_to_scan(plans):
+    plan = plans["tpch_q1"]
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(plans):
+    # q1 touches 7 of lineitem's 16 columns; the scan schema must not
+    # carry the rest (l_comment, l_partkey, ...)
+    plan = plans["tpch_q1"]
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "l_comment" not in scan
+    assert "l_partkey" not in scan
+    assert "l_quantity" in scan
+
+
+def test_q1_wholestage_codegen(plans):
+    # codegen'd operators carry the `*(n)` stage prefix in the final plan
+    plan = plans["tpch_q1"]
+    assert "*(" in plan, f"no WholeStageCodegen stage in:\n{plan}"
+    agg = next(ln for ln in plan.splitlines() if "HashAggregate" in ln)
+    assert "*(" in agg, f"aggregation not codegen'd: {agg}"
+
+
+def test_q6_selective_scan(plans):
+    plan = plans["tpch_q6"]
+    assert "PushedFilters" in plan
+    # pure filter+agg: no join operator of any kind
+    assert "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["tpch_q3", "tpch_q5", "tpch_q7_volume", "tpch_q10_returns"]
+)
+def test_dim_joins_broadcast(plans, name):
+    """Every dimension join must be a broadcast hash join: a sort-merge
+    exchange of the fact table against nation/region/customer-sized dims
+    is the canonical does-not-survive-scale-up plan."""
+    plan = plans[name]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
+        "tpch_q6",
+        "tpch_q7_volume",
+        "tpch_q10_returns",
+        "osm_way_resolve",
+        "osm_diff_frontier",
+        "doc_text_stats",
+        "emb_lsh_topk",
+    ],
+)
+def test_no_cartesian_product(plans, name):
+    assert "CartesianProduct" not in plans[name]
+
+
+def test_way_resolve_single_wide_shuffle(plans):
+    """J1's exploded-refs aggregation is THE planet-scale shuffle; the
+    unique_ids fast path must keep the exchange count minimal (explode →
+    agg → completeness filter, plus the fixture's own groupBy). A
+    regression that reintroduces dropDuplicates or a join-back shows up
+    as extra exchanges."""
+    n = _optimized_count(plans["osm_way_resolve"], "Exchange hashpartitioning")
+    assert n <= 3, f"expected <=3 hash exchanges, got {n}"
+
+
+def test_diff_frontier_semi_joins_broadcast(plans):
+    """The changed-id sets are small by nature (one replication batch);
+    they must broadcast into the reverse-ref semi joins."""
+    plan = plans["osm_diff_frontier"]
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_text_stats_no_shuffle(plans):
+    """Per-document text analysis is embarrassingly parallel: any exchange
+    in the plan would be a bug (it must run at scan speed at 100 TB)."""
+    assert "Exchange" not in plans["doc_text_stats"]
