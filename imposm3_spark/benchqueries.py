@@ -1237,3 +1237,4 @@ def tpch_q22_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # round-2 extended surface registers itself into QUERIES/ORACLES on import
 from imposm3_spark import benchqueries_ext as _ext  # noqa: E402,F401
+from imposm3_spark import benchqueries_media as _media  # noqa: E402,F401
