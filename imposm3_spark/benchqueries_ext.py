@@ -598,4 +598,125 @@ def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_curate(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    """Full training-data-curation oracle: quality gate -> exact dedup ->
+    MinHash-LSH near-dup clusters (recursive CTE) -> representatives."""
+    width = 32 // num_hashes
+    sig = ",\n             ".join(
+        f"list_min(list_transform(mh, m -> substr(m, {1 + i * width}, {width}))) AS sig{i}"
+        for i in range(num_hashes)
+    )
+    bands = []
+    for bi, b in enumerate(range(0, num_hashes, rows_per_band)):
+        parts = " || ".join(f"sig{b + r}" for r in range(rows_per_band))
+        bands.append(
+            f"SELECT doc_id AS doc, {bi} AS band_idx, md5({parts}) AS band_key "
+            f"FROM sigs WHERE sig{b} IS NOT NULL"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(bands)
+    return rf"""
+    WITH RECURSIVE rawtoks AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS tokens
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, text,
+             len(tokens) AS n_tok,
+             CASE WHEN len(tokens) > 0
+                  THEN CAST(len(list_filter(list_transform(tokens, t -> lower(t)),
+                       t -> t IN ('the','and','of','to','a','in','is','that'))) AS DOUBLE) / len(tokens)
+                  ELSE 0.0 END AS sw_ratio,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS p_ratio,
+             CASE WHEN len(tokens) > 0
+                  THEN CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE) / len(tokens)
+                  ELSE 0.0 END AS atl
+      FROM rawtoks
+    ), scored AS (
+      SELECT doc_id, text, n_tok,
+             CAST((CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN sw_ratio > 0.01 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN p_ratio < 0.2 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) AS DOUBLE) AS quality
+      FROM feat
+    ), q AS (
+      SELECT * FROM scored WHERE quality >= 0.75
+    ), ex AS (
+      SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)
+    ), q2 AS (
+      SELECT q.* FROM q WHERE doc_id IN (SELECT doc_id FROM ex)
+    ), toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM q2
+    ), sh AS (
+      SELECT doc_id, list_transform(list_transform(
+        range(1, greatest(len(tokens) - 2, 0) + 1),
+        i -> array_to_string(tokens[i:i+2], ' ')), s -> md5(s)) AS mh
+      FROM toks
+    ), sigs AS (
+      SELECT doc_id,
+             {sig}
+      FROM sh
+    ), bands AS (
+      {bands_sql}
+    ), pairs AS (
+      SELECT DISTINCT a.doc AS a_id, b.doc AS b_id
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM q2
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+    )
+    SELECT q2.doc_id, q2.n_tok AS n_tokens, round(q2.quality, 2) AS quality
+    FROM q2 JOIN comp USING (doc_id)
+    WHERE comp.component = q2.doc_id
+    """
+
+
+@register("doc_curate", _sql_curate())
+def doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data curation pipeline, end to end: quality gate
+    (expression-only scoring) -> exact dedup (hash groupBy, min-id rep) ->
+    MinHash-LSH near-dup candidates -> connected components (multi-level
+    union-find) -> keep one representative per cluster. Every stage is the
+    production operator from datapipe/*; the oracle reproduces the whole
+    pipeline in SQL including the component reachability (recursive CTE)."""
+    from imposm3_spark.datapipe import cluster as cl
+    from imposm3_spark.datapipe import dedup as dd2
+    from imposm3_spark.datapipe import text as tx2
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", "text",
+        tx2.token_count(F.col("text")).alias("n_tokens"),
+        tx2.quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.75)
+    keep_exact = (
+        q.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # materialize the curated set once: quality scoring + the exact-dedup
+    # semi join would otherwise re-evaluate for every downstream consumer
+    # (LSH, the component node set, the final semi join) — 4x the most
+    # expensive expression tree in the pipeline
+    q2 = q.join(keep_exact, "doc_id", "leftsemi").localCheckpoint(eager=True)
+    pairs = dd2.minhash_lsh_pairs(q2)
+    curated = cl.dedup_representatives(q2, pairs, "doc_id", pair_a="id_a", pair_b="id_b")
+    return curated.select(
+        "doc_id", "n_tokens", F.round("quality", 2).alias("quality")
+    )
+
+
 __all__ = ["QUERIES", "ORACLES"]
