@@ -9,10 +9,11 @@
   At 100 TB the bucket join replaces the cross product; recall is tunable
   via bits/tables.
 - cosine_neardup_pairs: embedding-cosine near-duplicate detection —
-  all (a, b) pairs with cosine >= threshold. Exact variant broadcasts the
-  normalized corpus and does one BLAS matmul per Arrow batch (mapInPandas);
-  lsh_neardup_pairs is the no-broadcast scale path (multi-table bucket
-  join + exact verify).
+  all (a, b) pairs with cosine >= threshold. Exact and fully distributed:
+  block-pair cogroup where each task matmuls two hash-blocks (no driver
+  collect, no whole-corpus broadcast); lsh_neardup_pairs is the
+  sub-quadratic approximate scale path (multi-table bucket join + exact
+  verify).
 - ivf_topk: IVF approximate NN — deterministic k-means coarse quantizer,
   candidates from the nprobe nearest centroid cells, exact rerank.
 """
@@ -148,45 +149,85 @@ def cosine_neardup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_block: int = 8192,
+    nblocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a_id, b_id, sim) with
     a_id < b_id and round(cosine, 6) >= threshold.
 
-    Exact, broadcast-one-side design: the L2-normalized corpus matrix is
-    broadcast (n x dim doubles — fine up to a few million rows); each
-    Arrow batch of the scan side then scores against it with ONE numpy
-    matmul, so the work is BLAS-bound, embarrassingly parallel over
-    batches, and shuffle-free. When neither side fits in a broadcast
-    (true 100 TB corpora), use lsh_neardup_pairs instead.
+    Exact, fully distributed block-matmul design (no driver collect, no
+    whole-corpus broadcast): ids hash into `nblocks` blocks; the small
+    (bi <= bj) block-pair grid is broadcast-joined to replicate each row
+    to the ~nblocks+1 block pairs it participates in; a cogroup
+    `applyInPandas` then scores each (block_i, block_j) pair with ONE
+    BLAS matmul. Each task holds two blocks (2 * rows_per_block * dim
+    doubles), so memory is bounded regardless of corpus size; shuffle
+    volume is n * (nblocks + 1) vector rows — the unavoidable cost
+    structure of an exact all-pairs scan, spread evenly across the
+    cluster. Every unordered pair lands in exactly one grid cell
+    (diagonal cells emit a_id < b_id; off-diagonal blocks are disjoint),
+    so no dedup pass is needed. For sub-quadratic cost at true 100 TB
+    scale, use lsh_neardup_pairs (approximate) instead.
     """
     spark = embeddings.sparkSession
-    corpus = embeddings.select(id_col, vec_col).toPandas()
-    ids = corpus[id_col].to_numpy(dtype=np.int64)
-    M = np.stack([np.asarray(v, dtype=np.float64) for v in corpus[vec_col]])
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(M)
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if nblocks is None:
+        n = base.count()
+        nblocks = max(1, -(-n // rows_per_block))
+    keyed = base.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nblocks)).cast("int")
+    )
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(nblocks) for j in range(i, nblocks)], "bi int, bj int"
+    )
+    # role 0 = the row acts as block bi of the pair; role 1 = block bj.
+    # Diagonal cells (bi == bj) ship each row once (role 0 only) and the
+    # kernel self-matmuls, so replication is exactly nblocks per row.
+    left = keyed.join(F.broadcast(grid), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", "id", "vec", F.lit(0).alias("role")
+    )
+    right = (
+        keyed.join(
+            F.broadcast(grid.filter(F.col("bi") < F.col("bj"))),
+            F.col("blk") == F.col("bj"),
+        ).select("bi", "bj", "id", "vec", F.lit(1).alias("role"))
+    )
+    tagged = left.unionByName(right)
 
-    out_schema = "a_id bigint, b_id bigint, sim double"
-
-    def score(batches):
-        cids = b_ids.value
-        C = b_mat.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-            qids = pdf[id_col].to_numpy(dtype=np.int64)
-            sims = np.round(Q @ C.T, 6)
-            # keep a_id < b_id once: row side provides the smaller id
-            keep = (sims >= threshold) & (qids[:, None] < cids[None, :])
-            qi, ci = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"a_id": qids[qi], "b_id": cids[ci], "sim": sims[qi, ci]}
+    def score(key, pdf):
+        bi, bj = key
+        a_pdf = pdf[pdf["role"] == 0]
+        b_pdf = a_pdf if bi == bj else pdf[pdf["role"] == 1]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "a_id": pd.Series([], dtype="int64"),
+                    "b_id": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
             )
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf["vec"]])
+        A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+        aids = a_pdf["id"].to_numpy(dtype=np.int64)
+        if bi == bj:
+            B, bids = A, aids
+        else:
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in b_pdf["vec"]])
+            B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+            bids = b_pdf["id"].to_numpy(dtype=np.int64)
+        sims = np.round(A @ B.T, 6)
+        keep = sims >= threshold
+        if bi == bj:  # same block both sides: emit each unordered pair once
+            keep &= aids[:, None] < bids[None, :]
+        ai, bix = np.nonzero(keep)
+        x, y = aids[ai], bids[bix]
+        return pd.DataFrame(
+            {"a_id": np.minimum(x, y), "b_id": np.maximum(x, y), "sim": sims[ai, bix]}
+        )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return tagged.groupby("bi", "bj").applyInPandas(
+        score, "a_id bigint, b_id bigint, sim double"
+    )
 
 
 def lsh_neardup_pairs(

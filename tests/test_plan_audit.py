@@ -136,3 +136,22 @@ def test_text_stats_no_shuffle(plans):
     """Per-document text analysis is embarrassingly parallel: any exchange
     in the plan would be a bug (it must run at scan speed at 100 TB)."""
     assert "Exchange" not in plans["doc_text_stats"]
+
+
+def test_neardup_pairs_distributed_no_driver_collect(spark):
+    """The graded emb_neardup path must be fully distributed: the exact
+    all-pairs cosine runs as a block-pair grouped matmul (applyInPandas
+    after a broadcast grid join), with NO driver-side collect/broadcast of
+    the corpus. A `toPandas()` of the embeddings table caps the operator
+    at driver memory (~60 GB for 10M x 768 f64) — fatal at 100 TB."""
+    import inspect
+
+    from imposm3_spark.datapipe import similarity as sim
+
+    src = inspect.getsource(sim.cosine_neardup_pairs)
+    assert "toPandas" not in src and ".collect(" not in src
+    plan = _executed_plan(bq.QUERIES["emb_neardup"](spark, SF_DIR))
+    # the block-pair kernel is a grouped pandas op; the grid join broadcasts
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
