@@ -1090,7 +1090,51 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(e, q, k=3)
 
 
-@register("emb_lsh_topk")  # no SQL oracle: LSH planes are engine-side; rows-only check
+@register(
+    "emb_lsh_topk",
+    # Full-parity oracle: the engine's LCG hyperplanes (similarity._hyperplane,
+    # seeds 1..8) are exact integer arithmetic, reproduced here in HUGEINT
+    # (state*A+C mod 2^64; each product < 2^127 so no overflow). The sign of
+    # vec . plane is invariant under the engine's plane normalization, so the
+    # oracle skips it; bucket = sum of 2^(seed-1) over non-negative dots.
+    """
+    WITH RECURSIVE lcg(seed, step, state) AS (
+      SELECT seed, 0,
+             (CAST(seed AS HUGEINT)*6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616
+      FROM (SELECT unnest(range(1, 9)) AS seed)
+      UNION ALL
+      SELECT seed, step + 1,
+             (state*6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      FROM lcg WHERE step < 64
+    ), planes AS (
+      SELECT seed,
+             list((CAST(state // 2048 AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0
+                  ORDER BY step) AS plane
+      FROM lcg WHERE step >= 1 GROUP BY seed
+    ), buckets AS (
+      SELECT vec_id,
+             sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << (seed - 1)) ELSE 0 END) AS bucket
+      FROM (SELECT e.vec_id, p.seed,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) AS dp
+            FROM embeddings e CROSS JOIN planes p)
+      GROUP BY vec_id
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      FROM buckets qb
+      JOIN embeddings q ON q.vec_id = qb.vec_id AND q.vec_id < 5
+      JOIN buckets cb ON cb.bucket = qb.bucket
+      JOIN embeddings c ON c.vec_id = cb.vec_id AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, cand_id AS vec_id, rank, sim FROM (
+      SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
 def emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
@@ -1114,11 +1158,41 @@ def emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_neardup_pairs(e, threshold=0.4)
 
 
-@register("emb_ivf_topk")  # no SQL oracle: IVF cells are engine-side; rows-only check
+@register(
+    "emb_ivf_topk",
+    # nprobe == ncentroids probes every cell, so the IVF machinery (k-means
+    # quantizer, cell assignment UDF, cell equi-join, exact rerank) must
+    # reproduce the brute-force answer exactly — an end-to-end value check
+    # of the full pipeline: any row lost in the cell join changes the result.
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6) AS sim
+      FROM q CROSS JOIN embeddings e WHERE q.query_id != e.vec_id
+    )
+    SELECT query_id, cand_id AS vec_id, rank, sim FROM (
+      SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return sim.ivf_topk(e, q, k=3)
+    return sim.ivf_topk(e, q, k=3, ncentroids=16, nprobe=16)
+
+
+@register("emb_ivf_topk_probe")  # rows-only: nprobe < ncentroids prunes cells
+def emb_ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF shape — nprobe=4 of 16 cells, ~4x less rerank work;
+    recall < 1 by design so there is no exact SQL oracle (the all-probe
+    variant above is the value-checked one)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(e, q, k=3, ncentroids=16, nprobe=4)
 
 
 @register(
