@@ -79,6 +79,10 @@ class ReplicationRunner:
     # every batch; `resume()` reloads it, so a restarted runner continues
     # from last.state.txt with id-bucketed (shuffle-free-join) state
     state_store: "object | None" = None
+    # optional diff/download.DiffDownloader: when the next sequence is not
+    # in diff_dir yet, fetch it from the remote feed first (`imposm run`
+    # against a live replication endpoint, update/cmd.go:48-257)
+    downloader: "object | None" = None
 
     def current_sequence(self) -> int:
         p = Path(self.state_file)
@@ -148,6 +152,11 @@ class ReplicationRunner:
         seq = self.current_sequence()
         while max_batches is None or applied < max_batches:
             nxt = seq + 1
+            if self.downloader is not None and sequence_path(self.diff_dir, nxt) is None:
+                try:
+                    self.downloader.fetch_sequence(nxt, max_tries=1)
+                except Exception:
+                    pass  # not published yet — fall through to poll/exit
             if not self.apply_one(nxt):
                 if poll_interval > 0:
                     time.sleep(poll_interval)
