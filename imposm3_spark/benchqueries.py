@@ -701,6 +701,45 @@ def osm_id_mangle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "osm_metadata",
+    """
+    SELECT event_id,
+      CASE WHEN event_id % 7 != 0 THEN CAST(user_id AS INTEGER) END AS m_user_id,
+      CASE WHEN event_id % 7 != 0 THEN 'u' || CAST(user_id AS VARCHAR) END AS m_user_name,
+      CASE WHEN event_id % 7 != 0 THEN CAST(event_id % 10 + 1 AS INTEGER) END AS m_version,
+      CASE WHEN event_id % 7 != 0 THEN CAST(floor(epoch(ts)) AS BIGINT) END AS m_ts,
+      CASE WHEN event_id % 7 != 0 THEN event_id END AS m_changeset
+    FROM events WHERE event_id < 2000
+    """,
+)
+def osm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-metadata struct semantics (element.go:23-29; sources/osm_xml.py
+    METADATA_SCHEMA): build the nullable metadata struct exactly as the
+    PBF/XML sources emit it, then project fields back out — null structs
+    propagate NULL through every field, populated structs round-trip all
+    five (user_id, user_name, version, timestamp, changeset)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    meta = F.when(
+        F.col("event_id") % 7 != 0,
+        F.struct(
+            F.col("user_id").cast("int").alias("user_id"),
+            F.concat(F.lit("u"), F.col("user_id")).alias("user_name"),
+            (F.col("event_id") % 10 + 1).cast("int").alias("version"),
+            F.unix_timestamp("ts").alias("timestamp"),
+            F.col("event_id").alias("changeset"),
+        ),
+    )
+    return ev.select(
+        "event_id",
+        meta["user_id"].alias("m_user_id"),
+        meta["user_name"].alias("m_user_name"),
+        meta["version"].alias("m_version"),
+        meta["timestamp"].alias("m_ts"),
+        meta["changeset"].alias("m_changeset"),
+    )
+
+
+@register(
     "osm_diff_frontier",
     """
     WITH ways AS (

@@ -55,7 +55,9 @@ def apply_changes_to_state(state: OsmState, changes: DataFrame) -> OsmState:
         changed_ids = last.select(F.col(kind)["id"].alias("id"))
         kept = df.join(changed_ids, "id", "left_anti")
         upserts = last.filter(F.col("op") != "delete").select(f"{kind}.*")
-        return kept.unionByName(upserts)
+        # allowMissingColumns: pre-metadata state DataFrames (or fixture
+        # frames built without the optional metadata struct) upsert cleanly
+        return kept.unionByName(upserts, allowMissingColumns=True)
 
     return OsmState(
         nodes=upd(state.nodes, "node"),

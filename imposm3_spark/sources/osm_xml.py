@@ -12,12 +12,28 @@ ever needed — fixtures don't need it.
 
 from __future__ import annotations
 
+import calendar
 import gzip
+import time
 import xml.etree.ElementTree as ET
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+# Optional per-element metadata (element.go:19,23-29 `Metadata`): carried as
+# one nullable struct column so sources that have it (PBF Info/DenseInfo,
+# XML attrs) populate it and fixture data can simply leave it NULL.
+# `timestamp` is epoch seconds (the PBF wire unit after date_granularity).
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.IntegerType(), True),
+        T.StructField("user_name", T.StringType(), True),
+        T.StructField("version", T.IntegerType(), True),
+        T.StructField("timestamp", T.LongType(), True),
+        T.StructField("changeset", T.LongType(), True),
+    ]
+)
 
 NODE_SCHEMA = T.StructType(
     [
@@ -25,6 +41,7 @@ NODE_SCHEMA = T.StructType(
         T.StructField("lon", T.DoubleType(), True),
         T.StructField("lat", T.DoubleType(), True),
         T.StructField("tags", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("metadata", METADATA_SCHEMA, True),
     ]
 )
 
@@ -33,6 +50,7 @@ WAY_SCHEMA = T.StructType(
         T.StructField("id", T.LongType(), False),
         T.StructField("refs", T.ArrayType(T.LongType()), False),
         T.StructField("tags", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("metadata", METADATA_SCHEMA, True),
     ]
 )
 
@@ -55,6 +73,7 @@ RELATION_SCHEMA = T.StructType(
             False,
         ),
         T.StructField("tags", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("metadata", METADATA_SCHEMA, True),
     ]
 )
 
@@ -74,12 +93,34 @@ def _tags(elem: ET.Element) -> dict[str, str]:
     return {t.attrib["k"]: t.attrib["v"] for t in elem.findall("tag")}
 
 
+def _parse_metadata(e: ET.Element) -> tuple | None:
+    """Element metadata from XML attrs (element.go:23-29 field set);
+    None when the fixture carries no metadata at all."""
+    a = e.attrib
+    if not a.keys() & {"uid", "user", "version", "timestamp", "changeset"}:
+        return None
+    ts = None
+    if "timestamp" in a:
+        try:
+            ts = calendar.timegm(time.strptime(a["timestamp"], "%Y-%m-%dT%H:%M:%SZ"))
+        except ValueError:
+            ts = None  # dirty input (reference fixtures contain :99Z seconds)
+    return (
+        int(a["uid"]) if "uid" in a else None,
+        a.get("user"),
+        int(a["version"]) if "version" in a else None,
+        ts,
+        int(a["changeset"]) if "changeset" in a else None,
+    )
+
+
 def _parse_node(e: ET.Element) -> tuple:
     return (
         int(e.attrib["id"]),
         float(e.attrib.get("lon", "nan")) if "lon" in e.attrib else None,
         float(e.attrib.get("lat", "nan")) if "lat" in e.attrib else None,
         _tags(e),
+        _parse_metadata(e),
     )
 
 
@@ -88,6 +129,7 @@ def _parse_way(e: ET.Element) -> tuple:
         int(e.attrib["id"]),
         [int(nd.attrib["ref"]) for nd in e.findall("nd")],
         _tags(e),
+        _parse_metadata(e),
     )
 
 
@@ -99,6 +141,7 @@ def _parse_relation(e: ET.Element) -> tuple:
             for m in e.findall("member")
         ],
         _tags(e),
+        _parse_metadata(e),
     )
 
 

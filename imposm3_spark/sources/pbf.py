@@ -137,14 +137,75 @@ def _decode_string_table(buf: bytes) -> list[str]:
     return [v.decode("utf-8") for f, _wt, v in iter_fields(buf) if f == 1]
 
 
-def _decode_dense_nodes(buf: bytes, st: list[str], gran: int, lat_off: int, lon_off: int):
+def _decode_dense_info(buf: bytes, st: list[str], date_gran: int, n: int) -> list[tuple | None]:
+    """DenseInfo (osmformat.proto): version plain-packed; timestamp,
+    changeset, uid, user_sid delta-coded. -> METADATA_SCHEMA tuples."""
+    versions: list[int] = []
+    timestamps: list[int] = []
+    changesets: list[int] = []
+    uids: list[int] = []
+    user_sids: list[int] = []
+    for f, _wt, v in iter_fields(buf):
+        if f == 1:
+            versions = packed_varints(v)
+        elif f == 2:
+            timestamps = packed_sint64_delta(v)
+        elif f == 3:
+            changesets = packed_sint64_delta(v)
+        elif f == 4:
+            uids = packed_sint64_delta(v)
+        elif f == 5:
+            user_sids = packed_sint64_delta(v)
+    out: list[tuple | None] = []
+    for i in range(n):
+        out.append(
+            (
+                uids[i] if i < len(uids) else None,
+                st[user_sids[i]] if i < len(user_sids) else None,
+                versions[i] if i < len(versions) else None,
+                timestamps[i] * date_gran // 1000 if i < len(timestamps) else None,
+                changesets[i] if i < len(changesets) else None,
+            )
+        )
+    return out
+
+
+def _decode_info(buf: bytes, st: list[str], date_gran: int) -> tuple:
+    """Info message (plain Node/Way/Relation metadata): all plain varints."""
+    version = timestamp = changeset = uid = user_sid = None
+    for f, _wt, v in iter_fields(buf):
+        if f == 1:
+            version = v
+        elif f == 2:
+            timestamp = v
+        elif f == 3:
+            changeset = v
+        elif f == 4:
+            uid = v
+        elif f == 5:
+            user_sid = v
+    return (
+        uid,
+        st[user_sid] if user_sid is not None else None,
+        version,
+        timestamp * date_gran // 1000 if timestamp is not None else None,
+        changeset,
+    )
+
+
+def _decode_dense_nodes(
+    buf: bytes, st: list[str], gran: int, lat_off: int, lon_off: int, date_gran: int = 1000
+):
     ids: list[int] = []
     lats: list[int] = []
     lons: list[int] = []
     kvs: list[int] = []
+    info_buf: bytes | None = None
     for f, _wt, v in iter_fields(buf):
         if f == 1:
             ids = packed_sint64_delta(v)
+        elif f == 5:
+            info_buf = v
         elif f == 8:
             lats = packed_sint64_delta(v)
         elif f == 9:
@@ -167,12 +228,18 @@ def _decode_dense_nodes(buf: bytes, st: list[str], gran: int, lat_off: int, lon_
             tags_per_node.append({})
     else:
         tags_per_node = [{} for _ in ids]
-    for nid, lat, lon, tags in zip(ids, lats, lons, tags_per_node):
+    metas: list[tuple | None]
+    if info_buf is not None:
+        metas = _decode_dense_info(info_buf, st, date_gran, len(ids))
+    else:
+        metas = [None] * len(ids)
+    for nid, lat, lon, tags, meta in zip(ids, lats, lons, tags_per_node, metas):
         yield (
             nid,
             NANO * (lon_off + gran * lon),
             NANO * (lat_off + gran * lat),
             tags,
+            meta,
         )
 
 
@@ -182,11 +249,12 @@ def _decode_tags(fields: dict, st: list[str]) -> dict[str, str]:
     return {st[k]: st[v] for k, v in zip(keys, vals)}
 
 
-def _decode_way(buf: bytes, st: list[str]):
+def _decode_way(buf: bytes, st: list[str], date_gran: int = 1000):
     wid = 0
     keys: list[int] = []
     vals: list[int] = []
     refs: list[int] = []
+    meta = None
     for f, _wt, v in iter_fields(buf):
         if f == 1:
             wid = v
@@ -194,18 +262,21 @@ def _decode_way(buf: bytes, st: list[str]):
             keys = packed_varints(v)
         elif f == 3:
             vals = packed_varints(v)
+        elif f == 4:
+            meta = _decode_info(v, st, date_gran)
         elif f == 8:
             refs = packed_sint64_delta(v)
-    return (wid, refs, {st[k]: st[vv] for k, vv in zip(keys, vals)})
+    return (wid, refs, {st[k]: st[vv] for k, vv in zip(keys, vals)}, meta)
 
 
-def _decode_relation(buf: bytes, st: list[str]):
+def _decode_relation(buf: bytes, st: list[str], date_gran: int = 1000):
     rid = 0
     keys: list[int] = []
     vals: list[int] = []
     roles: list[int] = []
     memids: list[int] = []
     types: list[int] = []
+    meta = None
     for f, _wt, v in iter_fields(buf):
         if f == 1:
             rid = v
@@ -213,6 +284,8 @@ def _decode_relation(buf: bytes, st: list[str]):
             keys = packed_varints(v)
         elif f == 3:
             vals = packed_varints(v)
+        elif f == 4:
+            meta = _decode_info(v, st, date_gran)
         elif f == 8:
             roles = packed_varints(v)
         elif f == 9:
@@ -222,14 +295,14 @@ def _decode_relation(buf: bytes, st: list[str]):
     members = [
         (mid, t, st[r]) for mid, t, r in zip(memids, types, roles)
     ]
-    return (rid, members, {st[k]: st[vv] for k, vv in zip(keys, vals)})
+    return (rid, members, {st[k]: st[vv] for k, vv in zip(keys, vals)}, meta)
 
 
 def decode_primitive_block(buf: bytes):
     """-> (nodes, ways, relations) row lists for one OSMData block."""
     st: list[str] = []
     groups: list[bytes] = []
-    gran, lat_off, lon_off = 100, 0, 0
+    gran, lat_off, lon_off, date_gran = 100, 0, 0, 1000
     for f, _wt, v in iter_fields(buf):
         if f == 1:
             st = _decode_string_table(v)
@@ -237,6 +310,8 @@ def decode_primitive_block(buf: bytes):
             groups.append(v)
         elif f == 17:
             gran = v
+        elif f == 18:
+            date_gran = v
         elif f == 19:
             lat_off = v
         elif f == 20:
@@ -245,10 +320,10 @@ def decode_primitive_block(buf: bytes):
     for g in groups:
         for f, _wt, v in iter_fields(g):
             if f == 1:  # plain Node (rare)
-                fields: dict[int, list[int] | int | bytes] = {}
                 nid, lat, lon = 0, 0, 0
                 tags_k: list[int] = []
                 tags_v: list[int] = []
+                meta = None
                 for ff, _w, vv in iter_fields(v):
                     if ff == 1:
                         nid = vv
@@ -256,6 +331,8 @@ def decode_primitive_block(buf: bytes):
                         tags_k = packed_varints(vv)
                     elif ff == 3:
                         tags_v = packed_varints(vv)
+                    elif ff == 4:
+                        meta = _decode_info(vv, st, date_gran)
                     elif ff == 8:
                         lat = zigzag(vv)
                     elif ff == 9:
@@ -266,14 +343,15 @@ def decode_primitive_block(buf: bytes):
                         NANO * (lon_off + gran * lon),
                         NANO * (lat_off + gran * lat),
                         {st[k]: st[x] for k, x in zip(tags_k, tags_v)},
+                        meta,
                     )
                 )
             elif f == 2:
-                nodes.extend(_decode_dense_nodes(v, st, gran, lat_off, lon_off))
+                nodes.extend(_decode_dense_nodes(v, st, gran, lat_off, lon_off, date_gran))
             elif f == 3:
-                ways.append(_decode_way(v, st))
+                ways.append(_decode_way(v, st, date_gran))
             elif f == 4:
-                rels.append(_decode_relation(v, st))
+                rels.append(_decode_relation(v, st, date_gran))
     return nodes, ways, rels
 
 
@@ -359,7 +437,11 @@ def _enc_string_table(strings: list[str]) -> bytes:
     return b"".join(enc_field(1, 2, s.encode("utf-8")) for s in strings)
 
 
-def _interned(tagsets: list[dict[str, str]], roles: list[str] | None = None) -> tuple[list[str], dict[str, int]]:
+def _interned(
+    tagsets: list[dict[str, str]],
+    roles: list[str] | None = None,
+    extra: list[str] | None = None,
+) -> tuple[list[str], dict[str, int]]:
     table = [""]  # index 0 reserved (DenseNodes separator)
     seen = {"": 0}
     for tags in tagsets:
@@ -368,11 +450,61 @@ def _interned(tagsets: list[dict[str, str]], roles: list[str] | None = None) -> 
                 if s not in seen:
                     seen[s] = len(table)
                     table.append(s)
-    for r in roles or []:
+    for r in list(roles or []) + list(extra or []):
         if r not in seen:
             seen[r] = len(table)
             table.append(r)
     return table, seen
+
+
+def _meta_or_none(row: tuple, idx: int) -> tuple | None:
+    return row[idx] if len(row) > idx else None
+
+
+def _enc_info(meta: tuple, intern: dict[str, int]) -> bytes:
+    """Info submessage for Way/Relation/plain-Node metadata."""
+    uid, user, version, ts, changeset = meta
+    body = b""
+    if version is not None:
+        body += enc_field(1, 0, version)
+    if ts is not None:
+        body += enc_field(2, 0, ts)
+    if changeset is not None:
+        body += enc_field(3, 0, changeset)
+    if uid is not None:
+        body += enc_field(4, 0, uid)
+    if user is not None:
+        body += enc_field(5, 0, intern[user])
+    return enc_field(4, 2, body)
+
+
+def _enc_dense_info(metas: list[tuple | None], intern: dict[str, int]) -> bytes:
+    """DenseInfo parallel arrays (missing metadata encodes as zeros —
+    parallel arrays admit no holes)."""
+    vers, tss, chs, uids, usids = [], [], [], [], []
+    pts = pch = puid = pusid = 0
+    for m in metas:
+        uid, user, version, ts, changeset = m or (0, "", 0, 0, 0)
+        uid, user, version = uid or 0, user or "", version or 0
+        ts, changeset = ts or 0, changeset or 0
+        vers.append(version)
+        tss.append(enc_zigzag(ts - pts))
+        pts = ts
+        chs.append(enc_zigzag(changeset - pch))
+        pch = changeset
+        uids.append(enc_zigzag(uid - puid))
+        puid = uid
+        sid = intern.get(user, 0)
+        usids.append(enc_zigzag(sid - pusid))
+        pusid = sid
+    payload = (
+        enc_packed(1, vers)
+        + enc_packed(2, tss)
+        + enc_packed(3, chs)
+        + enc_packed(4, uids)
+        + enc_packed(5, usids)
+    )
+    return enc_field(5, 2, payload)
 
 
 def write_pbf(
@@ -382,9 +514,12 @@ def write_pbf(
     relations: list[tuple],
     block_size: int = 4000,
 ) -> None:
-    """Encode (id, lon, lat, tags) nodes / (id, refs, tags) ways /
-    (id, members, tags) relations into an OSM PBF file (DenseNodes,
-    zlib-compressed blobs)."""
+    """Encode (id, lon, lat, tags[, metadata]) nodes / (id, refs, tags
+    [, metadata]) ways / (id, members, tags[, metadata]) relations into an
+    OSM PBF file (DenseNodes, zlib-compressed blobs). metadata is the
+    METADATA_SCHEMA tuple (user_id, user_name, version, timestamp,
+    changeset); in a dense batch that mixes with/without, missing rows
+    encode as zeros (DenseInfo parallel arrays admit no holes)."""
 
     def write_blob(fh, btype: str, payload: bytes) -> None:
         z = zlib.compress(payload)
@@ -395,11 +530,14 @@ def write_pbf(
         fh.write(blob)
 
     def dense_group(batch) -> bytes:
-        tagsets = [t for _i, _lo, _la, t in batch]
-        st, intern = _interned(tagsets)
+        tagsets = [row[3] for row in batch]
+        metas = [_meta_or_none(row, 4) for row in batch]
+        users = [m[1] for m in metas if m and m[1]]
+        st, intern = _interned(tagsets, extra=users)
         ids, lats, lons, kvs = [], [], [], []
         pid = plat = plon = 0
-        for nid, lon, lat, tags in batch:
+        for row in batch:
+            nid, lon, lat, tags = row[:4]
             ilat = int(round(lat / NANO / 100))
             ilon = int(round(lon / NANO / 100))
             ids.append(enc_zigzag(nid - pid))
@@ -410,17 +548,24 @@ def write_pbf(
                 kvs += [intern[k], intern[v]]
             kvs.append(0)
         dense = enc_packed(1, ids) + enc_packed(8, lats) + enc_packed(9, lons) + enc_packed(10, kvs)
+        if any(m is not None for m in metas):
+            dense += _enc_dense_info(metas, intern)
         group = enc_field(2, 2, dense)
         return enc_field(1, 2, _enc_string_table(st)) + enc_field(2, 2, group)
 
     def way_group(batch) -> bytes:
-        st, intern = _interned([t for _i, _r, t in batch])
+        metas = [_meta_or_none(row, 3) for row in batch]
+        users = [m[1] for m in metas if m and m[1]]
+        st, intern = _interned([row[2] for row in batch], extra=users)
         msgs = []
-        for wid, refs, tags in batch:
+        for row, meta in zip(batch, metas):
+            wid, refs, tags = row[:3]
             body = enc_field(1, 0, wid)
             if tags:
                 body += enc_packed(2, [intern[k] for k in tags])
                 body += enc_packed(3, [intern[v] for v in tags.values()])
+            if meta is not None:
+                body += _enc_info(meta, intern)
             deltas = []
             prev = 0
             for r in refs:
@@ -432,14 +577,19 @@ def write_pbf(
         return enc_field(1, 2, _enc_string_table(st)) + enc_field(2, 2, group)
 
     def rel_group(batch) -> bytes:
-        roles = [m[2] for _i, mem, _t in batch for m in mem]
-        st, intern = _interned([t for _i, _m, t in batch], roles)
+        roles = [m[2] for row in batch for m in row[1]]
+        metas = [_meta_or_none(row, 3) for row in batch]
+        users = [m[1] for m in metas if m and m[1]]
+        st, intern = _interned([row[2] for row in batch], roles, extra=users)
         msgs = []
-        for rid, members, tags in batch:
+        for row, meta in zip(batch, metas):
+            rid, members, tags = row[:3]
             body = enc_field(1, 0, rid)
             if tags:
                 body += enc_packed(2, [intern[k] for k in tags])
                 body += enc_packed(3, [intern[v] for v in tags.values()])
+            if meta is not None:
+                body += _enc_info(meta, intern)
             body += enc_packed(8, [intern[m[2]] for m in members])
             deltas = []
             prev = 0

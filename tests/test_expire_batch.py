@@ -32,13 +32,13 @@ def test_expired_tiles_for_batch(spark):
     pipe = ImportPipeline(mapping)
     nodes = spark.createDataFrame(
         [
-            (1, 3.0010, 1.0010, {"amenity": "cafe"}),
-            (10, 3.0, 2.0, {}),
-            (11, 3.05, 2.0, {}),
+            (1, 3.0010, 1.0010, {"amenity": "cafe"}, None),
+            (10, 3.0, 2.0, {}, None),
+            (11, 3.05, 2.0, {}, None),
         ],
         NODE_SCHEMA,
     )
-    ways = spark.createDataFrame([(100, [10, 11], {"highway": "path"})], WAY_SCHEMA)
+    ways = spark.createDataFrame([(100, [10, 11], {"highway": "path"}, None)], WAY_SCHEMA)
     rels = spark.createDataFrame(
         [], "id bigint, members array<struct<id:bigint,type:tinyint,role:string>>, tags map<string,string>"
     )
@@ -47,8 +47,8 @@ def test_expired_tiles_for_batch(spark):
     # the batch moves node 1 and node 10 (which drags way 100 into the frontier)
     changes = spark.createDataFrame(
         [
-            (0, "modify", "node", (1, 3.5, 1.5, {"amenity": "cafe"}), None, None),
-            (1, "modify", "node", (10, 3.01, 2.0, {}), None, None),
+            (0, "modify", "node", (1, 3.5, 1.5, {"amenity": "cafe"}, None), None, None),
+            (1, "modify", "node", (10, 3.01, 2.0, {}, None), None, None),
         ],
         CHANGE_SCHEMA,
     )

@@ -60,16 +60,16 @@ def test_limit_and_intersects(spark, clip_file):
 
     nodes = spark.createDataFrame(
         [
-            (1, 0.5, 0.5, {"amenity": "cafe"}),   # inside
-            (2, 5.0, 5.0, {"amenity": "cafe"}),   # outside
-            (10, 0.4, 0.5, {}),
-            (11, 0.6, 0.5, {}),
-            (12, 5.0, 0.5, {}),
+            (1, 0.5, 0.5, {"amenity": "cafe"}, None),   # inside
+            (2, 5.0, 5.0, {"amenity": "cafe"}, None),   # outside
+            (10, 0.4, 0.5, {}, None),
+            (11, 0.6, 0.5, {}, None),
+            (12, 5.0, 0.5, {}, None),
         ],
         NODE_SCHEMA,
     )
     ways = spark.createDataFrame(
-        [(100, [10, 11], {"highway": "path"}), (101, [11, 12], {"highway": "path"})],
+        [(100, [10, 11], {"highway": "path"}, None), (101, [11, 12], {"highway": "path"}, None)],
         WAY_SCHEMA,
     )
     rels = spark.createDataFrame([], "id bigint, members array<struct<id:bigint,type:tinyint,role:string>>, tags map<string,string>")
@@ -115,28 +115,28 @@ def test_polygon_cut_through_pipeline(spark, clip_file):
     # square from (0.5,0.2) to (1.5,0.8): right half sticks out of the box
     nodes = spark.createDataFrame(
         [
-            (20, 0.5, 0.2, {}),
-            (21, 1.5, 0.2, {}),
-            (22, 1.5, 0.8, {}),
-            (23, 0.5, 0.8, {}),
+            (20, 0.5, 0.2, {}, None),
+            (21, 1.5, 0.2, {}, None),
+            (22, 1.5, 0.8, {}, None),
+            (23, 0.5, 0.8, {}, None),
             # fully-inside square (0.1,0.1)-(0.2,0.2)
-            (30, 0.1, 0.1, {}),
-            (31, 0.2, 0.1, {}),
-            (32, 0.2, 0.2, {}),
-            (33, 0.1, 0.2, {}),
+            (30, 0.1, 0.1, {}, None),
+            (31, 0.2, 0.1, {}, None),
+            (32, 0.2, 0.2, {}, None),
+            (33, 0.1, 0.2, {}, None),
             # fully-outside square
-            (40, 5.0, 5.0, {}),
-            (41, 6.0, 5.0, {}),
-            (42, 6.0, 6.0, {}),
-            (43, 5.0, 6.0, {}),
+            (40, 5.0, 5.0, {}, None),
+            (41, 6.0, 5.0, {}, None),
+            (42, 6.0, 6.0, {}, None),
+            (43, 5.0, 6.0, {}, None),
         ],
         NODE_SCHEMA,
     )
     ways = spark.createDataFrame(
         [
-            (200, [20, 21, 22, 23, 20], {"landuse": "park"}),
-            (300, [30, 31, 32, 33, 30], {"landuse": "park"}),
-            (400, [40, 41, 42, 43, 40], {"landuse": "park"}),
+            (200, [20, 21, 22, 23, 20], {"landuse": "park"}, None),
+            (300, [30, 31, 32, 33, 30], {"landuse": "park"}, None),
+            (400, [40, 41, 42, 43, 40], {"landuse": "park"}, None),
         ],
         WAY_SCHEMA,
     )
@@ -169,7 +169,7 @@ def test_polygon_cut_through_pipeline(spark, clip_file):
 def test_without_limiter_keeps_everything(spark, clip_file):
     mapping = load_mapping_str(MAPPING % (clip_file, clip_file), fmt="json")
     nodes = spark.createDataFrame(
-        [(1, 0.5, 0.5, {"amenity": "cafe"}), (2, 5.0, 5.0, {"amenity": "cafe"})],
+        [(1, 0.5, 0.5, {"amenity": "cafe"}, None), (2, 5.0, 5.0, {"amenity": "cafe"}, None)],
         NODE_SCHEMA,
     )
     ways = spark.createDataFrame([], WAY_SCHEMA)

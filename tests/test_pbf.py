@@ -79,3 +79,50 @@ def test_pipeline_from_pbf(spark, pbf_path):
         roads.filter(F.col("osm_id") == 18001).collect(), key=lambda r: r["type"]
     )
     assert [r["type"] for r in rows] == ["residential", "tram"]
+
+
+def test_metadata_roundtrip(spark, tmp_path):
+    """Element metadata (element.go:23-29): PBF DenseInfo/Info encode ->
+    decode parity for nodes, ways and relations; XML attrs likewise."""
+    from imposm3_spark.sources.osm_xml import read_osm_xml
+
+    meta1 = (501, "alice", 3, 1321229471, 9000)
+    meta2 = (502, "bob", 1, 1321229500, 9001)
+    nodes = [
+        (1, 10.0, 50.0, {"amenity": "cafe"}, meta1),
+        (2, 10.1, 50.1, {}, meta2),
+    ]
+    ways = [(100, [1, 2], {"highway": "path"}, meta1)]
+    rels = [(200, [(100, 1, "outer")], {"type": "multipolygon"}, meta2)]
+    path = str(tmp_path / "meta.pbf")
+    write_pbf(path, nodes, ways, rels)
+    n2, w2, r2 = read_pbf(spark, path)
+
+    got_n = {r["id"]: tuple(r["metadata"]) for r in n2.collect()}
+    assert got_n == {1: meta1, 2: meta2}
+    assert tuple(w2.collect()[0]["metadata"]) == meta1
+    assert tuple(r2.collect()[0]["metadata"]) == meta2
+
+    # XML attrs parse to the same struct (timestamp -> epoch seconds)
+    xml = tmp_path / "meta.osm"
+    xml.write_text(
+        '<osm version="0.6">'
+        '<node id="1" lon="10.0" lat="50.0" uid="501" user="alice" version="3" '
+        'timestamp="2011-11-14T00:11:11Z" changeset="9000"/>'
+        '<way id="100" uid="502" user="bob" version="1" '
+        'timestamp="2011-11-14T00:11:40Z" changeset="9001">'
+        '<nd ref="1"/></way>'
+        "</osm>"
+    )
+    import calendar, time as _t
+
+    ts1 = calendar.timegm(_t.strptime("2011-11-14T00:11:11Z", "%Y-%m-%dT%H:%M:%SZ"))
+    nx, wx, _rx = read_osm_xml(spark, xml)
+    assert tuple(nx.collect()[0]["metadata"]) == (501, "alice", 3, ts1, 9000)
+    assert wx.collect()[0]["metadata"]["user_name"] == "bob"
+
+    # fixtures without metadata stay NULL (optional column contract)
+    plain = tmp_path / "plain.pbf"
+    write_pbf(str(plain), [(7, 1.0, 2.0, {})], [], [])
+    n3, _, _ = read_pbf(spark, str(plain))
+    assert n3.collect()[0]["metadata"] is None
