@@ -1,0 +1,241 @@
+"""CLI entry points (cmd/imposm/main.go:42-71 dispatch parity).
+
+Subcommands:
+
+- ``import``: mapping + OSM file -> per-table output (parquet dirs; with
+  ``-connection`` also emits the PostGIS DDL/COPY flow from sinks/postgis).
+  Flags mirror config.go:180-248 (``-mapping``, ``-read``, ``-srid``,
+  ``-limitto``…) with ``-write-parquet`` as the Spark-native sink.
+- ``diff``: apply OsmChange files onto a previous import's parquet output
+  (update/cmd.go `Diff`): last-write-wins per element, delete-before-insert
+  per table, element state persisted for the next run.
+- ``run``: the replication loop (update/cmd.go `Run`): poll a local landing
+  dir — or mirror a remote replication feed via ``-url`` — applying each
+  sequence exactly once, checkpointing last.state.txt.
+- ``version``.
+
+The heavy lifting stays in the library; this module is arg parsing plus a
+handful of parquet read/write helpers. Output tables are plain parquet
+directories readable by any engine (and by the ``diff`` subcommand).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+from pathlib import Path
+
+VERSION = "0.2.0"
+
+STATE_DIRS = ("nodes", "ways", "relations")
+
+
+def _read_source(spark, path: str):
+    from imposm3_spark.sources.osm_xml import read_osm_xml
+    from imposm3_spark.sources.pbf import read_pbf
+
+    if path.endswith(".pbf"):
+        return read_pbf(spark, path)
+    return read_osm_xml(spark, path)
+
+
+def _swap_write(df, dest: str) -> None:
+    """Write parquet atomically even when `df` reads from `dest` itself:
+    materialize to <dest>~new, then swap directories."""
+    tmp = dest + "~new"
+    df.write.mode("overwrite").parquet(tmp)
+    old = dest + "~old"
+    if os.path.exists(dest):
+        os.replace(dest, old) if not os.path.isdir(dest) else shutil.move(dest, old)
+        shutil.move(tmp, dest)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        shutil.move(tmp, dest)
+
+
+def _limiter(args):
+    if not getattr(args, "limitto", None):
+        return None
+    from imposm3_spark.geom.clip import Limiter
+    from imposm3_spark.sources.geojson import load_geojson
+
+    return Limiter(
+        load_geojson(args.limitto, transform=args.srid), buffer=args.limittocachebuffer
+    )
+
+
+def _build_spark(args):
+    from imposm3_spark.session import get_spark
+
+    return get_spark("imposm3-spark-cli")
+
+
+def cmd_import(args) -> int:
+    from imposm3_spark.mapping.config import load_mapping
+    from imposm3_spark.pipeline.engine import ImportPipeline
+
+    spark = _build_spark(args)
+    mapping = load_mapping(args.mapping)
+    nodes, ways, rels = _read_source(spark, args.read)
+    pipe = ImportPipeline(mapping, srid=args.srid, limiter=_limiter(args))
+    tables = pipe.run(nodes, ways, rels)
+
+    out = args.write_parquet
+    if out:
+        for name, df in tables.items():
+            _swap_write(df, str(Path(out) / name))
+        if args.diff:
+            # persist element state so `diff` can resume (cache parity)
+            for sub, df in zip(STATE_DIRS, (nodes, ways, rels)):
+                _swap_write(df, str(Path(out) / "_state" / sub))
+        print(f"imported {len(tables)} tables -> {out}")
+    if args.connection:
+        from imposm3_spark.sinks import postgis as pg
+
+        cfg = pg.PostGISConfig(srid=args.srid)
+        if args.connection.startswith("ddl:"):
+            # print the DDL flow instead of executing (no live DB needed)
+            for name in tables:
+                for stmt in pg.table_ddl(mapping.tables[name], cfg):
+                    print(stmt + ";")
+        else:
+            for name, df in tables.items():
+                pg.write_bulk(df, mapping.tables[name], cfg, args.connection)
+            if args.optimize or args.deployproduction:
+                for name in tables:
+                    stmts = pg.finish_ddl(mapping.tables[name], cfg)
+                    if args.deployproduction:
+                        stmts += pg.rotate_ddl(mapping, cfg)
+                    for stmt in stmts:
+                        pg.execute_ddl(stmt, args.connection)
+            print(f"wrote {len(tables)} tables -> postgis")
+    if not out and not args.connection:
+        for name, df in tables.items():
+            print(name, df.count())
+    return 0
+
+
+def _load_state(spark, out: str):
+    from imposm3_spark.diff.update import OsmState
+
+    return OsmState(
+        *[spark.read.parquet(str(Path(out) / "_state" / sub)) for sub in STATE_DIRS]
+    )
+
+
+def cmd_diff(args, files: list[str]) -> int:
+    from imposm3_spark.diff.update import apply_batch
+    from imposm3_spark.mapping.config import load_mapping
+    from imposm3_spark.pipeline.engine import ImportPipeline
+    from imposm3_spark.sources.osm_xml import read_osc_xml
+
+    spark = _build_spark(args)
+    mapping = load_mapping(args.mapping)
+    pipe = ImportPipeline(mapping, srid=args.srid, limiter=_limiter(args))
+    out = args.write_parquet
+    state = _load_state(spark, out)
+    table_names = list(mapping.tables)
+    tables = {n: spark.read.parquet(str(Path(out) / n)) for n in table_names}
+
+    for f in files:
+        changes = read_osc_xml(spark, f)
+        state, tables = apply_batch(pipe, state, tables, changes)
+        # materialize before the swap: the new plans read the old files
+        tables = {n: df.localCheckpoint() for n, df in tables.items()}
+        state = type(state)(
+            state.nodes.localCheckpoint(),
+            state.ways.localCheckpoint(),
+            state.relations.localCheckpoint(),
+        )
+        print(f"applied {f}")
+
+    for name, df in tables.items():
+        _swap_write(df, str(Path(out) / name))
+    for sub, df in zip(STATE_DIRS, (state.nodes, state.ways, state.relations)):
+        _swap_write(df, str(Path(out) / "_state" / sub))
+    return 0
+
+
+def cmd_run(args) -> int:
+    from imposm3_spark.diff.runner import ReplicationRunner
+    from imposm3_spark.diff.update import OsmState
+    from imposm3_spark.mapping.config import load_mapping
+    from imposm3_spark.pipeline.engine import ImportPipeline
+
+    spark = _build_spark(args)
+    mapping = load_mapping(args.mapping)
+    pipe = ImportPipeline(mapping, srid=args.srid, limiter=_limiter(args))
+    out = args.write_parquet
+    state = _load_state(spark, out)
+    tables = {n: spark.read.parquet(str(Path(out) / n)) for n in mapping.tables}
+
+    downloader = None
+    if args.url:
+        from imposm3_spark.diff.download import DiffDownloader
+
+        downloader = DiffDownloader(url=args.url, dest=args.diffdir)
+    runner = ReplicationRunner(
+        spark=spark,
+        pipe=pipe,
+        state=state,
+        tables=tables,
+        diff_dir=args.diffdir,
+        state_file=str(Path(args.diffdir) / "last.state.txt"),
+        expire_dir=args.expiretiles_dir or None,
+        downloader=downloader,
+    )
+    applied = runner.run(max_batches=args.max_batches, poll_interval=args.poll_interval)
+    for name, df in runner.tables.items():
+        _swap_write(df, str(Path(out) / name))
+    st = runner.state
+    for sub, df in zip(STATE_DIRS, (st.nodes, st.ways, st.relations)):
+        _swap_write(df, str(Path(out) / "_state" / sub))
+    print(f"applied {applied} sequences")
+    return 0
+
+
+def _base_flags(p: argparse.ArgumentParser) -> None:
+    # single-dash long flags for Go-flag parity (config.go:180-194)
+    p.add_argument("-mapping", required=True, help="mapping file (yaml/json)")
+    p.add_argument("-srid", type=int, default=3857)
+    p.add_argument("-limitto", default="", help="limit to geometries (geojson)")
+    p.add_argument("-limittocachebuffer", type=float, default=0.0)
+    p.add_argument("-connection", default="", help="postgis connection")
+    p.add_argument("-write-parquet", dest="write_parquet", default="", help="output dir")
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print("usage: imposm3_spark import|diff|run|version [args]", file=sys.stderr)
+        return 2
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "version":
+        print(VERSION)
+        return 0
+    if cmd == "import":
+        p = argparse.ArgumentParser(prog="imposm3_spark import")
+        _base_flags(p)
+        p.add_argument("-read", required=True, help="OSM .pbf/.osm file")
+        p.add_argument("-diff", action="store_true", help="persist state for diff mode")
+        p.add_argument("-optimize", action="store_true")
+        p.add_argument("-deployproduction", action="store_true")
+        return cmd_import(p.parse_args(rest))
+    if cmd == "diff":
+        p = argparse.ArgumentParser(prog="imposm3_spark diff")
+        _base_flags(p)
+        args, files = p.parse_known_args(rest)
+        return cmd_diff(args, files)
+    if cmd == "run":
+        p = argparse.ArgumentParser(prog="imposm3_spark run")
+        _base_flags(p)
+        p.add_argument("-diffdir", required=True, help="landing dir for .osc sequences")
+        p.add_argument("-url", default="", help="replication feed base url")
+        p.add_argument("-expiretiles-dir", dest="expiretiles_dir", default="")
+        p.add_argument("-max-batches", dest="max_batches", type=int, default=None)
+        p.add_argument("-poll-interval", dest="poll_interval", type=float, default=0.0)
+        return cmd_run(p.parse_args(rest))
+    print(f"invalid command: '{cmd}'", file=sys.stderr)
+    return 2

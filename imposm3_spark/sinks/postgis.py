@@ -220,6 +220,16 @@ def write_bulk(df: DataFrame, table: Table, cfg: PostGISConfig, dsn: str) -> Non
     df.foreachPartition(copy_partition)
 
 
+def execute_ddl(stmt: str, dsn: str) -> None:
+    """Run one DDL statement (index build / schema rotation steps)."""
+    if not HAVE_PSYCOPG2:
+        raise RuntimeError("psycopg2 not available — use write_jdbc or parquet sink")
+    with psycopg2.connect(dsn) as conn:
+        with conn.cursor() as cur:
+            cur.execute(stmt)
+        conn.commit()
+
+
 def write_sync_batch(
     deleted_osm_ids: list[int], rows: list[tuple], table: Table, cfg: PostGISConfig, dsn: str
 ) -> None:

@@ -1,0 +1,94 @@
+"""CLI smoke tests (`python -m imposm3_spark`, cmd/imposm/main.go parity):
+import -> parquet tables, diff -> updated parquet, version/usage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from imposm3_spark.cli import main
+
+FIX = "/root/reference/test"
+
+
+def test_version(capsys):
+    assert main(["version"]) == 0
+    assert capsys.readouterr().out.strip()
+
+
+def test_usage_errors():
+    assert main([]) == 2
+    assert main(["bogus"]) == 2
+
+
+@pytest.fixture(scope="module")
+def imported(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("cli_out")
+    rc = main(
+        [
+            "import",
+            "-mapping",
+            f"{FIX}/single_table_mapping.json",
+            "-read",
+            f"{FIX}/single_table.osm",
+            "-write-parquet",
+            str(out),
+            "-diff",
+        ]
+    )
+    assert rc == 0
+    return out
+
+
+def test_import_writes_parquet_tables(spark, imported):
+    df = spark.read.parquet(str(imported / "all"))
+    assert df.count() == 14  # single_table fixture row count
+    assert {f.name for f in df.schema.fields} >= {"osm_id", "geometry", "tags"}
+    # -diff persisted element state for the diff subcommand
+    assert spark.read.parquet(str(imported / "_state" / "nodes")).count() > 0
+
+
+def test_ddl_connection_prints_statements(capsys):
+    rc = main(
+        [
+            "import",
+            "-mapping",
+            f"{FIX}/single_table_mapping.json",
+            "-read",
+            f"{FIX}/single_table.osm",
+            "-connection",
+            "ddl:",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'CREATE TABLE "import"."osm_all"' in out
+    assert "AddGeometryColumn" in out
+
+
+def _point_x(df, osm_id):
+    from imposm3_spark.geom import wkb as wkblib
+
+    row = df.filter(F.col("osm_id") == osm_id).collect()[0]
+    return wkblib.parse_wkb(bytes(row["geometry"]))["coords"][0]
+
+
+def test_diff_applies_osc(spark, imported):
+    from imposm3_spark.geom.proj import py_wgs_to_merc
+
+    x_before = _point_x(spark.read.parquet(str(imported / "all")), 31101)
+    assert abs(x_before - py_wgs_to_merc(80.0, 47.0)[0]) < 0.01
+    rc = main(
+        [
+            "diff",
+            "-mapping",
+            f"{FIX}/single_table_mapping.json",
+            "-write-parquet",
+            str(imported),
+            f"{FIX}/single_table.osc",
+        ]
+    )
+    assert rc == 0
+    after = spark.read.parquet(str(imported / "all"))
+    # node 31101 moved lon 80 -> 81 (single_table.osc modify block)
+    assert abs(_point_x(after, 31101) - py_wgs_to_merc(81.0, 47.0)[0]) < 0.01
+    # tables remain valid parquet with the same schema
+    assert {f.name for f in after.schema.fields} >= {"osm_id", "geometry", "tags"}
