@@ -70,13 +70,29 @@ def _uf_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def _cc_on_edges(edges: DataFrame, depth: int = 0) -> DataFrame:
-    """(node, component) for every endpoint of the (a, b) edge list."""
-    spark = edges.sparkSession
+    """(node, component) for every endpoint of the (a, b) edge list.
+
+    Eager: localCheckpoint + count materialize each level immediately (the
+    level count decides the next level's partitioning, and checkpointing
+    truncates the per-level lineage that would otherwise grow
+    exponentially). Callers see Spark jobs run at DataFrame-construction
+    time, not at first action."""
     edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
-    default_par = spark.sparkContext.defaultParallelism
-    parts = max(1, min(default_par, n_edges // _EDGES_PER_TASK + 1))
+    # partitions sized to the GRAPH, deliberately not capped at
+    # defaultParallelism: per-task edge count must stay <= _EDGES_PER_TASK
+    # (the in-memory union-find dict is the bound), and Spark happily runs
+    # more partitions than cores by queueing them
+    parts = max(1, n_edges // _EDGES_PER_TASK + 1)
     if depth >= 8:
+        # contraction stalled (adversarial graph): finishing in ONE task is
+        # only safe when the remainder actually fits one union-find
+        if n_edges > 4 * _EDGES_PER_TASK:
+            raise RuntimeError(
+                f"connected_components: contraction stalled at depth {depth} "
+                f"with {n_edges} edges — graph too large for the single-task "
+                "fallback; raise _EDGES_PER_TASK or partition the input"
+            )
         parts = 1  # fallback: bounded depth, finish in one task
     typ = dict(edges.dtypes)["a"]
     mapping = (
@@ -122,20 +138,27 @@ def connected_components(
 ) -> DataFrame:
     """Return (``node_col``, component) where component = min node id
     reachable through the undirected edge set. Singletons keep their own
-    id. ``nodes`` must contain every endpoint (extra nodes fine).
+    id. Output rows are exactly the distinct ``nodes`` ids: edge endpoints
+    absent from ``nodes`` are labeled internally (they still connect
+    components) but filtered from the result.
+
+    Eager execution: this runs Spark jobs immediately (per-level
+    localCheckpoint/count inside the contraction — see _cc_on_edges), not
+    lazily at the caller's first action.
 
     ``max_iter`` is kept for API compatibility; the contraction scheme's
     depth is bounded internally (8 levels ≫ any real graph)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     labels = _cc_on_edges(e)
-    endpoint = labels.select("node")
-    singletons = (
-        nodes.select(F.col(node_col).alias("node"))
-        .distinct()
-        .join(endpoint, "node", "left_anti")
-        .withColumn("component", F.col("node"))
+    wanted = nodes.select(F.col(node_col).alias("node")).distinct()
+    singletons = wanted.join(labels.select("node"), "node", "left_anti").withColumn(
+        "component", F.col("node")
     )
-    return labels.union(singletons).select(F.col("node").alias(node_col), "component")
+    return (
+        labels.join(wanted, "node", "left_semi")
+        .union(singletons)
+        .select(F.col("node").alias(node_col), "component")
+    )
 
 
 def dedup_representatives(

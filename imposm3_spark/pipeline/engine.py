@@ -59,10 +59,16 @@ def _assemble_multipolygons(max_ring_gap: float, srid: int, limiter=None):
     def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         rel_id = key[0]
         pdf = pdf.sort_values("member_pos")
-        member_ways = []
-        for _, row in pdf.iterrows():
-            coords = [(c["x"], c["y"]) for c in row["coords"]]
-            member_ways.append((int(row["way_id"]), list(row["way_refs"]), coords))
+        # direct column access, not iterrows: this kernel is the single
+        # Python hot spot of the import path (one call per relation)
+        member_ways = [
+            (int(wid), list(refs), [(c["x"], c["y"]) for c in coords])
+            for wid, refs, coords in zip(
+                pdf["way_id"].to_numpy(),
+                pdf["way_refs"].tolist(),
+                pdf["coords"].tolist(),
+            )
+        ]
         try:
             rings = py_geom.build_rings(member_ways, max_ring_gap)
             # MakeValid on the assembled geometry (multipolygon.go:196-200):

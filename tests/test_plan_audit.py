@@ -155,3 +155,17 @@ def test_neardup_pairs_distributed_no_driver_collect(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_curate_structure(spark):
+    """The flagship curation pipeline's physical shape: the curated set is
+    checkpointed ONCE (Scan ExistingRDD — without it the quality gate and
+    shingling re-evaluate 4x), the representative filter is a broadcast
+    semi join (cluster labels are small by construction), no cartesian
+    products, and the post-checkpoint stage count stays bounded."""
+    plan = _executed_plan(bq.QUERIES["doc_curate"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan  # checkpointed curated base, not re-derived
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    n = _optimized_count(plan, "Exchange hashpartitioning")
+    assert n <= 6, f"expected <=6 hash exchanges after the checkpoint, got {n}"
