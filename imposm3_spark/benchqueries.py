@@ -1032,6 +1032,48 @@ def _sql_simhash(bits: int = 16) -> str:
 ORACLES["doc_simhash"] = _sql_simhash()
 
 
+def _sql_simhash_terms(bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_sum(list_transform(tokens, t -> "
+        f"CASE WHEN ((('0x' || substr(md5(t), 1, 15))::BIGINT >> {b}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+
+
+@register(
+    "doc_simhash_pairs",
+    None,  # oracle attached below (generated)
+)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via the pigeonhole band join (exact w.r.t.
+    hamming <= 3 over 60 bits; datapipe/dedup.simhash_hamming_pairs). The
+    oracle brute-forces all pairs — the band join must reproduce it
+    exactly, any lost candidate is a hash mismatch."""
+    return dd.simhash_hamming_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _sql_simhash_pairs(bits: int = 60, max_distance: int = 3) -> str:
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    ), sims AS (
+      SELECT doc_id, CAST(coalesce({_sql_simhash_terms(bits)}, 0) AS BIGINT) AS simhash
+      FROM toks
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
+    """
+
+
+ORACLES["doc_simhash_pairs"] = _sql_simhash_pairs()
+
+
 @register(
     "doc_ngram_jaccard",
     _sql_minhash_bands()
@@ -1224,6 +1266,63 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(e, q, k=3, ncentroids=16, nprobe=16)
 
 
+@register(
+    "emb_lsh_neardup",
+    # Full-parity oracle for the sub-quadratic near-dup SCALE path: 4 LSH
+    # tables (seeds 1000*(t+1)+i, similarity.lsh_neardup_pairs), candidates
+    # from any table's bucket collision, exact cosine verify. Plane LCG
+    # reproduced in HUGEINT exactly as in emb_lsh_topk's oracle.
+    """
+    WITH RECURSIVE seeds AS (
+      SELECT t, i, 1000 * (t + 1) + i AS seed
+      FROM (SELECT unnest(range(0, 4)) AS t), (SELECT unnest(range(0, 8)) AS i)
+    ), lcg(seed, step, state) AS (
+      SELECT seed, 0,
+             (CAST(seed AS HUGEINT)*6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616
+      FROM seeds
+      UNION ALL
+      SELECT seed, step + 1,
+             (state*6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      FROM lcg WHERE step < 64
+    ), planes AS (
+      SELECT seed,
+             list((CAST(state // 2048 AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0
+                  ORDER BY step) AS plane
+      FROM lcg WHERE step >= 1 GROUP BY seed
+    ), buckets AS (
+      SELECT vec_id, t,
+             sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS bucket
+      FROM (SELECT e.vec_id, s.t, s.i,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) AS dp
+            FROM embeddings e
+            CROSS JOIN seeds s
+            JOIN planes p ON p.seed = s.seed)
+      GROUP BY vec_id, t
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM buckets a JOIN buckets b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = a_id
+    JOIN embeddings eb ON eb.vec_id = b_id
+    WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+)
+def emb_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-broadcast 100TB near-dup path, value-checked: multi-table
+    bucket equi-joins (no corpus broadcast, no all-pairs stage) + exact
+    verify. Recall < 1 vs the exact emb_neardup by design; the oracle
+    reproduces the buckets bit-for-bit so the result is deterministic."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_neardup_pairs(e, threshold=0.4, bits=8, tables=4, dim=64)
+
+
 @register("emb_ivf_topk_probe")  # rows-only: nprobe < ncentroids prunes cells
 def emb_ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production IVF shape — nprobe=4 of 16 cells, ~4x less rerank work;
@@ -1282,6 +1381,152 @@ def tpch_q4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q8_share",
+    """
+    WITH v AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM v GROUP BY o_year
+    """,
+)
+def tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: the 8-table join tree. All four dimension
+    sides (part, supplier, customer-nation-region chain) are broadcast-size
+    at any SF; only lineitem-orders is a fact-fact shuffle join."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    p, s = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier")
+    c, n, r = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    v = (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "AMERICA")), F.col("c_rk") == r["r_regionkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return v.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q12_priority",
+    """
+    SELECT l_returnflag AS shipclass,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (late lineitems split by order priority) adapted to the
+    available columns: l_returnflag stands in for l_shipmode and the
+    lateness predicate is shipdate >= orderdate + 60d (the testdata carries
+    no commit/receipt dates). Same plan: fact-fact equi-join with a
+    join-crossing predicate + conditional aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_returnflag").alias("shipclass"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_wait",
+    """
+    SELECT s_name, count(*) AS numwait FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def tpch_q21_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's signature double correlation — one EXISTS plus one NOT EXISTS
+    against the same fact table with inequality correlation (adapted to
+    shipdate; testdata has no receipt/commit dates): left-semi + left-anti
+    joins on the exploded lineitem. The reference analog is the
+    cascade-skip / dependency-check pattern (SURVEY F9/J8)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    l1 = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_shipdate").alias("sd"),
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"),
+        F.col("l_suppkey").alias("sk2"),
+        F.col("l_shipdate").alias("sd2"),
+    )
+    base = (
+        l1.join(o.filter(F.col("o_orderstatus") == "F"), F.col("ok") == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("ok2") == F.col("ok")) & (F.col("sk2") != F.col("sk")),
+            "left_semi",
+        )
+        .join(
+            l2,
+            (F.col("ok2") == F.col("ok"))
+            & (F.col("sk2") != F.col("sk"))
+            & (F.col("sd2") > F.col("sd")),
+            "left_anti",
+        )
+    )
+    return (
+        base.join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
     )
 
 
