@@ -169,3 +169,37 @@ def test_doc_curate_structure(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     n = _optimized_count(plan, "Exchange hashpartitioning")
     assert n <= 6, f"expected <=6 hash exchanges after the checkpoint, got {n}"
+
+
+def test_q8_dimension_joins_broadcast(spark):
+    """The 8-table q8 join tree: every dimension side (part, supplier,
+    customer, nation x2, region) must broadcast; the only shuffle join
+    allowed is lineitem-orders (fact-fact)."""
+    plan = _executed_plan(bq.QUERIES["tpch_q8_share"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_simhash_pairs_band_join_shape(spark):
+    """The pigeonhole band join must be an equi-join on (band_idx,
+    band_key) — never a cartesian — and the verify stays an expression
+    (bit_count), not a UDF re-pass."""
+    plan = _executed_plan(bq.QUERIES["doc_simhash_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "bit_count" in plan
+
+
+def test_lsh_neardup_no_broadcast_of_corpus(spark):
+    """The LSH near-dup scale path exists precisely to avoid corpus-sized
+    broadcasts: bucket joins shuffle on bucket keys. Small-table broadcast
+    of the hot-bucket counts is fine; a cartesian or a driver collect is
+    not (code-audited like emb_neardup)."""
+    import inspect
+
+    from imposm3_spark.datapipe import similarity as sim
+
+    src = inspect.getsource(sim.lsh_neardup_pairs)
+    assert "toPandas" not in src and ".collect(" not in src
+    plan = _executed_plan(bq.QUERIES["emb_lsh_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
