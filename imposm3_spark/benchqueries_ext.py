@@ -563,6 +563,71 @@ def cust_new_in_2001(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# skew-safe combinators (datapipe/skew.py): salted two-phase agg + salted
+# join must be EXACTLY the plain GROUP BY / JOIN — the oracles are the
+# unsalted SQL, so any row lost or duplicated by the salting is a hash miss
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_salted_agg",
+    """
+    SELECT event_type,
+           count(event_id) AS n,
+           round(sum(value), 2) AS total,
+           round(max(value), 6) AS max_v
+    FROM events GROUP BY event_type
+    """,
+)
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on the (deliberately low-cardinality,
+    skew-prone) event_type key: partials over (key, salt=hash(row)%16)
+    then merge per key — the GROUP BY analog of AQE's skew-join split,
+    which AQE itself cannot do for aggregations."""
+    from imposm3_spark.datapipe import skew
+
+    ev = _t(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={"n": ("event_id", "count"), "total": ("value", "sum"), "max_v": ("value", "max")},
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("max_v", 6).alias("max_v"),
+    )
+
+
+@register(
+    "orders_salted_join",
+    """
+    SELECT o_orderpriority, count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate join: orders rows explode 16x keyed (orderkey,
+    salt); each lineitem takes one deterministic salt — a hot orderkey
+    spreads over 16 reducers. Result must equal the plain join exactly."""
+    from imposm3_spark.datapipe import skew
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = skew.salted_broadcast_join(li, o, key="l_orderkey", n_salts=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # near-dup clustering: connected components over the pair graph
 # ---------------------------------------------------------------------------
 

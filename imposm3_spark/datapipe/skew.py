@@ -1,0 +1,92 @@
+"""Skew-safe building blocks: salted aggregation and salted broadcast join.
+
+At 100 TB a handful of hot keys (one viral user_id, one near-empty
+language bucket, the "" tag value) can put an entire aggregation or join
+on one straggler task. Two standard remedies, expressed as reusable
+DataFrame combinators with EXACT semantics (both are value-checked
+against plain GROUP BY / JOIN oracles):
+
+- ``salted_agg``: two-phase aggregation. Phase 1 groups by
+  (key, salt = hash(whole row) % n_salts) so a hot key's rows spread over
+  ``n_salts`` reducers; phase 2 merges the partial states per key. Works
+  for any algebraic aggregate (sum/count/min/max — and avg as sum+count).
+  This is what AQE's skew handling cannot do for aggregations (AQE splits
+  skewed JOIN partitions, not skewed GROUP BY keys).
+- ``salted_broadcast_join``: replicate-broadcast join for when the SMALL
+  side is the skewed one is unnecessary (broadcast handles it); the
+  combinator here targets a large probe side joining a medium build side
+  whose keys are skewed in the probe: build rows are replicated n_salts
+  times (explode), probe rows get a deterministic salt, and the join key
+  becomes (key, salt) — each hot key now lands on n_salts reducers.
+
+Salts are deterministic (xxhash64 of stable columns, not rand()), so runs
+are reproducible and retried tasks produce identical output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(cols: list[str], n_salts: int) -> Column:
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column -> (input column, fn) with fn in
+    {sum, count, min, max}. The partial/merge pair per fn: sum/sum,
+    count/sum, min/min, max/max. ``salt_cols`` defaults to every non-key
+    column used by the aggregates (deterministic spread).
+    """
+    merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for _out, (_c, fn) in aggs.items():
+        if fn not in merge_fn:
+            raise ValueError(f"unsupported aggregate {fn}")
+    salt_cols = salt_cols or sorted({c for c, _fn in aggs.values()})
+    salted = df.withColumn("__salt", _salt(salt_cols, n_salts))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[
+            getattr(F, fn)(F.col(c)).alias(out)
+            for out, (c, fn) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            getattr(F, merge_fn[fn])(F.col(out)).alias(out)
+            for out, (_c, fn) in aggs.items()
+        ]
+    )
+
+
+def salted_broadcast_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_cols: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where the probe side's ``key`` distribution is skewed:
+    build rows explode into n_salts copies keyed (key, salt); probe rows
+    take one deterministic salt — a hot probe key spreads over n_salts
+    reducers instead of one. Exact same rows as probe.join(build, key).
+
+    ``salt_cols``: probe columns hashed for the salt (default: all probe
+    columns except the key — row-identity spread)."""
+    salt_cols = salt_cols or [c for c in probe.columns if c != key]
+    if not salt_cols:
+        raise ValueError("need at least one non-key probe column to salt on")
+    b = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    p = probe.withColumn("__salt", _salt(salt_cols, n_salts))
+    return p.join(b, [key, "__salt"], how).drop("__salt")
