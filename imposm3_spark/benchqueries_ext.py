@@ -627,6 +627,41 @@ def orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_zorder(bits: int = 8) -> str:
+    cells = (1 << bits) - 1
+    terms = " + ".join(
+        f"(((qx >> {b}) & 1) * {1 << (2 * b)}) + (((qy >> {b}) & 1) * {1 << (2 * b + 1)})"
+        for b in range(bits)
+    )
+    return f"""
+    WITH q AS (
+      SELECT event_id,
+        CAST(round(least(greatest((value - 0.0) / 1000.0, 0.0), 1.0) * {cells}.0) AS BIGINT) AS qx,
+        CAST(round(least(greatest((CAST(user_id % 1000 AS DOUBLE) - 0.0) / 1000.0, 0.0), 1.0) * {cells}.0) AS BIGINT) AS qy
+      FROM events WHERE event_id < 3000
+    )
+    SELECT event_id, CAST({terms} AS BIGINT) AS zkey FROM q
+    """
+
+
+@register("osm_zorder_key", _sql_zorder())
+def osm_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key as a pure expression tree (geom/spatial_index) —
+    the write-path clustering key that makes parquet row-group min/max
+    stats prune spatial bbox queries at 100 TB. Value-checked bit-for-bit
+    against the same interleave in SQL."""
+    from imposm3_spark.geom.spatial_index import zorder_key
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    key = zorder_key(
+        F.col("value"),
+        (F.col("user_id") % 1000).cast("double"),
+        bbox=(0.0, 0.0, 1000.0, 1000.0),
+        bits=8,
+    )
+    return ev.select("event_id", key.alias("zkey"))
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering: connected components over the pair graph
 # ---------------------------------------------------------------------------
