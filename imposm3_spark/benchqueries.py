@@ -1593,6 +1593,119 @@ def tpch_q22_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q2_mincost",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             min(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+      FROM ps, supplier, nation, region
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
+           p_partkey, p_type, round(ps_supplycost, 4) AS cost
+    FROM eu JOIN part ON p_partkey = ps_partkey
+    WHERE p_size <= 15 AND p_type = 'STANDARD'
+      AND ps_supplycost = (SELECT min(e2.ps_supplycost) FROM eu e2
+                           WHERE e2.ps_partkey = eu.ps_partkey)
+    ORDER BY acctbal DESC, s_name, p_partkey LIMIT 100
+    """,
+)
+def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier: correlated MIN subquery -> window-min over
+    the region-restricted part-supplier set, then equality filter. The
+    part-supplier relation (no partsupp table in the testdata) is derived
+    from lineitem as min unit price per (partkey, suppkey) — one fact-side
+    aggregation; everything after it is broadcast-joined dimension work.
+    Cost at scale: one shuffle on (partkey, suppkey) for the ps aggregate +
+    one narrower shuffle on partkey for the correlated-min window — both on
+    the already-aggregated (much smaller) part-supplier set, never a second
+    pass over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    eu_supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu = ps.join(F.broadcast(eu_supp), ps["ps_suppkey"] == F.col("s_suppkey"))
+    w = Window.partitionBy("ps_partkey")
+    best = eu.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
+    return (
+        best.join(
+            F.broadcast(p.filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("ps_supplycost", 4).alias("cost"),
+        )
+        .orderBy(F.desc("acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_stock",
+    """
+    WITH v AS (
+      SELECT l_partkey AS pk, sum(l_extendedprice * (1 - l_discount)) AS val
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_7'
+      GROUP BY 1
+    )
+    SELECT pk, round(val, 2) AS value
+    FROM v WHERE val > (SELECT sum(val) * 0.001 FROM v)
+    ORDER BY value DESC, pk
+    """,
+)
+def tpch_q11_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock: per-part value for one nation's suppliers,
+    HAVING value > fraction-of-global-total (scalar subquery). Spark shape:
+    one shuffle agg on partkey; the global total is a second agg over the
+    SAME cached aggregate (tiny) cross-joined back as a broadcast literal —
+    the fact table is scanned once, not twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    supp7 = (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+            s["s_nationkey"] == n["n_nationkey"],
+            "left_semi",
+        ).select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(supp7), li["l_suppkey"] == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"))
+        .localCheckpoint(eager=False)
+    )
+    total = v.agg((F.sum("val") * 0.001).alias("threshold"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select("pk", F.round("val", 2).alias("value"))
+        .orderBy(F.desc("value"), F.asc("pk"))
+    )
+
+
 # round-2 extended surface registers itself into QUERIES/ORACLES on import
 from imposm3_spark import benchqueries_ext as _ext  # noqa: E402,F401
 from imposm3_spark import benchqueries_media as _media  # noqa: E402,F401
