@@ -820,3 +820,169 @@ def doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ["QUERIES", "ORACLES"]
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation surface (round 2): decontamination, deterministic
+# sampling, PII scrubbing, vocabulary building, embedding quantization
+# ---------------------------------------------------------------------------
+
+from imposm3_spark.datapipe.dedup import decontaminate  # noqa: E402
+from imposm3_spark.datapipe.sampling import stratified_quota  # noqa: E402
+from imposm3_spark.datapipe.similarity import quantize_int8  # noqa: E402
+from imposm3_spark.datapipe.text import normalize_text, scrub_pii, tokens  # noqa: E402
+
+
+@register(
+    "doc_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tokens
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(tokens) - 2, 0) + 1),
+        i -> array_to_string(tokens[i:i+2], ' '))) AS shs
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0
+    ), corp AS (
+      SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT doc_id, count(*) AS n_shared
+    FROM corp WHERE s IN (SELECT s FROM bench)
+    GROUP BY doc_id
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 3-gram with
+    the held-out benchmark slice (doc_id % 97 == 0 stands in for the eval
+    set). Broadcast semi-join of corpus shingles against the (tiny,
+    distinct) benchmark shingle set — no corpus-wide shuffle; see
+    datapipe.dedup.decontaminate."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, shingle_k=3)
+
+
+@register(
+    "doc_sample_stratified",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id % 4294967296) * 2654435761) % 4294967296, doc_id
+             ) AS rk
+      FROM documents) t
+    WHERE rk <= 50
+    """,
+)
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: at most 50 docs per source,
+    selected by multiplicative-hash order (engine-independent, partition-
+    independent, reproducible — no random()). One exchange on the stratum
+    key; see datapipe.sampling.stratified_quota."""
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_quota(docs, "source", "doc_id", 50).select("doc_id", "source")
+
+
+@register(
+    "doc_scrub",
+    """
+    WITH payload AS (
+      SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+               || ' uid:' || CAST(doc_id * 1000000 + 123456 AS VARCHAR)
+               || ' mail u' || CAST(doc_id AS VARCHAR)
+               || '@ex.co visit https://ex.co/p/' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, 'https?://[^ \\t\\n]+', '<URL>', 'g'),
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS clean
+    FROM payload
+    """,
+)
+def doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize + PII-scrub: whitespace-collapse/lowercase, then redact
+    URLs, emails, and long digit runs with typed placeholders. The synthetic
+    corpus carries no PII, so a deterministic uid/email/url suffix derived
+    from doc_id is appended first — every row then exercises all three
+    redaction patterns, and the oracle verifies the exact regex semantics
+    engine-independently. Pure expressions: scan-speed, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        normalize_text(F.col("text")),
+        F.lit(" uid:"),
+        (F.col("doc_id") * 1000000 + 123456).cast("string"),
+        F.lit(" mail u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.co visit https://ex.co/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select("doc_id", scrub_pii(payload).alias("clean"))
+
+
+@register(
+    "doc_vocab_topk",
+    """
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ) t
+    GROUP BY token ORDER BY n DESC, token LIMIT 100
+    """,
+)
+def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide token frequencies, top-100 by count
+    (ties broken by token for a total order). One explode + one shuffle on
+    the token — map-side partial aggregation keeps the exchange to distinct
+    tokens per partition, and the top-k is a tiny driver-side sort. This is
+    the counting half of a BPE/vocab trainer."""
+    docs = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+
+
+@register(
+    "emb_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS mx
+      FROM v
+    )
+    SELECT vec_id,
+           list_transform(e, x -> CAST(floor(
+             x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0 END) + 0.5) AS INT)) AS qvec,
+           CAST(floor((CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0 END) * 1e6 + 0.5) AS BIGINT) AS scale_e6
+    FROM m
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the storage half of a
+    quantized ANN index): q_i = floor(v_i * 127/max|v| + 0.5). Explicit
+    half-up floor arithmetic — bit-identical across engines, no round()
+    dialect dependence. Scan-speed, zero shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q, scale = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        q.alias("qvec"),
+        F.floor(scale * 1e6 + F.lit(0.5)).cast("bigint").alias("scale_e6"),
+    )

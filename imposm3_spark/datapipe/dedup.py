@@ -345,3 +345,40 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
     return j
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents that share any word
+    k-gram with a held-out benchmark/eval set (the standard n-gram-overlap
+    contamination test run before training).
+
+    Returns (id_col, n_shared) for contaminated corpus docs only — callers
+    anti-join this against the corpus to drop them.
+
+    Scale design: the benchmark side is eval-set-sized (thousands of docs),
+    so its distinct shingle set broadcasts; the corpus side is one
+    scan-speed shingle projection + explode, and the join is a broadcast
+    hash join — no corpus-wide shuffle at all. The only aggregation is the
+    per-doc match count, a shuffle on contaminated doc ids (tiny).
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh")
+        )
+        .distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -361,3 +361,18 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("cand_id").alias("vec_id"), "rank", "sim")
     )
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Symmetric int8 quantization of a float vector: scale = 127/max|v|,
+    q_i = floor(v_i * scale + 0.5) (explicit half-up — identical in every
+    engine, unlike round()'s dialect-dependent tie behavior). Returns
+    (quantized array<int>, scale as double). Zero vectors quantize to all
+    zeros with scale 0. Pure expression — at 100 TB this runs at scan
+    speed with no shuffle; it is the storage-side half of a quantized ANN
+    index (the query side rescales by 1/scale)."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    m = F.array_max(F.transform(v, F.abs))
+    scale = F.when(m > 0, F.lit(127.0) / m).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    return q, scale

@@ -122,3 +122,26 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+# PII-scrub patterns — deliberately simple regexes valid in BOTH Java
+# (Spark) and RE2 (DuckDB/Go) dialects: no backrefs, no lookaround
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+URL_RE = "https?://[^ \\t\\n]+"
+LONG_NUM_RE = "[0-9]{6,}"
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for dedup/fingerprinting: lowercase, trim, collapse
+    whitespace runs to single spaces. Pure expression, scan-speed."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact email addresses, URLs, and long digit runs (ids, phone
+    numbers, credit cards) with typed placeholder tokens — the standard
+    pre-training scrub pass. Order matters: URLs first (they may contain
+    digit runs), then emails, then bare digit runs."""
+    t = F.regexp_replace(text, URL_RE, "<URL>")
+    t = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(t, LONG_NUM_RE, "<NUM>")

@@ -1,0 +1,135 @@
+"""Tests for the training-data curation ops added in round 2: deterministic
+sampling, benchmark decontamination, PII scrubbing, int8 quantization."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from imposm3_spark.datapipe.dedup import decontaminate
+from imposm3_spark.datapipe.sampling import det_hash, hash_sample, stratified_quota
+from imposm3_spark.datapipe.similarity import quantize_int8
+from imposm3_spark.datapipe.text import normalize_text, scrub_pii
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+class TestSampling:
+    def test_hash_sample_deterministic_and_partition_independent(self, spark):
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = sorted(r.doc_id for r in hash_sample(df, "doc_id", 10).collect())
+        b = sorted(
+            r.doc_id
+            for r in hash_sample(df.repartition(7), "doc_id", 10).collect()
+        )
+        assert a == b
+        # roughly 10% (multiplicative hash is well-mixed)
+        assert 120 <= len(a) <= 280
+
+    def test_hash_sample_nested_rates(self, spark):
+        # a 5% sample must be a subset of the 20% sample (same hash, same
+        # modulus — rate changes never reshuffle the selection)
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        s5 = {r.doc_id for r in hash_sample(df, "doc_id", 5).collect()}
+        s20 = {r.doc_id for r in hash_sample(df, "doc_id", 20).collect()}
+        assert s5 <= s20
+
+    def test_stratified_quota_caps_each_stratum(self, spark):
+        rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(300)]
+        out = stratified_quota(_docs(spark, rows), "source", "doc_id", 7).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, []).append(r.doc_id)
+        assert all(len(v) == 7 for v in by_src.values())
+        # deterministic: re-running picks the identical rows
+        out2 = stratified_quota(
+            _docs(spark, rows).repartition(5), "source", "doc_id", 7
+        ).collect()
+        assert sorted((r.source, r.doc_id) for r in out) == sorted(
+            (r.source, r.doc_id) for r in out2
+        )
+
+    def test_quota_smaller_stratum_kept_whole(self, spark):
+        rows = [{"doc_id": i, "source": "only"} for i in range(4)]
+        out = stratified_quota(_docs(spark, rows), "source", "doc_id", 10).collect()
+        assert len(out) == 4
+
+    def test_det_hash_matches_python(self, spark):
+        df = spark.range(0, 50).select(det_hash(F.col("id")).alias("h"), "id")
+        for r in df.collect():
+            assert r.h == (r.id % 4294967296) * 2654435761 % 4294967296
+
+
+class TestDecontaminate:
+    def test_overlapping_doc_flagged(self, spark):
+        corpus = _docs(
+            spark,
+            [
+                {"doc_id": 1, "text": "the quick brown fox jumps high"},
+                {"doc_id": 2, "text": "completely unrelated words here now"},
+            ],
+        )
+        bench = _docs(spark, [{"doc_id": 99, "text": "quick brown fox climbs"}])
+        out = {r.doc_id: r.n_shared for r in decontaminate(corpus, bench).collect()}
+        # doc 1 shares the 3-gram "quick brown fox"; doc 2 shares nothing
+        assert out == {1: 1}
+
+    def test_short_docs_have_no_shingles(self, spark):
+        corpus = _docs(spark, [{"doc_id": 1, "text": "two words"}])
+        bench = _docs(spark, [{"doc_id": 9, "text": "two words"}])
+        assert decontaminate(corpus, bench).count() == 0
+
+    def test_shared_count_is_distinct_shingles(self, spark):
+        # repeated shingle in the corpus doc counts once (array_distinct)
+        corpus = _docs(spark, [{"doc_id": 1, "text": "a b c x a b c"}])
+        bench = _docs(spark, [{"doc_id": 9, "text": "a b c"}])
+        out = decontaminate(corpus, bench).collect()
+        assert [(r.doc_id, r.n_shared) for r in out] == [(1, 1)]
+
+
+class TestScrub:
+    def test_redacts_all_three_kinds(self, spark):
+        df = _docs(
+            spark,
+            [
+                {
+                    "doc_id": 1,
+                    "text": "Call  ME at 5551234567 or bob.smith+x@corp.example.org "
+                    "see https://example.com/a?b=1 ok",
+                }
+            ],
+        )
+        out = df.select(
+            scrub_pii(normalize_text(F.col("text"))).alias("clean")
+        ).collect()[0].clean
+        assert "<NUM>" in out and "<EMAIL>" in out and "<URL>" in out
+        assert "5551234567" not in out
+        assert "@corp" not in out
+        assert "https://" not in out
+        # normalize collapsed the double space and lowercased
+        assert "call me at" in out
+
+    def test_short_digit_runs_kept(self, spark):
+        df = _docs(spark, [{"doc_id": 1, "text": "room 12345 floor 9"}])
+        out = df.select(scrub_pii(F.col("text")).alias("c")).collect()[0].c
+        assert out == "room 12345 floor 9"
+
+
+class TestQuantize:
+    def test_roundtrip_error_bounded(self, spark):
+        df = _docs(
+            spark,
+            [{"vec_id": 1, "embedding": [0.5, -1.0, 0.25, 0.0]}],
+        )
+        q, scale = quantize_int8(F.col("embedding"))
+        r = df.select(q.alias("q"), scale.alias("s")).collect()[0]
+        assert max(abs(x) for x in r.q) == 127
+        # dequantized values within half a quantization step
+        for orig, qi in zip([0.5, -1.0, 0.25, 0.0], r.q):
+            assert abs(orig - qi / r.s) <= 0.5 / r.s + 1e-12
+
+    def test_zero_vector(self, spark):
+        df = _docs(spark, [{"vec_id": 1, "embedding": [0.0, 0.0]}])
+        q, scale = quantize_int8(F.col("embedding"))
+        r = df.select(q.alias("q"), scale.alias("s")).collect()[0]
+        assert r.q == [0, 0] and r.s == 0.0
