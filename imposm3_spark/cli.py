@@ -32,12 +32,14 @@ VERSION = "0.2.0"
 STATE_DIRS = ("nodes", "ways", "relations")
 
 
-def _read_source(spark, path: str):
+def _read_source(spark, path: str, mapping=None):
     from imposm3_spark.sources.osm_xml import read_osm_xml
     from imposm3_spark.sources.pbf import read_pbf
 
     if path.endswith(".pbf"):
-        return read_pbf(spark, path)
+        # push the mapping-derived tag prefilter into the decode tasks
+        # (reference parity: reader-side filter.go before caching)
+        return read_pbf(spark, path, mapping=mapping)
     return read_osm_xml(spark, path)
 
 
@@ -78,7 +80,7 @@ def cmd_import(args) -> int:
 
     spark = _build_spark(args)
     mapping = load_mapping(args.mapping)
-    nodes, ways, rels = _read_source(spark, args.read)
+    nodes, ways, rels = _read_source(spark, args.read, mapping=mapping)
     pipe = ImportPipeline(mapping, srid=args.srid, limiter=_limiter(args))
     tables = pipe.run(nodes, ways, rels)
 

@@ -395,9 +395,16 @@ def scan_blobs(path: str) -> list[tuple[str, int, int]]:
 
 
 def read_pbf(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, mapping=None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Distributed PBF read: one decode task per OSMData blob."""
+    """Distributed PBF read: one decode task per OSMData blob.
+
+    With ``mapping``, the mapping-derived tag prefilter is PUSHED INTO the
+    decode task (reference parity: the reader applies mapping/filter.go
+    before caching, reader/reader.go:124,166,238) — unreferenced tags are
+    dropped before rows are serialized to the JVM, so the Python->Arrow
+    transfer and every downstream shuffle carry only needed keys. Semantics
+    match mapping.matcher.tag_prefilter_expr (pinned by tests)."""
     path = str(Path(path).absolute())
     index = [(off, size) for btype, off, size in scan_blobs(path) if btype == "OSMData"]
     if not index:
@@ -409,12 +416,29 @@ def read_pbf(
     n_slices = min(len(index), max(2, spark.sparkContext.defaultParallelism))
     blobs_rdd = spark.sparkContext.parallelize(index, n_slices)
 
+    if mapping is not None:
+        from imposm3_spark.mapping.matcher import python_tag_filter
+
+        nf = python_tag_filter(mapping, "node")
+        wf = python_tag_filter(mapping, "way")
+        rf = python_tag_filter(mapping, "relation")
+    else:
+        nf = wf = rf = None
+
     def decode_partition(items):
         with open(path, "rb") as fh:
             for off, size in items:
                 fh.seek(off)
                 block = _decompress_blob(fh.read(size))
-                yield decode_primitive_block(block)
+                nodes, ways, rels = decode_primitive_block(block)
+                if nf is not None:
+                    nodes = [
+                        (i, lon, lat, nf(t) if t else t, m)
+                        for i, lon, lat, t, m in nodes
+                    ]
+                    ways = [(i, refs, wf(t) if t else t, m) for i, refs, t, m in ways]
+                    rels = [(i, mem, rf(t) if t else t, m) for i, mem, t, m in rels]
+                yield nodes, ways, rels
 
     decoded = blobs_rdd.mapPartitions(decode_partition)
 

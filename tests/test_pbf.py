@@ -126,3 +126,35 @@ def test_metadata_roundtrip(spark, tmp_path):
     write_pbf(str(plain), [(7, 1.0, 2.0, {})], [], [])
     n3, _, _ = read_pbf(spark, str(plain))
     assert n3.collect()[0]["metadata"] is None
+
+
+def test_mapping_pushdown_matches_expression_prefilter(spark, pbf_path):
+    """read_pbf(mapping=...) must drop exactly the tags that
+    tag_prefilter_expr drops — source pushdown and expression prefilter are
+    two implementations of one semantic (mapping/filter.go)."""
+    from imposm3_spark.mapping import load_mapping
+    from imposm3_spark.mapping.matcher import tag_prefilter_expr
+
+    path, _ = pbf_path
+    m = load_mapping("/root/reference/test/complete_db_mapping.json")
+
+    plain_n, plain_w, plain_r = read_pbf(spark, path)
+    push_n, push_w, push_r = read_pbf(spark, path, mapping=m)
+
+    for kind, plain, pushed in (
+        ("node", plain_n, push_n),
+        ("way", plain_w, push_w),
+        ("relation", plain_r, push_r),
+    ):
+        expr_side = {
+            r["id"]: dict(r["t"])
+            for r in plain.select(
+                "id", tag_prefilter_expr(m, kind, F.col("tags")).alias("t")
+            ).collect()
+        }
+        push_side = {r["id"]: dict(r["tags"]) for r in pushed.collect()}
+        assert push_side == expr_side, kind
+
+    # pushdown keeps row counts (tagless rows remain as coords)
+    assert push_n.count() == plain_n.count()
+    assert push_w.count() == plain_w.count()
