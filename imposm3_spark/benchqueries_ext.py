@@ -986,3 +986,59 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("qvec"),
         F.floor(scale * 1e6 + F.lit(0.5)).cast("bigint").alias("scale_e6"),
     )
+
+
+from imposm3_spark.datapipe.dedup import repetition_stats  # noqa: E402
+
+
+@register(
+    "doc_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tokens
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(tokens) AS n_tokens,
+             CASE WHEN len(tokens) > 0
+                  THEN CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens)
+                  ELSE 1.0 END AS distinct_ratio,
+             greatest(len(tokens) - 1, 0) AS n_bigrams
+      FROM toks
+    ), tok_max AS (
+      SELECT doc_id, max(c) AS max_tok FROM (
+        SELECT doc_id, t, count(*) AS c FROM (
+          SELECT doc_id, unnest(tokens) AS t FROM toks) u
+        GROUP BY doc_id, t) g
+      GROUP BY doc_id
+    ), bg_max AS (
+      SELECT doc_id, max(c) AS max_bg FROM (
+        SELECT doc_id, b, count(*) AS c FROM (
+          SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(tokens) - 1, 0) + 1),
+            i -> array_to_string(tokens[i:i+1], ' '))) AS b
+          FROM toks) u
+        GROUP BY doc_id, b) g
+      GROUP BY doc_id
+    )
+    SELECT base.doc_id, n_tokens,
+           round(distinct_ratio, 6) AS distinct_ratio,
+           CASE WHEN n_tokens > 0
+                THEN round(CAST(coalesce(max_tok, 0) AS DOUBLE) / n_tokens, 6)
+                ELSE 0.0 END AS top_token_frac,
+           CASE WHEN n_bigrams > 0
+                THEN round(CAST(coalesce(max_bg, 0) AS DOUBLE) / n_bigrams, 6)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM base
+      LEFT JOIN tok_max ON base.doc_id = tok_max.doc_id
+      LEFT JOIN bg_max  ON base.doc_id = bg_max.doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 repetition quality signals: distinct-token ratio
+    (expression-only), most-frequent-token fraction, most-frequent-bigram
+    fraction (explode + two-level agg — the linear, spillable shape; see
+    datapipe.dedup.repetition_stats)."""
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs)

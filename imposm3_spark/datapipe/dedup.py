@@ -382,3 +382,69 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document:
+
+    - ``distinct_ratio``   distinct tokens / tokens (expression, no shuffle)
+    - ``top_token_frac``   occurrences of the most frequent token / tokens
+    - ``top_bigram_frac``  occurrences of the most frequent word bigram /
+                           total bigrams
+
+    The top-k fractions need per-(doc, term) counts: explode + two-level
+    aggregation, i.e. shuffles keyed on (doc, term) then doc. That is the
+    scalable shape — the O(n^2)-per-doc alternative (array_transform
+    counting occurrences of each distinct token inside the row) blows up
+    on long documents, while the explode path is linear and spills.
+    Repetitious machine-generated text scores distinct_ratio low and
+    top_*_frac high; the standard Gopher cut is roughly
+    top_bigram_frac > 0.18 or distinct_ratio < 0.5.
+    """
+    from imposm3_spark.datapipe.text import distinct_token_ratio, tokens
+
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n_tokens"),
+        distinct_token_ratio(F.col(text_col)).alias("distinct_ratio"),
+        F.greatest(
+            F.size(tokens(F.lower(F.col(text_col)))) - 1, F.lit(0)
+        ).alias("n_bigrams"),
+    )
+    tok_max = (
+        df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("max_tok"))
+    )
+    bg_max = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), 2)).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("max_bg"))
+    )
+    return (
+        base.join(tok_max, id_col, "left")
+        .join(bg_max, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round("distinct_ratio", 6).alias("distinct_ratio"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.coalesce(F.col("max_tok"), F.lit(0)).cast("double") / F.col("n_tokens"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_token_frac"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(F.coalesce(F.col("max_bg"), F.lit(0)).cast("double") / F.col("n_bigrams"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )

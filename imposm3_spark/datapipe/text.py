@@ -145,3 +145,13 @@ def scrub_pii(text: Column) -> Column:
     t = F.regexp_replace(text, URL_RE, "<URL>")
     t = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(t, LONG_NUM_RE, "<NUM>")
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """Gopher-style repetition signal: distinct tokens / total tokens.
+    Pure expression (scan-speed); low values mean heavy repetition."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    return F.when(n > 0, F.size(F.array_distinct(toks)).cast("double") / n).otherwise(
+        F.lit(1.0)
+    )

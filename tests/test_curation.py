@@ -133,3 +133,24 @@ class TestQuantize:
         q, scale = quantize_int8(F.col("embedding"))
         r = df.select(q.alias("q"), scale.alias("s")).collect()[0]
         assert r.q == [0, 0] and r.s == 0.0
+
+
+class TestRepetition:
+    def test_repetitious_doc_flagged(self, spark):
+        from imposm3_spark.datapipe.dedup import repetition_stats
+
+        df = _docs(
+            spark,
+            [
+                {"doc_id": 1, "text": "spam spam spam spam"},
+                {"doc_id": 2, "text": "all words here differ fully"},
+                {"doc_id": 3, "text": ""},
+            ],
+        )
+        out = {r.doc_id: r for r in repetition_stats(df).collect()}
+        assert out[1].distinct_ratio == 0.25
+        assert out[1].top_token_frac == 1.0
+        assert out[1].top_bigram_frac == 1.0  # "spam spam" x3 of 3 bigrams
+        assert out[2].distinct_ratio == 1.0
+        assert out[2].top_token_frac == 0.2
+        assert out[3].n_tokens == 0 and out[3].top_token_frac == 0.0
