@@ -203,3 +203,47 @@ def test_lsh_neardup_no_broadcast_of_corpus(spark):
     assert "toPandas" not in src and ".collect(" not in src
     plan = _executed_plan(bq.QUERIES["emb_lsh_neardup"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Decontamination's benchmark shingle set is eval-set-sized; the
+    corpus-side check must be a broadcast semi-join, never a shuffle of
+    the exploded corpus shingles on the shingle key (corpus-wide text
+    shuffle — the thing the design exists to avoid)."""
+    plan = _executed_plan(bq.QUERIES["doc_decontaminate"](spark, SF_DIR)).split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # allowed exchanges: the (tiny) benchmark-side distinct and the final
+    # per-doc count agg — NOT a corpus-side shuffle on the shingle key
+    n = _optimized_count(plan, "Exchange hashpartitioning")
+    assert n <= 2, f"corpus shingles must not shuffle; got {n} hash exchanges"
+
+
+def test_scrub_and_quantize_zero_shuffle(spark):
+    """PII scrubbing and int8 quantization are pure projections — any
+    exchange would mean they stopped running at scan speed."""
+    for q in ("doc_scrub", "emb_quantize"):
+        plan = _executed_plan(bq.QUERIES[q](spark, SF_DIR))
+        assert "Exchange" not in plan, q
+
+
+def test_vocab_topk_partial_agg(spark):
+    """Vocabulary counting must partial-aggregate map-side (HashAggregate
+    before the exchange) so the token shuffle carries distinct tokens per
+    partition, not every token occurrence."""
+    plan = _executed_plan(bq.QUERIES["doc_vocab_topk"](spark, SF_DIR))
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_stratified_sample_single_exchange(spark):
+    """Deterministic stratified sampling: one exchange on the stratum key
+    for the window, nothing else."""
+    plan = _executed_plan(bq.QUERIES["doc_sample_stratified"](spark, SF_DIR)).split(
+        "== Initial Plan =="
+    )[0]
+    n = _optimized_count(plan, "Exchange hashpartitioning")
+    assert n == 1, f"expected exactly 1 exchange (stratum window), got {n}"
+    assert "CartesianProduct" not in plan
