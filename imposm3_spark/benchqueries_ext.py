@@ -611,16 +611,18 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted replicate join: orders rows explode 16x keyed (orderkey,
+    """Salted replicate join: orders rows explode 8x keyed (orderkey,
     salt); each lineitem takes one deterministic salt — a hot orderkey
-    spreads over 16 reducers. Result must equal the plain join exactly."""
+    spreads over 8 reducers. Result must equal the plain join exactly.
+    (Full replication is the blunt instrument; see orders_hotkey_join for
+    the measured-skew split that pays nothing on cold keys.)"""
     from imposm3_spark.datapipe import skew
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = skew.salted_broadcast_join(li, o, key="l_orderkey", n_salts=16)
+    joined = skew.salted_broadcast_join(li, o, key="l_orderkey", n_salts=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
@@ -1042,3 +1044,33 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     datapipe.dedup.repetition_stats)."""
     docs = _t(spark, sf_dir, "documents")
     return repetition_stats(docs)
+
+
+@register(
+    "orders_hotkey_join",
+    """
+    SELECT o_orderpriority, count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_hotkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key split join (the production skew remedy): keys whose measured
+    probe frequency exceeds the threshold route to a broadcast join of
+    their (tiny) build slice; everything else is a plain shuffle join. On
+    unskewed data — like this one — the hot set is empty and the query
+    costs a plain join plus one 1%-sample detection pass; on skewed data
+    the straggler key never lands on a single reducer. Exact same rows as
+    the plain join either way (that is what this oracle checks)."""
+    from imposm3_spark.datapipe import skew
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = skew.hot_key_join(li, o, key="l_orderkey", threshold=100_000)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

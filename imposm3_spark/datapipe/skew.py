@@ -90,3 +90,67 @@ def salted_broadcast_join(
     ).withColumn("__salt", F.col("__salt").cast("int"))
     p = probe.withColumn("__salt", _salt(salt_cols, n_salts))
     return p.join(b, [key, "__salt"], how).drop("__salt")
+
+
+def hot_keys(
+    probe: DataFrame,
+    key: str,
+    threshold: int,
+    sample_mod: int = 100,
+) -> DataFrame:
+    """Estimate the probe keys whose row count exceeds ``threshold``.
+
+    Counts a deterministic 1/``sample_mod`` hash-sample of the probe (so
+    the detection pass shuffles ~1% of one column, not the table) and
+    scales up. The hash covers the WHOLE row, not the key — hashing the
+    key alone would sample 1% of keys (all-or-nothing per key) instead of
+    1% of each key's rows. The result is small by construction: at most
+    rows/threshold keys can exceed the threshold."""
+    s = probe.filter(
+        F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(sample_mod)) == 0
+    )
+    return (
+        s.groupBy(key)
+        .agg((F.count("*") * sample_mod).alias("est"))
+        .filter(F.col("est") > threshold)
+        .select(key)
+    )
+
+
+def hot_key_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    threshold: int = 1_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-immune equi-join that pays nothing on cold keys.
+
+    The full-replication salted join (salted_broadcast_join) multiplies
+    the ENTIRE build side by n_salts — wasteful when skew is confined to
+    a handful of keys, which is what real skew looks like. This splits by
+    measured key frequency instead:
+
+    - cold keys: plain shuffle join (AQE handles residual imbalance);
+    - hot keys:  the build rows for hot keys are AT MOST a few rows per
+      hot key times a bounded hot-key count — broadcast them and join
+      WITHOUT shuffling the (huge, skewed) hot probe slice at all.
+
+    The union is exactly probe JOIN build. The hot-key set is computed
+    from a deterministic 1% hash-sample (one cheap pass); `threshold` is
+    the per-key probe row count above which a key routes to the broadcast
+    path — size it near rows-per-task (a key under it cannot straggle a
+    task by more than ~1 task's work).
+
+    Only inner/left joins are safe to split this way (the split is on the
+    probe key value; right/full outer would need build-side accounting).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("hot_key_join supports inner/left joins")
+    hk = F.broadcast(hot_keys(probe, key, threshold))
+    probe_hot = probe.join(hk, key, "left_semi")
+    probe_cold = probe.join(hk, key, "left_anti")
+    build_hot = build.join(hk, key, "left_semi")
+    cold = probe_cold.join(build, key, how)
+    hot = probe_hot.join(F.broadcast(build_hot), key, how)
+    return cold.unionByName(hot)
