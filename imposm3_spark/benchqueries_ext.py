@@ -877,7 +877,8 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              row_number() OVER (
                PARTITION BY source
-               ORDER BY ((doc_id % 4294967296) * 2654435761) % 4294967296, doc_id
+               ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                        doc_id
              ) AS rk
       FROM documents) t
     WHERE rk <= 50
@@ -885,9 +886,9 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: at most 50 docs per source,
-    selected by multiplicative-hash order (engine-independent, partition-
-    independent, reproducible — no random()). One exchange on the stratum
-    key; see datapipe.sampling.stratified_quota."""
+    selected by md5-hash order (engine-independent, partition-independent,
+    reproducible — no random()). One exchange on the stratum key; see
+    datapipe.sampling.stratified_quota."""
     docs = _t(spark, sf_dir, "documents")
     return stratified_quota(docs, "source", "doc_id", 50).select("doc_id", "source")
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 
 def _salt(cols: list[str], n_salts: int) -> Column:
@@ -97,17 +98,37 @@ def hot_keys(
     key: str,
     threshold: int,
     sample_mod: int = 100,
+    sample_cols: list[str] | None = None,
 ) -> DataFrame:
     """Estimate the probe keys whose row count exceeds ``threshold``.
 
     Counts a deterministic 1/``sample_mod`` hash-sample of the probe (so
     the detection pass shuffles ~1% of one column, not the table) and
-    scales up. The hash covers the WHOLE row, not the key — hashing the
-    key alone would sample 1% of keys (all-or-nothing per key) instead of
-    1% of each key's rows. The result is small by construction: at most
-    rows/threshold keys can exceed the threshold."""
+    scales up.
+
+    ``sample_cols`` picks the columns hashed for the sample — default:
+    every hashable (non-map) column. The hash must VARY WITHIN a key:
+    hashing the key alone samples 1% of keys all-or-nothing, and a probe
+    projected down to columns that repeat per key has the same failure
+    (identical rows always hash together — with sample_mod=100 such a key
+    is invisible 99% of the time). When the probe carries no per-row
+    distinguishing column, pass sample_cols=[<a unique id>] or add one
+    upstream; the function raises if only the key itself is available."""
+    if sample_cols is None:
+        hashable = [
+            f.name
+            for f in probe.schema.fields
+            if not isinstance(f.dataType, MapType)
+        ]
+        sample_cols = [c for c in hashable if c != key] or hashable
+    if sample_cols == [key]:
+        raise ValueError(
+            "hot_keys needs a column that varies within a key to sample on "
+            "(hashing only the key samples keys all-or-nothing); pass "
+            "sample_cols or add a row-id column"
+        )
     s = probe.filter(
-        F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(sample_mod)) == 0
+        F.pmod(F.xxhash64(*[F.col(c) for c in sample_cols]), F.lit(sample_mod)) == 0
     )
     return (
         s.groupBy(key)
@@ -117,12 +138,18 @@ def hot_keys(
     )
 
 
+# above this many hot keys an isin() predicate stops being sensible; the
+# threshold bound (rows/threshold) should keep real workloads far below it
+_MAX_COLLECTED_HOT_KEYS = 10_000
+
+
 def hot_key_join(
     probe: DataFrame,
     build: DataFrame,
     key: str,
     threshold: int = 1_000_000,
     how: str = "inner",
+    sample_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-immune equi-join that pays nothing on cold keys.
 
@@ -136,21 +163,36 @@ def hot_key_join(
       hot key times a bounded hot-key count — broadcast them and join
       WITHOUT shuffling the (huge, skewed) hot probe slice at all.
 
-    The union is exactly probe JOIN build. The hot-key set is computed
-    from a deterministic 1% hash-sample (one cheap pass); `threshold` is
-    the per-key probe row count above which a key routes to the broadcast
-    path — size it near rows-per-task (a key under it cannot straggle a
-    task by more than ~1 task's work).
+    The union is exactly probe JOIN build. Cost: ONE detection pass (a 1%
+    hash-sample aggregation, collected to the driver — bounded by
+    rows/threshold keys) plus the split join; when no key is hot this
+    returns the plain join unchanged, so the overhead on unskewed data is
+    exactly the detection pass. `threshold` is the per-key probe row count
+    above which a key routes to the broadcast path — size it near
+    rows-per-task (a key under it cannot straggle a task by more than ~1
+    task's work). This call is EAGER: the detection sample runs a Spark
+    job immediately.
 
     Only inner/left joins are safe to split this way (the split is on the
     probe key value; right/full outer would need build-side accounting).
     """
     if how not in ("inner", "left"):
         raise ValueError("hot_key_join supports inner/left joins")
-    hk = F.broadcast(hot_keys(probe, key, threshold))
-    probe_hot = probe.join(hk, key, "left_semi")
-    probe_cold = probe.join(hk, key, "left_anti")
-    build_hot = build.join(hk, key, "left_semi")
-    cold = probe_cold.join(build, key, how)
-    hot = probe_hot.join(F.broadcast(build_hot), key, how)
+    hk_rows = [
+        r[0]
+        for r in hot_keys(
+            probe, key, threshold, sample_cols=sample_cols
+        ).limit(_MAX_COLLECTED_HOT_KEYS + 1).collect()
+    ]
+    if not hk_rows:
+        return probe.join(build, key, how)
+    if len(hk_rows) > _MAX_COLLECTED_HOT_KEYS:
+        # degenerate "everything is hot" — splitting buys nothing, and a
+        # broadcast of the hot build slice would no longer be small
+        return probe.join(build, key, how)
+    is_hot = F.col(key).isin(hk_rows)
+    cold = probe.filter(~is_hot).join(build, key, how)
+    hot = probe.filter(is_hot).join(
+        F.broadcast(build.filter(is_hot)), key, how
+    )
     return cold.unionByName(hot)

@@ -258,6 +258,36 @@ def _match_tag_set(mapping: Mapping, table_types: list[str]) -> tuple[set[str], 
     return any_keys, pairs, extra
 
 
+def _prefilter_sets(mapping: Mapping, kind: str) -> tuple[set, dict]:
+    """Shared compilation for the tag prefilter (expression AND pushdown
+    forms): (keep_any key set, {key: allowed-values} pair map) for one
+    element kind. Single source of truth — tag_prefilter_expr and
+    python_tag_filter MUST stay semantically identical (test_pbf.py pins
+    them against each other on a fixture)."""
+    if kind == "node":
+        types = [POINT]
+        extra_types = [POINT, RELATION_MEMBER]
+    elif kind == "way":
+        types = [LINESTRING, POLYGON]
+        extra_types = [LINESTRING, POLYGON, RELATION_MEMBER]
+    else:
+        types = [LINESTRING, POLYGON, RELATION, RELATION_MEMBER]
+        extra_types = types
+    any_keys, pairs, _ = _match_tag_set(mapping, types)
+    _, _, extra = _match_tag_set(mapping, extra_types)
+    if kind == "relation":
+        # keep `type` for common relations — filter.go:46-51
+        pairs = set(pairs) | {
+            ("type", "multipolygon"),
+            ("type", "boundary"),
+            ("type", "land_area"),
+        }
+    by_key: dict[str, set] = {}
+    for pk, pv in pairs:
+        by_key.setdefault(pk, set()).add(pv)
+    return any_keys | extra, by_key
+
+
 def tag_prefilter_expr(mapping: Mapping, kind: str, tags: Column) -> Column:
     """map_filter expression dropping tags no table references (filter.go).
 
@@ -279,33 +309,13 @@ def tag_prefilter_expr(mapping: Mapping, kind: str, tags: Column) -> Column:
 
         return F.map_filter(tags, keep_fn)
 
-    if kind == "node":
-        types = [POINT]
-        extra_types = [POINT, RELATION_MEMBER]
-    elif kind == "way":
-        types = [LINESTRING, POLYGON]
-        extra_types = [LINESTRING, POLYGON, RELATION_MEMBER]
-    else:
-        types = [LINESTRING, POLYGON, RELATION, RELATION_MEMBER]
-        extra_types = types
-
-    any_keys, pairs, _ = _match_tag_set(mapping, types)
-    _, _, extra = _match_tag_set(mapping, extra_types)
-    if kind == "relation":
-        # keep `type` for common relations — filter.go:46-51
-        pairs |= {("type", "multipolygon"), ("type", "boundary"), ("type", "land_area")}
-
-    pair_keys = sorted({k for k, _ in pairs})
-    keep_any = sorted(any_keys | extra)
+    keep_any_set, by_key = _prefilter_sets(mapping, kind)
+    keep_any = sorted(keep_any_set)
 
     def keep_fn(k: Column, v: Column) -> Column:
         keep = k.isin(*keep_any) if keep_any else F.lit(False)
-        # exact (k,v) pairs: build per-key value sets
-        by_key: dict[str, list[str]] = {}
-        for pk, pv in pairs:
-            by_key.setdefault(pk, []).append(pv)
-        for pk in pair_keys:
-            keep = keep | ((k == pk) & v.isin(*by_key[pk]))
+        for pk in sorted(by_key):
+            keep = keep | ((k == pk) & v.isin(*sorted(by_key[pk])))
         return keep
 
     return F.map_filter(tags, keep_fn)
@@ -338,28 +348,7 @@ def python_tag_filter(mapping: Mapping, kind: str):
 
         return keep_load_all
 
-    if kind == "node":
-        types = [POINT]
-        extra_types = [POINT, RELATION_MEMBER]
-    elif kind == "way":
-        types = [LINESTRING, POLYGON]
-        extra_types = [LINESTRING, POLYGON, RELATION_MEMBER]
-    else:
-        types = [LINESTRING, POLYGON, RELATION, RELATION_MEMBER]
-        extra_types = types
-
-    any_keys, pairs, _ = _match_tag_set(mapping, types)
-    _, _, extra = _match_tag_set(mapping, extra_types)
-    if kind == "relation":
-        pairs = set(pairs) | {
-            ("type", "multipolygon"),
-            ("type", "boundary"),
-            ("type", "land_area"),
-        }
-    keep_any = any_keys | extra
-    by_key: dict[str, set] = {}
-    for pk, pv in pairs:
-        by_key.setdefault(pk, set()).add(pv)
+    keep_any, by_key = _prefilter_sets(mapping, kind)
 
     def keep(tags: dict) -> dict:
         return {

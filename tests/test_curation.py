@@ -55,9 +55,23 @@ class TestSampling:
         assert len(out) == 4
 
     def test_det_hash_matches_python(self, spark):
-        df = spark.range(0, 50).select(det_hash(F.col("id")).alias("h"), "id")
+        import hashlib
+
+        # boundary ids included: md5 hashing cannot overflow anywhere
+        ids = list(range(50)) + [2**31 - 1, 2**32 - 1, 2**32, 2**63 - 1]
+        df = spark.createDataFrame([(i,) for i in ids], "id long").select(
+            det_hash(F.col("id")).alias("h"), "id"
+        )
         for r in df.collect():
-            assert r.h == (r.id % 4294967296) * 2654435761 % 4294967296
+            exp = int(hashlib.md5(str(r.id).encode()).hexdigest()[:8], 16)
+            assert r.h == exp
+
+    def test_hash_sample_uniform_on_structured_ids(self, spark):
+        # ids sharing fixed low bits (shard-encoded) — md5 mixing keeps the
+        # rate honest where multiplicative low-bit selection returns 0or 2x
+        df = spark.range(0, 2000).select((F.col("id") * 4 + 2).alias("doc_id"))
+        n = hash_sample(df, "doc_id", 10).count()
+        assert 140 <= n <= 260
 
 
 class TestDecontaminate:
