@@ -1075,3 +1075,99 @@ def orders_hotkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+@register(
+    "doc_clean_sample",
+    """
+    WITH toks AS (
+      SELECT doc_id, text, source,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS tokens
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, text, source,
+             len(tokens) AS n_tok,
+             CASE WHEN len(tokens) > 0
+                  THEN CAST(len(list_filter(list_transform(tokens, t -> lower(t)),
+                       t -> t IN ('the','and','of','to','a','in','is','that'))) AS DOUBLE) / len(tokens)
+                  ELSE 0.0 END AS sw_ratio,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS p_ratio,
+             CASE WHEN len(tokens) > 0
+                  THEN CAST(list_sum(list_transform(tokens, t -> length(t))) AS DOUBLE) / len(tokens)
+                  ELSE 0.0 END AS atl
+      FROM toks
+    ), q AS (
+      SELECT doc_id, text, source FROM feat
+      WHERE (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 0.25 ELSE 0.0 END)
+          + (CASE WHEN sw_ratio > 0.01 THEN 0.25 ELSE 0.0 END)
+          + (CASE WHEN p_ratio < 0.2 THEN 0.25 ELSE 0.0 END)
+          + (CASE WHEN atl BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) >= 0.75
+        AND doc_id % 97 <> 0
+    ), ltoks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tokens
+      FROM documents
+    ), lsh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(tokens) - 2, 0) + 1),
+        i -> array_to_string(tokens[i:i+2], ' '))) AS shs
+      FROM ltoks
+    ), bench AS (
+      SELECT DISTINCT unnest(shs) AS s FROM lsh WHERE doc_id % 97 = 0
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest(shs) AS s FROM lsh WHERE doc_id % 97 <> 0) c
+      WHERE s IN (SELECT s FROM bench)
+    ), clean AS (
+      SELECT q.doc_id, q.source,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(regexp_replace(trim(lower(q.text)), '\\s+', ' ', 'g'),
+                   'https?://[^ \\t\\n]+', '<URL>', 'g'),
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g') AS clean_text
+      FROM q WHERE q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, source, clean_text FROM (
+      SELECT doc_id, source, clean_text,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                        doc_id
+             ) AS rk
+      FROM clean) t
+    WHERE rk <= 40
+    """,
+)
+def doc_clean_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation ops composed end-to-end in one lazy plan: quality gate
+    (expression) -> benchmark decontamination (broadcast semi-join filter)
+    -> normalize + PII scrub (expression) -> deterministic per-source
+    quota sample (one window exchange). Everything before the final
+    window is scan-speed + one broadcast — the composed pipeline keeps the
+    individual operators' physical shapes (no new shuffles appear from
+    composition), which is exactly the property that matters when chaining
+    curation stages over 100 TB."""
+    from imposm3_spark.datapipe.dedup import decontaminate as _decon
+    from imposm3_spark.datapipe.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    q = corpus.filter(quality_score(F.col("text")) >= 0.75)
+    dirty = _decon(corpus, bench, shingle_k=3).select("doc_id")
+    cleaned = (
+        q.join(dirty, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "source",
+            scrub_pii(normalize_text(F.col("text"))).alias("clean_text"),
+        )
+    )
+    return stratified_quota(cleaned, "source", "doc_id", 40).select(
+        "doc_id", "source", "clean_text"
+    )

@@ -247,3 +247,17 @@ def test_stratified_sample_single_exchange(spark):
     n = _optimized_count(plan, "Exchange hashpartitioning")
     assert n == 1, f"expected exactly 1 exchange (stratum window), got {n}"
     assert "CartesianProduct" not in plan
+
+
+def test_clean_sample_composition_adds_no_shuffles(spark):
+    """Composing quality gate -> decontamination -> scrub -> stratified
+    sample must keep the component shapes: the only hash exchanges are the
+    (tiny) benchmark-shingle distinct, the contaminated-id distinct, and
+    the sampling window — the corpus text itself never shuffles."""
+    plan = _executed_plan(bq.QUERIES["doc_clean_sample"](spark, SF_DIR)).split(
+        "== Initial Plan =="
+    )[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    n = _optimized_count(plan, "Exchange hashpartitioning")
+    assert n <= 3, f"composition grew extra shuffles: {n}"
