@@ -41,6 +41,11 @@ from pyspark.sql import functions as F
 # case — well inside executor memory)
 _EDGES_PER_TASK = 2_000_000
 
+# below this many edges the graph is union-found on the DRIVER (one collect
+# of a few MB) instead of spinning up the distributed contraction — the
+# per-level job overhead dwarfs the work for small graphs
+_DRIVER_EDGES = 200_000
+
 
 def _uf_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Union-find over one partition's (a, b) edges -> (node, root) rows."""
@@ -79,6 +84,37 @@ def _cc_on_edges(edges: DataFrame, depth: int = 0) -> DataFrame:
     time, not at first action."""
     edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
+    if n_edges <= _DRIVER_EDGES:
+        # small-graph fast path: the distributed machinery (Python worker
+        # spin-up, repartition, per-level checkpoints) costs seconds of
+        # job overhead while the actual union-find is microseconds.
+        # Collecting <=200k edges is bounded driver memory (a few MB) —
+        # the same bound as the single-task fallback, minus the jobs.
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        seen: set = set()
+        for a, b in edges.collect():
+            seen.add(a)
+            seen.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        typ = dict(edges.dtypes)["a"]
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [(n, find(n)) for n in seen] or [],
+            schema=f"node {typ}, component {typ}",
+        )
     # partitions sized to the GRAPH, deliberately not capped at
     # defaultParallelism: per-task edge count must stay <= _EDGES_PER_TASK
     # (the in-memory union-find dict is the bound), and Spark happily runs

@@ -114,3 +114,31 @@ def test_dedup_representatives(spark):
     pairs = spark.createDataFrame([Row(a_id=0, b_id=3), Row(a_id=3, b_id=4)])
     kept = sorted(r.doc_id for r in dedup_representatives(df, pairs, "doc_id").collect())
     assert kept == [0, 1, 2]  # 3,4 collapse into representative 0
+
+
+def test_connected_components_distributed_path(spark, monkeypatch):
+    """Force the multi-level contraction (driver fast path disabled) and
+    check it labels a long chain + ring + singletons exactly like the
+    reference reachability — the path real 100 TB pair graphs take."""
+    import pandas as pd
+
+    from imposm3_spark.datapipe import cluster as cl
+
+    monkeypatch.setattr(cl, "_DRIVER_EDGES", 0)
+    monkeypatch.setattr(cl, "_EDGES_PER_TASK", 50)  # force multi-partition UF
+
+    # chain 0-1-...-120 (diameter >> level count kills label propagation,
+    # not contraction), a 4-ring, and 10 singletons
+    chain = [(i, i + 1) for i in range(120)]
+    ring = [(200, 201), (201, 202), (202, 203), (203, 200)]
+    edges = spark.createDataFrame(
+        pd.DataFrame(chain + ring, columns=["src", "dst"])
+    )
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"id": list(range(121)) + [200, 201, 202, 203] + list(range(300, 310))})
+    )
+    out = {r.id: r.component for r in cl.connected_components(nodes, edges).collect()}
+    assert all(out[i] == 0 for i in range(121))
+    assert all(out[i] == 200 for i in (200, 201, 202, 203))
+    assert all(out[i] == i for i in range(300, 310))
+    assert len(out) == 121 + 4 + 10
