@@ -90,3 +90,97 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming NEAR-dup: stateful MinHash band registry
+# ---------------------------------------------------------------------------
+
+FLAG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("band_idx", LongType(), False),
+        StructField("first_doc_id", LongType(), False),
+    ]
+)
+
+BAND_STATE_SCHEMA = StructType([StructField("first_doc_id", LongType(), False)])
+
+
+def _band_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per (band_idx, band_key) group: the first document ever to present
+    this band key claims it; every later document colliding on it is
+    flagged against the claimant. Within a batch the lowest doc id wins
+    (deterministic)."""
+    ids: list[int] = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    if not ids:
+        return
+    ids = sorted(set(ids))
+    if state.exists:
+        (first,) = state.get
+        dups = [i for i in ids if i != first]
+    else:
+        first, dups = ids[0], ids[1:]
+        state.update((first,))
+    if dups:
+        yield pd.DataFrame(
+            {
+                "doc_id": dups,
+                "band_idx": [int(key[0])] * len(dups),
+                "first_doc_id": [first] * len(dups),
+            }
+        )
+
+
+def streaming_neardup_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection: a stateful band
+    registry flags every document that collides on any band with an
+    EARLIER document (the streaming analog of datapipe.dedup's
+    minhash_lsh_pairs, with "earlier" defined by arrival order instead of
+    id order).
+
+    Returns the collision stream (doc_id, band_idx, first_doc_id); a doc
+    colliding on several bands appears once per band — consumers drop
+    near-dups with a distinct + anti-join in foreachBatch. Semantics match
+    batch LSH recall: band-collision is the candidate test (no exact
+    verify stage here — a streaming verify would need the claimant's text
+    in state; keep state one long per band key instead and verify the
+    tiny flagged set downstream if precision matters).
+
+    Scale: state is one long per DISTINCT band key — the same cardinality
+    the batch LSH shuffles on; the grouping shuffle is docs x bands rows
+    per micro-batch, partitioned by band key across executors."""
+    from imposm3_spark.datapipe.dedup import lsh_band_keys, minhash_signature, shingles
+
+    sig = minhash_signature(
+        F.array_distinct(shingles(F.col(text_col), shingle_k)), num_hashes
+    )
+    bands = lsh_band_keys(sig, rows_per_band)
+    banded = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(F.array(*bands)).alias("band_idx", "band_key"),
+        )
+        .filter(F.col("band_key").isNotNull())
+        .withColumn("band_idx", F.col("band_idx").cast("long"))
+    )
+    return banded.groupBy("band_idx", "band_key").applyInPandasWithState(
+        _band_group,
+        outputStructType=FLAG_SCHEMA,
+        stateStructType=BAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
