@@ -119,6 +119,70 @@ def cmd_import(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Debug surface S13 (reference `query-cache`, cache/query/query.go:160-205):
+    look up nodes/ways/relations in the persisted element state, optionally
+    with dependents (ways referencing a node, relations referencing a way —
+    the diff-cache reverse indexes) and -full recursion into members.
+    Prints one JSON object shaped like the reference's."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    spark = _build_spark(args)
+    state = _load_state(spark, args.write_parquet)
+
+    def ids(s: str) -> list[int]:
+        return [int(x) for x in s.split(",") if x.strip()] if s else []
+
+    def rows_by_id(df, want: list[int]) -> dict:
+        if not want:
+            return {}
+        found = {r["id"]: r.asDict(recursive=True) for r in df.filter(F.col("id").isin(want)).collect()}
+        return {str(i): found.get(i) for i in want}
+
+    node_ids, way_ids, rel_ids = ids(args.node), ids(args.way), ids(args.rel)
+    result: dict = {}
+
+    rels = rows_by_id(state.relations, rel_ids)
+    if args.full:
+        for r in rels.values():
+            if r:
+                member_ways = [m["id"] for m in r["members"] if m["type"] == 1]
+                r["ways"] = rows_by_id(state.ways, member_ways)
+    if rels:
+        result["relations"] = rels
+
+    ways = rows_by_id(state.ways, way_ids)
+    for wid_s, w in ways.items():
+        if w is None:
+            continue
+        wid = int(wid_s)
+        if args.full:
+            w["nodes"] = rows_by_id(state.nodes, list(w["refs"]))
+        if args.deps:
+            dep = state.relations.filter(
+                F.exists("members", lambda m: (m["id"] == wid) & (m["type"] == 1))
+            )
+            w["relations"] = {str(r["id"]): r.asDict(recursive=True) for r in dep.collect()}
+    if ways:
+        result["ways"] = ways
+
+    nodes = rows_by_id(state.nodes, node_ids)
+    for nid_s, n in nodes.items():
+        if n is None:
+            continue
+        nid = int(nid_s)
+        if args.deps:
+            dep = state.ways.filter(F.array_contains("refs", nid))
+            n["ways"] = {str(r["id"]): r.asDict(recursive=True) for r in dep.collect()}
+    if nodes:
+        result["nodes"] = nodes
+
+    print(json.dumps(result, default=str, sort_keys=True))
+    return 0
+
+
 def _load_state(spark, out: str):
     from imposm3_spark.diff.update import OsmState
 
@@ -211,7 +275,7 @@ def _base_flags(p: argparse.ArgumentParser) -> None:
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
-        print("usage: imposm3_spark import|diff|run|version [args]", file=sys.stderr)
+        print("usage: imposm3_spark import|diff|run|query|version [args]", file=sys.stderr)
         return 2
     cmd, rest = argv[0], argv[1:]
     if cmd == "version":
@@ -225,6 +289,17 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("-optimize", action="store_true")
         p.add_argument("-deployproduction", action="store_true")
         return cmd_import(p.parse_args(rest))
+    if cmd == "query":
+        p = argparse.ArgumentParser(prog="imposm3_spark query")
+        # no mapping needed: pure element-state lookups (query.go flags)
+        p.add_argument("-write-parquet", dest="write_parquet", required=True,
+                       help="import output dir holding _state/")
+        p.add_argument("-node", default="", help="comma-separated node ids")
+        p.add_argument("-way", default="", help="comma-separated way ids")
+        p.add_argument("-rel", default="", help="comma-separated relation ids")
+        p.add_argument("-deps", action="store_true", help="show dependent ways/relations")
+        p.add_argument("-full", action="store_true", help="recurse into relations/ways")
+        return cmd_query(p.parse_args(rest))
     if cmd == "diff":
         p = argparse.ArgumentParser(prog="imposm3_spark diff")
         _base_flags(p)

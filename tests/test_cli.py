@@ -92,3 +92,37 @@ def test_diff_applies_osc(spark, imported):
     assert abs(_point_x(after, 31101) - py_wgs_to_merc(81.0, 47.0)[0]) < 0.01
     # tables remain valid parquet with the same schema
     assert {f.name for f in after.schema.fields} >= {"osm_id", "geometry", "tags"}
+
+
+def test_query_cache_parity(imported, capsys):
+    """S13 `query-cache` analog: look up elements + dependents from the
+    persisted state (cache/query/query.go:160-205)."""
+    import json
+
+    # single_table.osm: way 20101 spans nodes 20001-20002
+    rc = main(
+        [
+            "query",
+            "-write-parquet",
+            str(imported),
+            "-node",
+            "20001",
+            "-way",
+            "20101",
+            "-deps",
+            "-full",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    w = out["ways"]["20101"]
+    assert w["id"] == 20101 and 20001 in w["refs"]
+    assert "20001" in w["nodes"]  # -full recursion
+    n = out["nodes"]["20001"]
+    assert "20101" in n["ways"]  # -deps reverse lookup
+
+    # missing id -> null, reference behavior
+    rc = main(["query", "-write-parquet", str(imported), "-node", "99999999"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["nodes"]["99999999"] is None
