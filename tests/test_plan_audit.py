@@ -163,7 +163,9 @@ def test_doc_curate_structure(spark):
     shingling re-evaluate 4x), the representative filter is a broadcast
     semi join (cluster labels are small by construction), no cartesian
     products, and the post-checkpoint stage count stays bounded."""
-    plan = _executed_plan(bq.QUERIES["doc_curate"](spark, SF_DIR))
+    plan = _executed_plan(bq.QUERIES["doc_curate"](spark, SF_DIR)).split(
+        "== Initial Plan =="
+    )[0]
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan  # checkpointed curated base, not re-derived
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
