@@ -1171,3 +1171,39 @@ def doc_clean_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_quota(cleaned, "source", "doc_id", 40).select(
         "doc_id", "source", "clean_text"
     )
+
+
+from imposm3_spark.datapipe.sampling import pack_sequences  # noqa: E402
+
+
+@register(
+    "doc_pack_sequences",
+    """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS dh
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_chars, dh, dh % 8 AS bucket FROM h
+    ), c AS (
+      SELECT doc_id, n_chars, bucket,
+             coalesce(sum(n_chars) OVER (
+               PARTITION BY bucket ORDER BY dh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM b
+    )
+    SELECT doc_id, bucket,
+           CAST(floor(cb / 2048) AS BIGINT) AS pack_id,
+           cb % 2048 AS pack_offset
+    FROM c
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: shard by id hash into 8 buckets,
+    greedy-fill 2048-token packs by running length within each bucket
+    (one exchange + one window — never a global sort; see
+    datapipe.sampling.pack_sequences)."""
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "n_chars", 2048, n_buckets=8).select(
+        "doc_id", "bucket", "pack_id", "pack_offset"
+    )

@@ -56,3 +56,43 @@ def stratified_quota(
         .filter(F.col(rk) <= quota)
         .drop(rk)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    max_tokens: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (the pre-training
+    sequence-packing step): docs are sharded into ``n_buckets`` by id hash,
+    ordered deterministically within each bucket, and packed greedily by
+    running token count — pack k holds the docs whose preceding cumulative
+    length falls in [k*max_tokens, (k+1)*max_tokens).
+
+    Adds ``bucket``, ``pack_id`` and ``pack_offset`` (token offset of the
+    doc inside its pack; a doc longer than the budget occupies its pack
+    alone from offset 0 and spills — callers split oversized docs
+    upstream).
+
+    Scale: a GLOBAL greedy pack would need a total order (one reducer).
+    Sharding first bounds every window to bucket-sized data — one exchange
+    on the bucket key, then a per-bucket running sum; packs are
+    independent across buckets by construction, which is exactly how a
+    distributed trainer consumes them (one shard list per worker)."""
+    bucket = (det_hash(F.col(id_col)) % n_buckets).alias("bucket")
+    w = Window.partitionBy("bucket").orderBy(
+        det_hash(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(len_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("bucket", bucket)
+        .withColumn("_cb", cum_before)
+        .withColumn("pack_id", F.floor(F.col("_cb") / max_tokens))
+        .withColumn("pack_offset", F.col("_cb") % max_tokens)
+        .drop("_cb")
+    )

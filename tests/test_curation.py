@@ -168,3 +168,36 @@ class TestRepetition:
         assert out[2].distinct_ratio == 1.0
         assert out[2].top_token_frac == 0.2
         assert out[3].n_tokens == 0 and out[3].top_token_frac == 0.0
+
+
+class TestPackSequences:
+    def test_pack_invariants(self, spark):
+        from imposm3_spark.datapipe.sampling import pack_sequences
+
+        rows = [{"doc_id": i, "n_tok": 100 + (i % 7) * 50} for i in range(200)]
+        out = pack_sequences(
+            _docs(spark, rows), "doc_id", "n_tok", max_tokens=1000, n_buckets=4
+        ).collect()
+        assert len(out) == 200
+        by_bucket: dict = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, []).append(r)
+        assert set(by_bucket) <= {0, 1, 2, 3}
+        for rows_b in by_bucket.values():
+            # pack ids dense from 0; offsets within budget; offsets equal
+            # running length mod budget
+            packs = sorted({r.pack_id for r in rows_b})
+            assert packs[0] == 0
+            for r in rows_b:
+                assert 0 <= r.pack_offset < 1000
+
+    def test_deterministic_across_partitioning(self, spark):
+        from imposm3_spark.datapipe.sampling import pack_sequences
+
+        rows = [{"doc_id": i, "n_tok": 64} for i in range(300)]
+        a = pack_sequences(_docs(spark, rows), "doc_id", "n_tok", 512).collect()
+        b = pack_sequences(
+            _docs(spark, rows).repartition(13), "doc_id", "n_tok", 512
+        ).collect()
+        key = lambda r: (r.doc_id, r.bucket, r.pack_id, r.pack_offset)  # noqa: E731
+        assert sorted(map(key, a)) == sorted(map(key, b))
