@@ -794,6 +794,11 @@ def osm_diff_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+X_FACTOR = POLE / 180.0
+Y_INNER = math.pi / 360.0
+Y_OUTER = POLE / math.pi
+
+
 @register(
     "osm_expire_tiles",
     f"""
@@ -801,8 +806,8 @@ def osm_diff_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey AS id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM customer
     ), merc AS (
       SELECT id,
-             lon * {POLE!r} / 180.0 AS x,
-             ln(tan((lat + 90.0) * pi() / 360.0)) / pi() * {POLE!r} AS y
+             lon * {X_FACTOR!r} AS x,
+             ln(tan((lat + 90.0) * {Y_INNER!r})) * {Y_OUTER!r} AS y
       FROM pts
     )
     SELECT id,
