@@ -1676,13 +1676,15 @@ def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT pk, round(val, 2) AS value
-    FROM v WHERE val > (SELECT sum(val) * 0.001 FROM v)
+    FROM v WHERE val > (SELECT avg(val) * 3 FROM v)
     ORDER BY value DESC, pk
     """,
 )
 def tpch_q11_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 important stock: per-part value for one nation's suppliers,
-    HAVING value > fraction-of-global-total (scalar subquery). Spark shape:
+    HAVING value > 3x-the-global-average (scalar subquery; an average-based
+    cut stays selective at every scale factor, where a fixed fraction of the
+    total thins to zero rows as part count grows). Spark shape:
     one shuffle agg on partkey; the global total is a second agg over the
     SAME cached aggregate (tiny) cross-joined back as a broadcast literal —
     the fact table is scanned once, not twice."""
@@ -1702,7 +1704,7 @@ def tpch_q11_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"))
         .localCheckpoint(eager=False)
     )
-    total = v.agg((F.sum("val") * 0.001).alias("threshold"))
+    total = v.agg((F.avg("val") * 3).alias("threshold"))
     return (
         v.crossJoin(F.broadcast(total))
         .filter(F.col("val") > F.col("threshold"))
