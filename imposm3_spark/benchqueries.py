@@ -1716,3 +1716,4 @@ def tpch_q11_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round-2 extended surface registers itself into QUERIES/ORACLES on import
 from imposm3_spark import benchqueries_ext as _ext  # noqa: E402,F401
 from imposm3_spark import benchqueries_media as _media  # noqa: E402,F401
+from imposm3_spark import benchqueries_text as _text  # noqa: E402,F401

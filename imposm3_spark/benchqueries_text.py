@@ -1,0 +1,152 @@
+"""Span-dedup / chunking / TF-IDF / inverted-index / moving-window queries.
+
+Registered into the shared QUERIES/ORACLES registry. Each Spark
+implementation (datapipe.chunking) has a line-for-line ANSI-SQL oracle
+here: identical tokenization (regexp split of trimmed lowered text),
+identical span/chunk arithmetic, identical rounding — so the driver's
+sorted-column value hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from imposm3_spark.benchqueries import _t, register
+from imposm3_spark.datapipe import chunking as ck
+
+# shared tokenizer CTE: one row per non-empty document with its token array
+_TOKS = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+  FROM documents
+  WHERE length(trim(text)) > 0
+)
+"""
+
+
+@register(
+    "doc_span_dedup",
+    f"""
+    WITH {_TOKS},
+    spans AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(len(t) / 20.0) AS BIGINT))) AS span_idx
+      FROM toks
+    ),
+    sel AS (
+      SELECT doc_id, span_idx,
+             array_to_string(t[span_idx*20+1 : span_idx*20+20], ' ') AS span
+      FROM spans
+    ),
+    ranked AS (
+      SELECT doc_id, span_idx, span,
+             row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+      FROM sel
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           coalesce(
+             array_to_string(list(span ORDER BY span_idx) FILTER (WHERE rn = 1), ' '),
+             '') AS dedup_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level dedup: 20-token windows, corpus-global
+    keep-first, documents reassembled from surviving spans."""
+    return ck.span_dedup(_t(spark, sf_dir, "documents"), width=20)
+
+
+@register(
+    "doc_chunk_overlap",
+    f"""
+    WITH {_TOKS},
+    idx AS (
+      SELECT doc_id, t,
+             unnest(range(0,
+               1 + CAST(ceil(greatest(len(t) - 40, 0) / 30.0) AS BIGINT))) AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, chunk_id,
+           len(t[chunk_id*30+1 : chunk_id*30+40]) AS n_chunk_tokens,
+           array_to_string(t[chunk_id*30+1 : chunk_id*30+40], ' ') AS chunk_text
+    FROM idx
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget training chunks: 40 tokens per chunk, stride 30
+    (10-token overlap). Zero-shuffle expression + posexplode."""
+    return ck.chunk_overlap(
+        _t(spark, sf_dir, "documents"), chunk_size=40, stride=30
+    )
+
+
+@register(
+    "doc_tfidf_topk",
+    f"""
+    WITH {_TOKS},
+    tc AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    cnts AS (SELECT doc_id, term, count(*) AS cnt FROM tc GROUP BY 1, 2),
+    dfs AS (SELECT term, count(*) AS df FROM cnts GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, cnts.term, cnt, df,
+             round(cnt * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM cnts JOIN dfs USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, cnt, df, tfidf FROM ranked WHERE rn <= 5
+    """,
+)
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by tf*ln(N/df); one corpus text pass
+    (df reuses the grouped counts), map-side partial aggregation."""
+    return ck.tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "doc_inverted_index",
+    f"""
+    WITH {_TOKS},
+    pairs AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
+    SELECT term, count(*) AS df,
+           list_slice(list(doc_id ORDER BY doc_id), 1, 20) AS postings
+    FROM pairs
+    GROUP BY term
+    """,
+)
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> ascending doc_id posting list (first 20): the retrieval
+    artifact of a corpus build. Only (term, doc_id) pairs shuffle."""
+    return ck.inverted_index(_t(spark, sf_dir, "documents"), max_postings=20)
+
+
+@register(
+    "events_moving_avg",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
+    FROM events
+    """,
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing moving average (current + 3 preceding rows):
+    single hash exchange on user_id, frame evaluated in one sorted pass."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mavg")
+    )

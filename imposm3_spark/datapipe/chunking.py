@@ -1,0 +1,232 @@
+"""Span-level dedup, chunking, TF-IDF, and inverted-index operators.
+
+Training-data preparation beyond document granularity:
+
+* ``span_dedup`` — C4/MassiveText-style span-level deduplication: the
+  corpus is cut into non-overlapping W-token windows ("spans"); every
+  span that textually repeats anywhere in the corpus survives only at
+  its first occurrence (min ``(doc_id, span_idx)``), and documents are
+  reassembled from their surviving spans. (C4 dedups three-sentence
+  spans; the synthetic corpus has no sentence boundaries, so the
+  token-window form is the deterministic analog.)
+* ``chunk_overlap`` — split each document into fixed token-budget
+  chunks with overlap (stride < chunk size), the standard prep step for
+  fixed-context training and retrieval indexing.
+* ``tfidf_topk`` — top-k terms per document by tf·idf
+  (idf = ln(N/df), raw-count tf).
+* ``inverted_index`` — term -> sorted posting list of doc_ids (capped),
+  the retrieval-side artifact of a corpus build.
+
+Scale notes (100 TB):
+
+* span_dedup shuffles SPAN HASHES + ids, never full text twice: the
+  first-occurrence table is a map-side-combinable ``groupBy(hash)``
+  ``agg(min(struct))`` (duplicate spans collapse inside each task before
+  the exchange), and the join back to occurrences is on the same hash
+  key — deliberately NOT a window ``row_number`` partitioned by span,
+  which would funnel every copy of a hot span through one task's sort.
+* chunk_overlap is a pure expression + posexplode — zero shuffle,
+  runs at scan speed.
+* tfidf_topk aggregates (doc, term) counts with map-side partial
+  aggregation; document frequency reuses the same grouped result
+  (one corpus text pass); the final top-k is a per-doc window over the
+  (doc, term) table, which is bounded by tokens, not documents².
+* inverted_index caps posting lists with ``slice`` AFTER ``sort_array``
+  on the grouped set — the shuffle carries (term, doc_id) pairs once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from imposm3_spark.datapipe.text import tokens
+
+
+def _spans(text: F.Column, width: int) -> F.Column:
+    """Array of non-overlapping ``width``-token span strings (last may be
+    short; empty text -> empty array)."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    n_spans = F.ceil(n / F.lit(float(width))).cast("int")
+    idx = F.sequence(F.lit(0), n_spans - 1)
+    return F.when(n > 0, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 20,
+) -> DataFrame:
+    """Corpus-global span-level dedup (keep-first).
+
+    Returns one row per non-empty input document:
+    ``(id_col, n_spans, n_kept, dedup_text)`` where ``dedup_text`` is the
+    document's surviving spans re-joined in original order (empty string
+    when every span was seen earlier elsewhere). Documents with no
+    tokens emit no spans and are omitted.
+
+    First occurrence = lexicographic min ``(doc_id, span_idx)`` over all
+    occurrences of the identical span string.
+    """
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(_spans(F.col(text_col), width)).alias("span_idx", "span"),
+    )
+    # occurrences keyed by content hash: the exchange carries (hash, ids),
+    # and duplicate spans combine map-side before the shuffle
+    occ = spans.withColumn("h", F.md5("span"))
+    first = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("first")
+    )
+    kept = (
+        occ.join(first, "h")
+        .withColumn(
+            "is_first",
+            (F.col(f"first.{id_col}") == F.col(id_col))
+            & (F.col("first.span_idx") == F.col("span_idx")),
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("is_first").cast("long")).alias("n_kept"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("is_first"), F.struct("span_idx", "span"))
+                )
+            ).alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_kept",
+            F.concat_ws(" ", F.transform(F.col("_kept"), lambda s: s["span"])).alias(
+                "dedup_text"
+            ),
+        )
+    )
+
+
+def chunk_overlap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 40,
+    stride: int = 30,
+) -> DataFrame:
+    """Split each document into overlapping token chunks.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_size)``;
+    the chunk count is ``1 + ceil(max(n_tokens - chunk_size, 0) /
+    stride)`` — exactly enough strides for the final chunk to reach the
+    last token, never an empty tail chunk. Empty documents emit no
+    chunks. Pure expression + posexplode: zero shuffle.
+
+    Returns ``(id_col, chunk_id, n_chunk_tokens, chunk_text)``.
+    """
+    if stride <= 0 or stride > chunk_size:
+        raise ValueError("need 0 < stride <= chunk_size")
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - chunk_size, 0) / stride)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - chunk_size, F.lit(0)) / F.lit(float(stride))).cast(
+            "int"
+        )
+    )
+    chunks = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_size)),
+    )).otherwise(F.array().cast("array<string>"))
+    out = docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.size(F.split(F.col("chunk_text"), r"\s+")).alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+def doc_term_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, term, cnt) — one corpus text pass, map-side partial agg."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` terms per document by tf·idf.
+
+    tf = raw term count in the document; idf = ln(N / df) with df = number
+    of documents containing the term and N = corpus size. Ties break by
+    term ascending. Returns
+    ``(id_col, term, cnt, df, tfidf)`` with tfidf rounded to 6 places.
+
+    The (doc, term) counts table is computed once and reused for df
+    (no second pass over the text); the ranking window partitions by
+    document, whose group size is bounded by the document's distinct
+    terms.
+    """
+    tc = doc_term_counts(docs, id_col, text_col)
+    n_docs = docs.count()
+    df_tbl = tc.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tc.join(df_tbl, "term").withColumn(
+        "tfidf",
+        F.round(F.col("cnt") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "cnt", "df", "tfidf")
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Term -> sorted doc_id posting list (first ``max_postings`` ids).
+
+    Returns ``(term, df, postings)`` where df counts distinct documents
+    containing the term and ``postings`` is the ascending doc_id list
+    truncated to ``max_postings``. One (term, doc_id) pair crosses the
+    shuffle per distinct containment — text never shuffles.
+    """
+    pairs = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("term")
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.slice(F.sort_array(F.collect_list(id_col)), 1, max_postings).alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -1,0 +1,137 @@
+"""Unit semantics for datapipe.chunking: span dedup keep-first, chunk
+boundary arithmetic, tf-idf ranking, posting-list caps."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from imposm3_spark.datapipe import chunking as ck
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# span_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_keep_first(spark):
+    # width=2 spans; doc 1 repeats doc 0's first span, doc 2 repeats its own
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c d"),       # spans: "a b", "c d"
+            (1, "a b x y"),       # "a b" dup of doc0 span0 -> dropped
+            (2, "p q p q"),       # second "p q" dup of its own first
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ck.span_dedup(docs, width=2).collect()
+    }
+    assert out[0]["n_spans"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["dedup_text"] == "a b c d"
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["dedup_text"] == "x y"
+    assert out[2]["n_spans"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["dedup_text"] == "p q"
+
+
+def test_span_dedup_short_tail_and_case(spark):
+    # 5 tokens at width=2 -> 3 spans, last is a single token; case-folds
+    docs = _docs(spark, [(0, "A b a B x")])
+    row = ck.span_dedup(docs, width=2).collect()[0]
+    assert row["n_spans"] == 3
+    # spans: "a b", "a b" (dup), "x"
+    assert row["n_kept"] == 2
+    assert row["dedup_text"] == "a b x"
+
+
+def test_span_dedup_empty_doc_omitted(spark):
+    docs = _docs(spark, [(0, "a b"), (1, "   ")])
+    ids = [r["doc_id"] for r in ck.span_dedup(docs, width=2).collect()]
+    assert ids == [0]
+
+
+# ---------------------------------------------------------------------------
+# chunk_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_boundaries(spark):
+    toks = [f"t{i}" for i in range(11)]
+    docs = _docs(spark, [(0, " ".join(toks))])
+    rows = sorted(
+        ck.chunk_overlap(docs, chunk_size=4, stride=3).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # n=11, C=4, S=3 -> 1 + ceil(7/3) = 4 chunks: [0:4),[3:7),[6:10),[9:11)
+    assert [r["chunk_text"] for r in rows] == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+        "t9 t10",
+    ]
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4, 2]
+
+
+def test_chunk_exact_fit_no_empty_tail(spark):
+    docs = _docs(spark, [(0, "a b c d e f")])
+    rows = ck.chunk_overlap(docs, chunk_size=3, stride=3).collect()
+    # n=6, C=S=3 -> exactly 2 chunks, no empty third
+    assert sorted(r["chunk_text"] for r in rows) == ["a b c", "d e f"]
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    docs = _docs(spark, [(0, "a b"), (1, "")])
+    rows = ck.chunk_overlap(docs, chunk_size=5, stride=4).collect()
+    assert len(rows) == 1 and rows[0]["chunk_text"] == "a b"
+
+
+def test_chunk_bad_stride_rejected(spark):
+    docs = _docs(spark, [(0, "a")])
+    with pytest.raises(ValueError):
+        ck.chunk_overlap(docs, chunk_size=3, stride=4)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_topk / inverted_index
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_values_and_ranking(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "x x x common"),
+            (1, "y common"),
+            (2, "common common"),
+        ],
+    )
+    rows = ck.tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'common' appears in all 3 docs -> idf = ln(1) = 0 everywhere
+    for r in rows:
+        if r["term"] == "common":
+            assert r["tfidf"] == 0.0
+    # doc0: x has cnt=3, df=1 -> 3*ln(3)
+    top0 = sorted(by_doc[0], key=lambda r: -r["tfidf"])[0]
+    assert top0["term"] == "x"
+    assert top0["tfidf"] == pytest.approx(round(3 * math.log(3), 6))
+    # k=2 cap holds
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_inverted_index_postings_sorted_capped(spark):
+    docs = _docs(spark, [(i, "w shared") for i in range(30)] + [(99, "only")])
+    rows = {r["term"]: r for r in ck.inverted_index(docs, max_postings=10).collect()}
+    assert rows["shared"]["df"] == 30
+    assert rows["shared"]["postings"] == list(range(10))  # capped, ascending
+    assert rows["only"]["postings"] == [99]
+    # duplicate tokens inside one doc count once
+    assert rows["w"]["df"] == 30
