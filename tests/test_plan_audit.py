@@ -263,3 +263,49 @@ def test_clean_sample_composition_adds_no_shuffles(spark):
     assert "BroadcastHashJoin" in plan
     n = _optimized_count(plan, "Exchange hashpartitioning")
     assert n <= 3, f"composition grew extra shuffles: {n}"
+
+
+def test_chunk_overlap_zero_shuffle(spark):
+    """Chunking is a pure expression + posexplode — any exchange means it
+    stopped running at scan speed."""
+    plan = _executed_plan(bq.QUERIES["doc_chunk_overlap"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_span_dedup_no_span_window(spark):
+    """Span dedup must find first occurrences with a map-side-combinable
+    aggregation on the span hash — NOT a row_number window partitioned by
+    span (which funnels every copy of a hot span through one task's sort).
+    Two hash exchanges total: the first-occurrence agg + the final per-doc
+    regroup (the occ<->first join reuses the agg-side partitioning)."""
+    plan = _executed_plan(bq.QUERIES["doc_span_dedup"](spark, SF_DIR)).split(
+        "== Initial Plan =="
+    )[0]
+    assert "RunningWindowFunction" not in plan and "Window" not in plan
+    assert "partial_min" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_tfidf_partial_agg_and_doc_window(spark):
+    """TF-IDF: the (doc,term) count aggregation partial-aggregates
+    map-side (token occurrences collapse before the exchange); the final
+    rank is a per-document window, never a cartesian or global sort."""
+    plan = _executed_plan(bq.QUERIES["doc_tfidf_topk"](spark, SF_DIR)).split(
+        "== Initial Plan =="
+    )[0]
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "Sort [" in plan  # window sort is per-doc-partition
+
+
+def test_inverted_index_pairs_only_shuffle(spark):
+    """Inverted index: text never crosses the exchange — only the
+    (term, doc_id) pairs do, already distinct per document."""
+    plan = _executed_plan(bq.QUERIES["doc_inverted_index"](spark, SF_DIR)).split(
+        "== Initial Plan =="
+    )[0]
+    n = _optimized_count(plan, "Exchange hashpartitioning")
+    assert n == 1, f"expected 1 exchange (term group), got {n}"
+    # the partial collect_list below the exchange proves the shuffle rows
+    # are pre-grouped (term, ids) buffers, not raw text
+    assert "partial_collect_list" in plan
+    assert "Exchange hashpartitioning(term" in plan
