@@ -1717,3 +1717,4 @@ def tpch_q11_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 from imposm3_spark import benchqueries_ext as _ext  # noqa: E402,F401
 from imposm3_spark import benchqueries_media as _media  # noqa: E402,F401
 from imposm3_spark import benchqueries_text as _text  # noqa: E402,F401
+from imposm3_spark import benchqueries_spatial as _spatial  # noqa: E402,F401
