@@ -12,13 +12,21 @@ connection (driver-side, once per table). The data path is distributed:
 `write_bulk` runs COPY FROM STDIN per partition via foreachPartition —
 every executor streams its partition straight into PostgreSQL, which is the
 exact analog of the reference's per-table COPY goroutines but N-way
-parallel. psycopg2 is optional — without it the writers raise, but DDL
-generation (pure strings) still works and is unit-tested.
+parallel.
+
+Transports: psycopg2 when installed, else the stock `psql` client driven
+over stdin (same SQL strings, same COPY text payload — `copy_payload` is
+shared, so the wire bytes are identical). `use_postgis=False` renders
+geometry columns as BYTEA (EWKB payload as-is) for plain-PostgreSQL
+deployments, which is also what the live integration test
+(tests/test_postgis_live.py) runs against.
 """
 
 from __future__ import annotations
 
 import io
+import subprocess
+from collections.abc import Iterable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -81,6 +89,10 @@ class PostGISConfig:
     schema_backup: str = "backup"
     prefix: str = "osm_"
     srid: int = 3857
+    # False targets plain PostgreSQL: geometry columns become BYTEA
+    # (carrying the engine's EWKB bytes verbatim) instead of
+    # AddGeometryColumn, and GIST/CLUSTER finishers are skipped
+    use_postgis: bool = True
 
 
 def table_ddl(table: Table, cfg: PostGISConfig) -> list[str]:
@@ -95,7 +107,10 @@ def table_ddl(table: Table, cfg: PostGISConfig) -> list[str]:
         if pg_type is None:
             raise ValueError(f"unknown column type {col.type}")
         if pg_type == "GEOMETRY":
-            geom_cols.append(col.name)
+            if cfg.use_postgis:
+                geom_cols.append(col.name)
+            else:
+                cols.append(f'"{col.name}" BYTEA')
             continue
         cols.append(f'"{col.name}" {pg_type}')
     stmts = [
@@ -128,7 +143,7 @@ def finish_ddl(table: Table, cfg: PostGISConfig) -> list[str]:
             f'CREATE INDEX "{name}_{id_col}_idx" ON {full} USING BTREE ("{id_col}")'
         )
     for col in table.columns:
-        if PG_TYPE_BY_COLUMN_TYPE.get(col.type) == "GEOMETRY":
+        if PG_TYPE_BY_COLUMN_TYPE.get(col.type) == "GEOMETRY" and cfg.use_postgis:
             stmts.append(
                 f'CREATE INDEX "{name}_geom" ON {full} USING GIST ("{col.name}")'
             )
@@ -181,29 +196,101 @@ def _copy_escape(v) -> str:
     )
 
 
-def write_bulk(df: DataFrame, table: Table, cfg: PostGISConfig, dsn: str) -> None:
+def copy_payload(rows: Iterable) -> Iterable[str]:
+    """COPY text-format lines for an iterable of row tuples — the single
+    source of truth for the wire bytes, shared by the psycopg2 and psql
+    transports (and by payload unit tests)."""
+    for row in rows:
+        yield "\t".join(_copy_escape(v) for v in row) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# psql transport: drives the stock `psql` client over stdin. Used when
+# psycopg2 isn't installed; identical SQL strings and COPY payloads.
+# ---------------------------------------------------------------------------
+
+
+def _psql(dsn: str, script: str) -> str:
+    """Run a SQL script through psql (ON_ERROR_STOP, autocommit semantics
+    identical to a single session feeding stdin). Returns stdout."""
+    proc = subprocess.run(
+        ["psql", dsn, "-X", "-q", "-v", "ON_ERROR_STOP=1", "-f", "-"],
+        input=script.encode(),
+        capture_output=True,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"psql failed: {proc.stderr.decode(errors='replace')}")
+    return proc.stdout.decode()
+
+
+def psql_execute(dsn: str, stmts: list[str]) -> None:
+    _psql(dsn, ";\n".join(stmts) + ";\n")
+
+
+def psql_copy(dsn: str, copy_sql: str, payload_lines: Iterable[str]) -> None:
+    """COPY FROM STDIN via psql: the script embeds the payload followed by
+    the end-of-data marker (the same frame pg_dump emits)."""
+    body = "".join(payload_lines)
+    _psql(dsn, f"{copy_sql};\n{body}\\.\n")
+
+
+def psql_query(dsn: str, sql: str) -> list[list[str]]:
+    """Tab-separated unaligned query output (test/verification helper)."""
+    out = subprocess.run(
+        ["psql", dsn, "-X", "-q", "-v", "ON_ERROR_STOP=1", "-A", "-t", "-F", "\t", "-c", sql],
+        capture_output=True,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"psql failed: {out.stderr.decode(errors='replace')}")
+    return [line.split("\t") for line in out.stdout.decode().splitlines()]
+
+
+def write_bulk(
+    df: DataFrame, table: Table, cfg: PostGISConfig, dsn: str, transport: str = "auto"
+) -> None:
     """S7: TRUNCATE + COPY FROM STDIN, one COPY stream per partition.
 
     The reference runs one COPY goroutine per table (tx.go:20-114); here
     every Spark partition COPYes concurrently — same wire protocol, N-way.
+    ``transport``: 'psycopg2', 'psql', or 'auto' (psycopg2 when installed).
     """
-    if not HAVE_PSYCOPG2:
-        raise RuntimeError("psycopg2 not available — use write_jdbc or parquet sink")
+    if transport == "auto":
+        transport = "psycopg2" if HAVE_PSYCOPG2 else "psql"
+    if transport == "psycopg2" and not HAVE_PSYCOPG2:
+        raise RuntimeError("psycopg2 not available — use transport='psql' or parquet sink")
     full = f'"{cfg.schema_import}"."{cfg.prefix}{table.name}"'
     columns = ", ".join(f'"{c.name}"' for c in table.columns)
     copy_sql = f"COPY {full} ({columns}) FROM STDIN"
+
+    if transport == "psql":
+        psql_execute(dsn, [f"TRUNCATE {full} RESTART IDENTITY"])
+
+        def copy_partition(rows) -> None:
+            chunk: list[str] = []
+            size = 0
+            for line in copy_payload(rows):
+                chunk.append(line)
+                size += len(line)
+                if size > 8 * 1024 * 1024:
+                    psql_copy(dsn, copy_sql, chunk)
+                    chunk, size = [], 0
+            if chunk:
+                psql_copy(dsn, copy_sql, chunk)
+
+        df.foreachPartition(copy_partition)
+        return
 
     with psycopg2.connect(dsn) as conn:
         with conn.cursor() as cur:
             cur.execute(f"TRUNCATE {full} RESTART IDENTITY")
         conn.commit()
 
-    def copy_partition(rows) -> None:
+    def copy_partition_pg(rows) -> None:
         conn = psycopg2.connect(dsn)
         try:
             buf = io.StringIO()
-            for row in rows:
-                buf.write("\t".join(_copy_escape(v) for v in row) + "\n")
+            for line in copy_payload(rows):
+                buf.write(line)
                 if buf.tell() > 8 * 1024 * 1024:
                     buf.seek(0)
                     with conn.cursor() as cur:
@@ -217,13 +304,14 @@ def write_bulk(df: DataFrame, table: Table, cfg: PostGISConfig, dsn: str) -> Non
         finally:
             conn.close()
 
-    df.foreachPartition(copy_partition)
+    df.foreachPartition(copy_partition_pg)
 
 
 def execute_ddl(stmt: str, dsn: str) -> None:
     """Run one DDL statement (index build / schema rotation steps)."""
     if not HAVE_PSYCOPG2:
-        raise RuntimeError("psycopg2 not available — use write_jdbc or parquet sink")
+        psql_execute(dsn, [stmt])
+        return
     with psycopg2.connect(dsn) as conn:
         with conn.cursor() as cur:
             cur.execute(stmt)
@@ -234,12 +322,27 @@ def write_sync_batch(
     deleted_osm_ids: list[int], rows: list[tuple], table: Table, cfg: PostGISConfig, dsn: str
 ) -> None:
     """S8: diff-mode DELETE + INSERT inside one transaction (tx.go:116-199).
-    Driver-side per batch — batches are small (one replication interval)."""
-    if not HAVE_PSYCOPG2:
-        raise RuntimeError("psycopg2 not available")
+    Driver-side per batch — batches are small (one replication interval).
+
+    Without psycopg2 the same frame runs through psql as one stdin script:
+    BEGIN; DELETE ...; COPY ... FROM STDIN (payload); COMMIT — COPY is used
+    instead of INSERT literals so value escaping stays the shared
+    `copy_payload` path."""
     full = f'"{cfg.schema_import}"."{cfg.prefix}{table.name}"'
     id_col = next((c.name for c in table.columns if c.type == "id"), None)
     columns = ", ".join(f'"{c.name}"' for c in table.columns)
+    if not HAVE_PSYCOPG2:
+        script = "BEGIN;\n"
+        if id_col and deleted_osm_ids:
+            ids = ", ".join(str(int(i)) for i in deleted_osm_ids)
+            script += f'DELETE FROM {full} WHERE "{id_col}" IN ({ids});\n'
+        if rows:
+            script += f"COPY {full} ({columns}) FROM STDIN;\n"
+            script += "".join(copy_payload(rows))
+            script += "\\.\n"
+        script += "COMMIT;\n"
+        _psql(dsn, script)
+        return
     placeholders = ", ".join(["%s"] * len(table.columns))
     conn = psycopg2.connect(dsn)
     try:

@@ -1,0 +1,235 @@
+"""Live-PostgreSQL sink verification (S7/S8/S10-S12 executed, not just
+string-tested).
+
+Boots a throwaway postgres cluster (initdb + pg_ctl on a unix socket,
+no TCP) and drives the REAL sink code paths through the psql transport:
+DDL -> distributed write_bulk COPY from a Spark DataFrame -> value
+round-trip (incl. the reference's hstore escaping vectors,
+columns.go:171-196, and EWKB bytes as BYTEA) -> sync upsert
+(DELETE+COPY in one tx) -> finisher indexes -> schema rotation.
+
+Skips cleanly when the environment has no postgres binaries (initdb
+refuses root, so the server runs as the `postgres` system user via
+runuser; the client connects over the socket with trust auth).
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import tempfile
+import time
+
+import pytest
+
+from imposm3_spark.mapping.config import Column, Mapping, Table
+from imposm3_spark.sinks.postgis import (
+    PostGISConfig,
+    copy_payload,
+    finish_ddl,
+    psql_execute,
+    psql_query,
+    rotate_ddl,
+    table_ddl,
+    write_bulk,
+    write_sync_batch,
+)
+
+pytestmark = pytest.mark.skipif(
+    not (shutil.which("initdb") and shutil.which("pg_ctl") and shutil.which("runuser")),
+    reason="no postgres binaries in environment",
+)
+
+
+def _run(cmd: list[str]) -> subprocess.CompletedProcess:
+    return subprocess.run(cmd, capture_output=True, text=True)
+
+
+@pytest.fixture(scope="module")
+def pg_dsn():
+    base = tempfile.mkdtemp(prefix="pgtest_")
+    data = f"{base}/data"
+    sock = f"{base}/sock"
+    _run(["mkdir", "-p", data, sock])
+    _run(["chown", "-R", "postgres:postgres", base])
+    _run(["chmod", "777", sock, base])
+    r = _run(
+        ["runuser", "-u", "postgres", "--", "initdb", "-D", data, "-U", "postgres",
+         "--no-sync", "-A", "trust"]
+    )
+    if r.returncode != 0:
+        shutil.rmtree(base, ignore_errors=True)
+        pytest.skip(f"initdb failed: {r.stderr[-300:]}")
+    r = _run(
+        ["runuser", "-u", "postgres", "--", "pg_ctl", "-D", data, "-l", f"{base}/log",
+         "-o", f"-k {sock} -c listen_addresses=''", "-w", "start"]
+    )
+    if r.returncode != 0:
+        shutil.rmtree(base, ignore_errors=True)
+        pytest.skip(f"pg_ctl start failed: {r.stderr[-300:]}")
+    dsn = f"host={sock} dbname=postgres user=postgres"
+    # hstore lives in contrib; if absent the hstore assertions downgrade
+    for _ in range(3):
+        try:
+            psql_execute(dsn, ["SELECT 1"])
+            break
+        except RuntimeError:
+            time.sleep(1)
+    yield dsn
+    _run(["runuser", "-u", "postgres", "--", "pg_ctl", "-D", data, "-m", "fast", "stop"])
+    shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def have_hstore(pg_dsn) -> bool:
+    try:
+        psql_execute(pg_dsn, ["CREATE EXTENSION IF NOT EXISTS hstore"])
+        return True
+    except RuntimeError:
+        return False
+
+
+ROADS = Table(
+    name="roads",
+    type="linestring",
+    columns=[
+        Column(name="osm_id", type="id"),
+        Column(name="geometry", type="geometry"),
+        Column(name="name", type="string"),
+        Column(name="oneway", type="bool"),
+        Column(name="z", type="integer"),
+        Column(name="tags", type="hstore_tags"),
+    ],
+)
+CFG = PostGISConfig(use_postgis=False)
+FULL = '"import"."osm_roads"'
+
+
+# hstore escaping parity vectors (columns.go:171-196): quote and backslash
+# inside keys/values are backslash-escaped inside the quoted hstore literal
+HSTORE_LITERAL = '"has\\"quote"=>"v1", "k2"=>"back\\\\slash"'
+
+ROWS = [
+    (1, b"\x01\x02\x00\xff", "plain", True, 42, '"highway"=>"primary"'),
+    (2, None, "tab\there", False, None, HSTORE_LITERAL),
+    (3, b"", "new\nline and back\\slash", None, -7, ""),
+    (4, None, None, True, 0, '"empty"=>""'),
+]
+SCHEMA = "osm_id long, geometry binary, name string, oneway boolean, z int, tags string"
+
+
+@pytest.fixture(scope="module")
+def loaded(spark, pg_dsn, have_hstore):
+    psql_execute(pg_dsn, ['CREATE SCHEMA IF NOT EXISTS "import"'])
+    stmts = table_ddl(ROADS, CFG)
+    if have_hstore:
+        psql_execute(pg_dsn, stmts)
+    else:  # pragma: no cover - hstore is present in the test image
+        psql_execute(pg_dsn, [s.replace(" HSTORE", " VARCHAR") for s in stmts])
+    df = spark.createDataFrame(ROWS, SCHEMA).repartition(3)
+    write_bulk(df, ROADS, CFG, pg_dsn, transport="psql")
+    return pg_dsn
+
+
+def test_bulk_copy_row_count(loaded):
+    assert psql_query(loaded, f"SELECT count(*) FROM {FULL}") == [["4"]]
+
+
+def test_string_escaping_roundtrip(loaded):
+    # values containing tab / newline / backslash survive the COPY frame
+    assert psql_query(
+        loaded, f"SELECT osm_id FROM {FULL} WHERE name = E'tab\\there'"
+    ) == [["2"]]
+    assert psql_query(
+        loaded,
+        f"SELECT osm_id FROM {FULL} WHERE name = E'new\\nline and back\\\\slash'",
+    ) == [["3"]]
+    assert psql_query(loaded, f"SELECT count(*) FROM {FULL} WHERE name IS NULL") == [["1"]]
+
+
+def test_bytea_geometry_roundtrip(loaded):
+    got = psql_query(
+        loaded, f"SELECT encode(geometry, 'hex') FROM {FULL} WHERE osm_id = 1"
+    )
+    assert got == [["010200ff"]]
+    assert psql_query(
+        loaded, f"SELECT octet_length(geometry) FROM {FULL} WHERE osm_id = 3"
+    ) == [["0"]]
+    assert psql_query(
+        loaded, f"SELECT count(*) FROM {FULL} WHERE geometry IS NULL"
+    ) == [["2"]]
+
+
+def test_hstore_escaping_vectors(loaded, have_hstore):
+    if not have_hstore:  # pragma: no cover
+        pytest.skip("hstore extension unavailable")
+    # server-side hstore parse of the engine-rendered literal: the escaped
+    # quote/backslash keys come back as real characters
+    assert psql_query(
+        loaded, f"SELECT tags -> 'has\"quote' FROM {FULL} WHERE osm_id = 2"
+    ) == [["v1"]]
+    assert psql_query(
+        loaded, f"SELECT tags -> 'k2' FROM {FULL} WHERE osm_id = 2"
+    ) == [["back\\slash"]]
+    assert psql_query(
+        loaded, f"SELECT tags -> 'highway' FROM {FULL} WHERE osm_id = 1"
+    ) == [["primary"]]
+    # empty literal parses as the empty hstore, empty value stays empty
+    assert psql_query(
+        loaded, f"SELECT array_length(akeys(tags), 1) IS NULL FROM {FULL} WHERE osm_id = 3"
+    ) == [["t"]]
+    assert psql_query(
+        loaded, f"SELECT tags -> 'empty' = '' FROM {FULL} WHERE osm_id = 4"
+    ) == [["t"]]
+
+
+def test_sync_batch_delete_insert(loaded):
+    # delete ids 2 and 3, re-insert 2 and add 9: 4 - 2 + 2 = 4 rows (S8)
+    write_sync_batch(
+        [2, 3],
+        [
+            (2, None, "replaced", True, 5, '"a"=>"b"'),
+            (9, b"\x00", "nine", False, 9, ""),
+        ],
+        ROADS,
+        CFG,
+        loaded,
+    )
+    assert psql_query(loaded, f"SELECT count(*) FROM {FULL}") == [["4"]]
+    assert psql_query(
+        loaded, f"SELECT name FROM {FULL} WHERE osm_id = 2"
+    ) == [["replaced"]]
+    assert psql_query(loaded, f"SELECT count(*) FROM {FULL} WHERE osm_id = 3") == [["0"]]
+
+
+def test_finish_ddl_builds_indexes(loaded):
+    for stmt in finish_ddl(ROADS, CFG):
+        psql_execute(loaded, [stmt])
+    got = psql_query(
+        loaded,
+        "SELECT indexname FROM pg_indexes WHERE schemaname = 'import' "
+        "AND tablename = 'osm_roads' AND indexname = 'osm_roads_osm_id_idx'",
+    )
+    assert got == [["osm_roads_osm_id_idx"]]
+
+
+def test_rotate_schemas(loaded):
+    mapping = Mapping(tables={"roads": ROADS})
+    psql_execute(loaded, rotate_ddl(mapping, CFG))
+    assert psql_query(
+        loaded, 'SELECT count(*) FROM "public"."osm_roads"'
+    ) == [["4"]]
+    # second rotation: production -> backup (table must exist in import again)
+    psql_execute(loaded, table_ddl(ROADS, CFG))
+    psql_execute(loaded, rotate_ddl(mapping, CFG))
+    assert psql_query(
+        loaded, 'SELECT count(*) FROM "backup"."osm_roads"'
+    ) == [["4"]]
+    assert psql_query(
+        loaded, 'SELECT count(*) FROM "public"."osm_roads"'
+    ) == [["0"]]
+
+
+def test_copy_payload_frame_bytes():
+    lines = list(copy_payload([(1, None, "a\tb", True, b"\x01")]))
+    assert lines == ["1\t\\N\ta\\tb\tt\t\\\\x01\n"]
