@@ -74,7 +74,7 @@ def osm_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point⋈box containment via the cell-cover equi-join: each side
     shuffles once on the grid key, no broadcast, no cartesian."""
     joined = grid_join_points_boxes(
-        _points(spark, sf_dir), _boxes(spark, sf_dir), cell_size=32.0
+        _points(spark, sf_dir), _boxes(spark, sf_dir), cell_size=8.0
     )
     return joined.groupBy("poly_id").agg(
         F.count("*").alias("n_points"), F.sum("point_id").alias("sum_ids")
@@ -101,7 +101,7 @@ def osm_spatial_grid_join_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ring"),
     )
     joined = grid_join_points_polygons(
-        _points(spark, sf_dir), rings, cell_size=32.0
+        _points(spark, sf_dir), rings, cell_size=8.0
     )
     return joined.groupBy("poly_id").agg(
         F.count("*").alias("n_points"), F.sum("point_id").alias("sum_ids")

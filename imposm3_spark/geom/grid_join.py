@@ -89,11 +89,16 @@ def grid_join_points_polygons(
     ever sees grid-filtered pairs.
     """
     px, py = point_cols
-    xs = F.transform(F.col(ring_col), lambda v: v["x"])
-    ys = F.transform(F.col(ring_col), lambda v: v["y"])
+    # project the ring to two flat double arrays up front: list<double>
+    # crosses Arrow as a contiguous buffer (numpy view, no per-row dict
+    # materialization in the verify UDF)
     polys = polygons.withColumns(
-        {"_x0": F.array_min(xs), "_x1": F.array_max(xs),
-         "_y0": F.array_min(ys), "_y1": F.array_max(ys)}
+        {"_rx": F.transform(F.col(ring_col), lambda v: v["x"].cast("double")),
+         "_ry": F.transform(F.col(ring_col), lambda v: v["y"].cast("double"))}
+    )
+    polys = polys.withColumns(
+        {"_x0": F.array_min("_rx"), "_x1": F.array_max("_rx"),
+         "_y0": F.array_min("_ry"), "_y1": F.array_max("_ry")}
     )
     p = points.withColumns(
         {"_cx": _cell(F.col(px), cell_size), "_cy": _cell(F.col(py), cell_size)}
@@ -109,19 +114,59 @@ def grid_join_points_polygons(
     )
 
     @pandas_udf("boolean")
-    def _inside(x: pd.Series, y: pd.Series, ring: pd.Series) -> pd.Series:
-        from imposm3_spark.geom.py_geom import point_in_ring
+    def _inside(x: pd.Series, y: pd.Series, rx: pd.Series, ry: pd.Series) -> pd.Series:
+        import numpy as np
 
-        out = []
-        for xi, yi, r in zip(x, y, ring):
-            pts = [(v["x"], v["y"]) for v in r]
-            if pts and pts[0] != pts[-1]:
-                pts.append(pts[0])  # kernel expects a closed ring
-            # point_in_ring: 1 inside, 0 on boundary, -1 outside
-            out.append(point_in_ring((xi, yi), pts) >= 0)
+        # fully batch-vectorized ray cast: rows are bucketed by ring
+        # LENGTH only (typically one bucket), each bucket's rings stacked
+        # into a dense (rows, verts) matrix, and the edge loop runs numpy
+        # ops over the whole bucket — no per-ring python. Semantics are
+        # bit-identical to py_geom.point_in_ring >= 0 (even-odd +
+        # inclusive boundary, same 1e-12 tolerances).
+        n = len(x)
+        if n == 0:
+            return pd.Series([], dtype=bool)
+        px_all = x.to_numpy(dtype=float)
+        py_all = y.to_numpy(dtype=float)
+        rxv = rx.to_numpy()
+        ryv = ry.to_numpy()
+        lens = np.fromiter((len(a) for a in rxv), dtype=np.int64, count=n)
+        out = np.zeros(n, dtype=bool)
+        for length in np.unique(lens):
+            sel = np.nonzero(lens == length)[0]
+            if length < 2:
+                continue  # no edges: nothing is inside a degenerate ring
+            RX = np.stack([np.asarray(rxv[i], dtype=float) for i in sel])
+            RY = np.stack([np.asarray(ryv[i], dtype=float) for i in sel])
+            closed = (RX[:, 0] == RX[:, -1]) & (RY[:, 0] == RY[:, -1])
+            if not closed.all():
+                # close open rings by appending the first vertex; for
+                # already-closed rows the extra zero-length edge adds no
+                # crossings (y1 == y2) and no new boundary hits
+                RX = np.hstack([RX, RX[:, :1]])
+                RY = np.hstack([RY, RY[:, :1]])
+            sx, sy = px_all[sel], py_all[sel]
+            inside = np.zeros(len(sel), dtype=bool)
+            on_edge = np.zeros(len(sel), dtype=bool)
+            for e in range(RX.shape[1] - 1):
+                x1, y1 = RX[:, e], RY[:, e]
+                x2, y2 = RX[:, e + 1], RY[:, e + 1]
+                cross = (x2 - x1) * (sy - y1) - (y2 - y1) * (sx - x1)
+                on_edge |= (
+                    (np.abs(cross) <= 1e-12)
+                    & (sx >= np.minimum(x1, x2) - 1e-12)
+                    & (sx <= np.maximum(x1, x2) + 1e-12)
+                    & (sy >= np.minimum(y1, y2) - 1e-12)
+                    & (sy <= np.maximum(y1, y2) + 1e-12)
+                )
+                mask = (y1 > sy) != (y2 > sy)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = (x2 - x1) * (sy - y1) / (y2 - y1) + x1
+                inside ^= mask & (sx < xint)
+            out[sel] = inside | on_edge
         return pd.Series(out)
 
     return (
-        cand.filter(_inside(F.col(px), F.col(py), F.col(ring_col)))
-        .drop("_cx", "_cy", "_x0", "_x1", "_y0", "_y1")
+        cand.filter(_inside(F.col(px), F.col(py), F.col("_rx"), F.col("_ry")))
+        .drop("_cx", "_cy", "_x0", "_x1", "_y0", "_y1", "_rx", "_ry")
     )
