@@ -150,3 +150,49 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mavg")
     )
+
+
+@register(
+    "events_session_window",
+    """
+    WITH flagged AS (
+      SELECT event_type, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT event_type, ts, value,
+             sum(is_new) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT event_type,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM sess GROUP BY event_type, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) in batch mode, hash-checked
+    against the gaps-and-islands SQL formulation — pins that
+    `F.session_window`'s merge semantics (end = last event + gap) match
+    the classic lag/running-sum sessionization. One exchange on the key."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+            "total_value",
+        )
+    )

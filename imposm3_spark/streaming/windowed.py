@@ -44,3 +44,33 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def session_windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Session-window per-key aggregation (dynamic-length windows that
+    extend while events keep arriving within ``gap`` of the session, and
+    close after a quiet period).
+
+    Native `F.session_window`, so the state store MERGES adjacent
+    sessions incrementally across micro-batches; a session finalizes
+    (append mode, exactly once) when the watermark passes its end. This
+    is the streaming form of the batch gaps-and-islands sessionization
+    (`events_sessionize`); state is bounded by open sessions x keys."""
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )

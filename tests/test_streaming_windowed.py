@@ -94,3 +94,75 @@ def test_window_finalize_and_late_drop(spark, tmp_path):
     assert got.filter("window_start = timestamp '2024-01-01 09:00:00'").count() == 2
     twelve = got.filter("window_start = timestamp '2024-01-01 12:00:00'").collect()
     assert len(twelve) == 1 and twelve[0]["n"] == 1
+
+
+def _drain_sessions(spark, src_dir, ckpt_dir, out_dir):
+    from imposm3_spark.streaming.windowed import session_windowed_counts
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src_dir))
+    q = (
+        session_windowed_counts(stream, gap="30 minutes", watermark_delay="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    return spark.read.parquet(str(out_dir))
+
+
+def test_session_windows_merge_and_finalize(spark, tmp_path):
+    src = tmp_path / "ssrc"
+    ckpt = tmp_path / "sckpt"
+    out = tmp_path / "sout"
+    src.mkdir()
+
+    # one key: 09:00 + 09:20 chain into one session (gap 30m); 09:20+30m
+    # = 09:50 end. 11:10 starts a separate session.
+    _write_batch(
+        spark,
+        src,
+        [
+            (_t(9, 0), "click", 1.0, 1),
+            (_t(9, 20), "click", 2.0, 2),
+            (_t(11, 10), "click", 4.0, 3),
+        ],
+    )
+    _drain_sessions(spark, src, ckpt, out)
+
+    # push the watermark far ahead so every session above finalizes
+    _write_batch(spark, src, [(_t(15, 0), "view", 0.0, 4)])
+    got = _drain_sessions(spark, src, ckpt, out)
+
+    rows = {
+        (r["session_start"], r["session_end"]): (r["n"], r["total_value"])
+        for r in got.filter(got.event_type == "click").collect()
+    }
+    assert rows == {
+        (_t(9, 0), _t(9, 50)): (2, 3.0),   # merged session: two events
+        (_t(11, 10), _t(11, 40)): (1, 4.0),
+    }
+
+
+def test_session_extends_across_batches(spark, tmp_path):
+    src = tmp_path / "xsrc"
+    ckpt = tmp_path / "xckpt"
+    out = tmp_path / "xout"
+    src.mkdir()
+
+    _write_batch(spark, src, [(_t(9, 0), "click", 1.0, 1)])
+    _drain_sessions(spark, src, ckpt, out)
+    # second batch extends the same session (09:25 < 09:00+30m)
+    _write_batch(spark, src, [(_t(9, 25), "click", 1.0, 2)])
+    _drain_sessions(spark, src, ckpt, out)
+    # finalize
+    _write_batch(spark, src, [(_t(15, 0), "view", 0.0, 3)])
+    got = _drain_sessions(spark, src, ckpt, out)
+
+    clicks = got.filter(got.event_type == "click").collect()
+    assert len(clicks) == 1
+    assert clicks[0]["session_start"] == _t(9, 0)
+    assert clicks[0]["session_end"] == _t(9, 55)
+    assert clicks[0]["n"] == 2
