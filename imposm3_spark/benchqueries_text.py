@@ -196,3 +196,28 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` column with a
+    typed schema (from_json is codegen'd JVM-side — no UDF), bucket the
+    extracted field, aggregate. The JSON parse happens once per row at
+    scan speed; only the (type, bucket) aggregate shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json(F.col("props"), "k BIGINT")["k"]
+    )
+    return parsed.groupBy(
+        "event_type", (F.col("k") % 10).alias("k_bucket")
+    ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
