@@ -309,3 +309,36 @@ def test_inverted_index_pairs_only_shuffle(spark):
     # are pre-grouped (term, ids) buffers, not raw text
     assert "partial_collect_list" in plan
     assert "Exchange hashpartitioning(term" in plan
+
+
+def test_grid_join_queries_no_cartesian_no_span_blowup(spark):
+    """The spatial grid join must stay an equi-join on the cell key for
+    both the box and polygon variants: a CartesianProduct or a
+    BroadcastNestedLoopJoin here means the cell-cover rewrite regressed
+    to a cross product."""
+    for q in ("osm_spatial_grid_join", "osm_spatial_grid_join_poly"):
+        plan = _executed_plan(bq.QUERIES[q](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_session_window_single_exchange(spark):
+    """Batch session windows: one hash exchange on the session key; the
+    merge runs inside the aggregation, not as an extra shuffle round."""
+    plan = _executed_plan(
+        bq.QUERIES["events_session_window"](spark, SF_DIR)
+    ).split("== Initial Plan ==")[0]
+    n = _optimized_count(plan, "Exchange hashpartitioning")
+    assert n <= 2, f"session window grew extra shuffles: {n}"
+    assert "CartesianProduct" not in plan
+
+
+def test_json_props_scan_speed_parse(spark):
+    """from_json must stay a projection expression: no UDF eval node, one
+    aggregate exchange only."""
+    plan = _executed_plan(
+        bq.QUERIES["events_json_props"](spark, SF_DIR)
+    ).split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    n = _optimized_count(plan, "Exchange hashpartitioning")
+    assert n == 1, f"expected 1 exchange (group agg), got {n}"
