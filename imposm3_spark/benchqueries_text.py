@@ -221,3 +221,34 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy(
         "event_type", (F.col("k") % 10).alias("k_bucket")
     ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+
+
+@register(
+    "events_cube_distinct",
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(date_part('day', ts) AS INT) AS d, user_id
+      FROM events
+    )
+    SELECT event_type, d,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(grouping(event_type) AS INT) AS g_type,
+           CAST(grouping(d) AS INT) AS g_day
+    FROM ev GROUP BY CUBE (event_type, d)
+    """,
+)
+def events_cube_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE lattice with an exact distinct-count: exercises the expand +
+    two-phase distinct aggregation (partial on (gid, keys, user), final
+    count) — the shape that keeps exact COUNT(DISTINCT) scalable instead
+    of collecting per-group sets."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.dayofmonth("ts").cast("int").alias("d"), "user_id"
+    )
+    return ev.cube("event_type", "d").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("d").cast("int").alias("g_day"),
+    )
