@@ -69,12 +69,33 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: length band + stopword presence +
     low punctuation + sane mean token length. Deterministic, documented in
-    the oracle SQL of `doc_quality`."""
-    n_tok = token_count(text)
+    the oracle SQL of `doc_quality`.
+
+    Value-identical to composing token_count/stopword_ratio/punct_ratio/
+    avg_token_len, but built from fewer subtrees: one lowered token split
+    (whitespace is case-invariant, so the count matches the unlowered
+    split) and mean token length as non-whitespace chars of the ORIGINAL
+    text / token count (sum of token lengths == chars minus whitespace).
+    Higher-order array expressions are interpreted, not codegen'd, and
+    Catalyst does not CSE them — the naive composition re-splits the text
+    ~6x per row."""
+    toks = tokens(F.lower(text))
+    n_tok = F.size(toks)
+    sw = LANG_STOPWORDS["en"]
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    n_chars = F.length(text)
+    nonws = F.length(F.regexp_replace(text, r"\s", ""))
+    punct = F.size(F.regexp_extract_all(text, F.lit("[^a-zA-Z0-9\\s]"), 0))
     len_score = F.when((n_tok >= 10) & (n_tok <= 10000), F.lit(0.25)).otherwise(F.lit(0.0))
-    sw_score = F.when(stopword_ratio(text) > 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
-    punct_score = F.when(punct_ratio(text) < 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
-    atl = avg_token_len(text)
+    sw_score = F.when(
+        F.when(n_tok > 0, hits.cast("double") / n_tok).otherwise(F.lit(0.0)) > 0.01,
+        F.lit(0.25),
+    ).otherwise(F.lit(0.0))
+    punct_score = F.when(
+        F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0)) < 0.2,
+        F.lit(0.25),
+    ).otherwise(F.lit(0.0))
+    atl = F.when(n_tok > 0, nonws.cast("double") / n_tok).otherwise(F.lit(0.0))
     atl_score = F.when((atl >= 2.0) & (atl <= 12.0), F.lit(0.25)).otherwise(F.lit(0.0))
     return len_score + sw_score + punct_score + atl_score
 
