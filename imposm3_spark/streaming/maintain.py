@@ -1,0 +1,131 @@
+"""Incrementally-maintained rollup tables over a stream (materialized-view
+maintenance).
+
+Pattern: `foreachBatch` computes the micro-batch's PARTIAL aggregate
+(count/sum are mergeable), merges it into a versioned parquet rollup, and
+publishes atomically — the streaming analog of the reference's
+generalized-table refresh (T6), generalized beyond OSM.
+
+Exactly-once across restarts: Structured Streaming may REPLAY the last
+uncommitted micro-batch after a failure; the store records the last
+applied `batch_id` in its version marker and makes replays no-ops — the
+same bookkeeping move as the reference's `last.state.txt`
+(update/cmd.go:322-384).
+
+Scale: the merge shuffles only (existing keys ∪ batch keys), which for a
+rollup is orders of magnitude smaller than the stream; the stream itself
+is touched once per batch for the partial aggregate (map-side combine).
+Versions are whole directories with an atomic marker flip, so readers
+never see a partial table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MERGEABLE = {"count", "sum"}
+
+
+class RollupStore:
+    """Versioned parquet rollup keyed by ``key_cols``.
+
+    ``agg_spec`` maps output column -> ("count", None) or
+    ("sum", source_col). Both are mergeable, so batch partials combine
+    with the stored rollup by summation.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        agg_spec: dict[str, tuple[str, str | None]],
+    ):
+        for name, (kind, _src) in agg_spec.items():
+            if kind not in _MERGEABLE:
+                raise ValueError(f"{name}: non-mergeable agg {kind!r}")
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.agg_spec = dict(agg_spec)
+        os.makedirs(path, exist_ok=True)
+
+    # ---- versioning -------------------------------------------------
+
+    def _marker(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def _read_marker(self) -> tuple[int, int]:
+        """(version, last_batch_id); (0, -1) before the first publish."""
+        try:
+            with open(self._marker()) as fh:
+                v, b = fh.read().split()
+                return int(v), int(b)
+        except (FileNotFoundError, ValueError):
+            return 0, -1
+
+    def _publish(self, version: int, batch_id: int) -> None:
+        tmp = self._marker() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{version} {batch_id}")
+        os.replace(tmp, self._marker())
+
+    def _table_dir(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version}")
+
+    @property
+    def last_batch_id(self) -> int:
+        return self._read_marker()[1]
+
+    def current(self) -> DataFrame | None:
+        v, _ = self._read_marker()
+        if v == 0:
+            return None
+        return self.spark.read.parquet(self._table_dir(v))
+
+    # ---- merge ------------------------------------------------------
+
+    def _partial(self, batch_df: DataFrame) -> DataFrame:
+        aggs = []
+        for name, (kind, src) in self.agg_spec.items():
+            if kind == "count":
+                aggs.append(F.count("*").alias(name))
+            else:
+                aggs.append(F.sum(src).alias(name))
+        return batch_df.groupBy(*self.key_cols).agg(*aggs)
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Merge one micro-batch. Replays (batch_id <= last applied) are
+        no-ops, making the foreachBatch sink effectively exactly-once."""
+        version, last = self._read_marker()
+        if batch_id <= last:
+            return
+        partial = self._partial(batch_df)
+        cur = self.current()
+        merged = (
+            partial
+            if cur is None
+            else cur.unionByName(partial)
+            .groupBy(*self.key_cols)
+            .agg(*[F.sum(name).alias(name) for name in self.agg_spec])
+        )
+        new_dir = self._table_dir(version + 1)
+        merged.write.mode("overwrite").parquet(new_dir)
+        self._publish(version + 1, batch_id)
+        old = self._table_dir(version)
+        if version > 0 and os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    # ---- streaming sink ---------------------------------------------
+
+    def sink(self):
+        """foreachBatch callback: `.writeStream.foreachBatch(store.sink())`."""
+
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch_df, batch_id)
+
+        return write
