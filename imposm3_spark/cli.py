@@ -12,6 +12,10 @@ Subcommands:
 - ``run``: the replication loop (update/cmd.go `Run`): poll a local landing
   dir — or mirror a remote replication feed via ``-url`` — applying each
   sequence exactly once, checkpointing last.state.txt.
+- ``curate``: the training-data pipeline over a parquet documents table:
+  quality gate -> exact dedup -> MinHash-LSH near-dup clustering -> one
+  representative per cluster, written as parquet (the ``doc_curate``
+  composition as a command).
 - ``version``.
 
 The heavy lifting stays in the library; this module is arg parsing plus a
@@ -262,6 +266,39 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe import cluster as cl
+    from imposm3_spark.datapipe import dedup as dd
+    from imposm3_spark.datapipe import text as tx
+
+    spark = _build_spark(args)
+    docs = spark.read.parquet(args.read)
+    id_col, text_col = args.id_column, args.text_column
+    q = docs.withColumns(
+        {
+            "n_tokens": tx.token_count(F.col(text_col)),
+            "quality": tx.quality_score(F.col(text_col)),
+        }
+    ).filter(F.col("quality") >= args.min_quality)
+    keep = (
+        q.groupBy(F.md5(text_col).alias("_h"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    q2 = q.join(keep, id_col, "leftsemi").localCheckpoint(eager=True)
+    pairs = dd.minhash_lsh_pairs(q2, text_col=text_col, id_col=id_col)
+    curated = cl.dedup_representatives(
+        q2, pairs, id_col, pair_a="id_a", pair_b="id_b"
+    )
+    _swap_write(curated, args.out)
+    n_in = docs.count()
+    n_out = spark.read.parquet(args.out).count()
+    print(f"curate: {n_in} -> {n_out} documents ({args.out})")
+    return 0
+
+
 def _base_flags(p: argparse.ArgumentParser) -> None:
     # single-dash long flags for Go-flag parity (config.go:180-194)
     p.add_argument("-mapping", required=True, help="mapping file (yaml/json)")
@@ -275,7 +312,7 @@ def _base_flags(p: argparse.ArgumentParser) -> None:
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
-        print("usage: imposm3_spark import|diff|run|query|version [args]", file=sys.stderr)
+        print("usage: imposm3_spark import|diff|run|query|curate|version [args]", file=sys.stderr)
         return 2
     cmd, rest = argv[0], argv[1:]
     if cmd == "version":
@@ -305,6 +342,14 @@ def main(argv: list[str] | None = None) -> int:
         _base_flags(p)
         args, files = p.parse_known_args(rest)
         return cmd_diff(args, files)
+    if cmd == "curate":
+        p = argparse.ArgumentParser(prog="imposm3_spark curate")
+        p.add_argument("-read", required=True, help="documents parquet path")
+        p.add_argument("-out", required=True, help="output parquet dir")
+        p.add_argument("-id-column", dest="id_column", default="doc_id")
+        p.add_argument("-text-column", dest="text_column", default="text")
+        p.add_argument("-min-quality", dest="min_quality", type=float, default=0.75)
+        return cmd_curate(p.parse_args(rest))
     if cmd == "run":
         p = argparse.ArgumentParser(prog="imposm3_spark run")
         _base_flags(p)

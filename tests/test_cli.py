@@ -126,3 +126,26 @@ def test_query_cache_parity(imported, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["nodes"]["99999999"] is None
+
+
+def test_cli_curate(spark, tmp_path):
+    from imposm3_spark.cli import main
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and that is that " * 3),
+            (2, "the cat sat on the mat and that is that " * 3),  # exact dup
+            (3, "a completely different document about the weather in spring " * 2),
+            (4, "xx"),  # fails quality (too short)
+        ],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "docs.parquet"
+    docs.write.parquet(str(src))
+    out = tmp_path / "curated"
+    rc = main(["curate", "-read", str(src), "-out", str(out)])
+    assert rc == 0
+    got = spark.read.parquet(str(out))
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    assert ids == [1, 3]  # dup dropped (min id kept), low-quality dropped
+    assert "quality" in got.columns and "n_tokens" in got.columns
