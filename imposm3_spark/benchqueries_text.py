@@ -252,3 +252,67 @@ def events_cube_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("event_type").cast("int").alias("g_type"),
         F.grouping("d").cast("int").alias("g_day"),
     )
+
+
+@register(
+    "emb_label_centroids",
+    """
+    WITH dims AS (
+      SELECT label, unnest(range(0, len(embedding))) AS dim, embedding AS e
+      FROM embeddings
+    )
+    SELECT label, dim, round(avg(CAST(e[dim + 1] AS DOUBLE)), 6) AS c
+    FROM dims GROUP BY label, dim
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (the class-prototype / IVF-training
+    primitive) as (label, dim, c) rows: posexplode -> partial-agg avg.
+    The (label, dim) key spreads one vector across dim-many reducers, so
+    no single task ever holds a label's full vector set — at 100 TB the
+    alternative groupBy(label) + UDF mean concentrates each label's
+    vectors in one task."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+
+
+@register(
+    "events_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(date_part('day', ts) AS INT)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(date_part('day', e.ts) AS INT) - f.cohort_day AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset, count(*) AS n_users
+    FROM activity WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    per day-offset for the first week. The cohort table is user-sized and
+    broadcasts back onto events; distinct (user, offset) pairs
+    partial-aggregate before the final matrix."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.dayofmonth("ts").cast("int").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select("user_id", "cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
