@@ -135,3 +135,81 @@ def test_inverted_index_postings_sorted_capped(spark):
     assert rows["only"]["postings"] == [99]
     # duplicate tokens inside one doc count once
     assert rows["w"]["df"] == 30
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=30
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_words, min_size=1, max_size=6))
+def test_span_dedup_invariants(spark, docs_tokens):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    out = ck.span_dedup(
+        spark.createDataFrame(rows, "doc_id long, text string"), width=3
+    ).collect()
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_spans"]
+    # keep-first semantics imply exactly one survivor per distinct span:
+    # sum(n_kept) == number of distinct spans in the corpus
+    import itertools
+
+    def spans(toks):
+        return [
+            " ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)
+        ]
+
+    corpus_spans = list(
+        itertools.chain.from_iterable(spans(t) for t in docs_tokens if t)
+    )
+    assert sum(r["n_kept"] for r in out) == len(set(corpus_spans))
+    assert sum(r["n_spans"] for r in out) == len(corpus_spans)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=40),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=1, max_value=8),
+)
+def test_chunk_overlap_coverage(spark, toks, chunk_size, stride):
+    if stride > chunk_size:
+        stride = chunk_size
+    text = " ".join(toks)
+    rows = sorted(
+        ck.chunk_overlap(
+            spark.createDataFrame([(0, text)], "doc_id long, text string"),
+            chunk_size=chunk_size,
+            stride=stride,
+        ).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    n = len(toks)
+    # every token index is covered by at least one chunk
+    covered = set()
+    for r in rows:
+        start = r["chunk_id"] * stride
+        covered.update(range(start, min(start + chunk_size, n)))
+        # no empty chunks, each chunk matches the source slice
+        assert r["chunk_text"] == " ".join(toks[start : start + chunk_size])
+    assert covered == set(range(n))
+    # chunk count matches the closed form
+    import math
+
+    assert len(rows) == 1 + math.ceil(max(n - chunk_size, 0) / stride)
