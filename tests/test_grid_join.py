@@ -95,3 +95,36 @@ def test_grid_join_plan_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grid_join_sort_merge_path_same_result(spark):
+    """With broadcast disabled (the many-polygons regime at 100 TB), the
+    cell equi-join must degrade to a SortMergeJoin on the cell key — both
+    sides co-partitioned — and produce identical pairs."""
+    rng = random.Random(11)
+    pts = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(400)]
+    boxes = []
+    for j in range(30):
+        x0, y0 = rng.uniform(0, 90), rng.uniform(0, 90)
+        boxes.append((j, x0, y0, x0 + rng.uniform(1, 25), y0 + rng.uniform(1, 25)))
+    pdf = _pts(spark, pts)
+    bdf = spark.createDataFrame(
+        boxes, "poly_id long, x0 double, y0 double, x1 double, y1 double"
+    )
+    want = {
+        (i, j)
+        for (i, x, y) in pts
+        for (j, x0, y0, x1, y1) in boxes
+        if x0 <= x <= x1 and y0 <= y <= y1
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = grid_join_points_boxes(pdf, bdf, cell_size=16.0)
+        got = {(r["point_id"], r["poly_id"]) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
