@@ -394,3 +394,51 @@ def doc_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
         F.col("cum_tokens") <= 10000
     )
+
+
+@register(
+    "doc_pairgraph_triangles",
+    """
+    WITH nodes AS (
+      -- blocking-key graph: docs sharing (lang, size-bucket) are connected
+      -- (a < b) — the SQL-reproducible stand-in for an LSH bucket graph
+      SELECT doc_id, lang || '|' || CAST(n_chars % 50 AS VARCHAR) AS grp
+      FROM documents
+    ),
+    edges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM nodes a JOIN nodes b ON a.grp = b.grp AND a.doc_id < b.doc_id
+    )
+    SELECT count(*) AS n_triangles FROM (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.b = e2.a
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    """,
+)
+def doc_pairgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over a candidate-pair graph (a<b edges from a
+    blocking key — deterministic, SQL-reproducible; 899 triangles at
+    sf0.01). The classic distributed triple self-join: each join is an
+    equi-join on one endpoint and the a<b<c orientation counts each
+    triangle once. At scale the degree-ordering trick (orient edges
+    low->high degree) bounds the intermediate; orientation here is by
+    id, the same shape."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("lang"), F.lit("|"), (F.col("n_chars") % 50).cast("string")).alias("grp"),
+    )
+    a = d.select(F.col("grp"), F.col("doc_id").alias("a"))
+    b = d.select(F.col("grp"), F.col("doc_id").alias("b"))
+    edges = (
+        a.join(b, "grp").filter(F.col("a") < F.col("b")).select("a", "b")
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
