@@ -375,25 +375,21 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget data selection: rank documents by a priority score and
     keep the prefix whose cumulative token count fits the budget (greedy
-    selection — the standard 'best data under N tokens' pass). The running
-    sum is one global ORDER BY window; at 100 TB the same selection runs
-    as (1) per-partition sums, (2) a driver-sized prefix-sum of partition
-    totals, (3) a per-partition offset filter — or approximately via a
-    priority-threshold binary search; the graded query pins the exact
-    semantics."""
+    'best data under N tokens'). Runs the DISTRIBUTED two-phase prefix
+    sum (datapipe.sampling.budget_select): range partition + local sort,
+    driver-sized partition-total prefix sum, per-partition offset filter —
+    never a single-task global window. The unique-id tie-break makes the
+    selected set partitioning-independent, which is exactly what the SQL
+    oracle's global window pins."""
+    from imposm3_spark.datapipe.sampling import budget_select
+
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     scored = d.select(
         "doc_id",
         F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tokens"),
         F.round((F.size(F.split(F.col("text"), "a", -1)) / 10.0), 6).alias("pri"),
     )
-    w = (
-        Window.orderBy(F.col("pri").desc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
-        F.col("cum_tokens") <= 10000
-    )
+    return budget_select(scored, "pri", "n_tokens", 10000)
 
 
 @register(

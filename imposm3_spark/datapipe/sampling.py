@@ -96,3 +96,79 @@ def pack_sequences(
         .withColumn("pack_offset", F.col("_cb") % max_tokens)
         .drop("_cb")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    priority_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy token-budget selection, distributed: keep the prefix of
+    documents (ordered by priority desc, id asc) whose cumulative token
+    count stays within ``budget``. Adds a ``cum_tokens`` column.
+
+    Two-phase global prefix sum instead of a single-partition window
+    (``Window.orderBy`` without partitionBy funnels the whole corpus
+    through ONE task):
+
+      1. range-repartition on the order key + sort within partitions —
+         the same exchange a global sort pays, but downstream work stays
+         parallel;
+      2. per-partition token totals (one tiny aggregate) -> driver
+         prefix-sum -> broadcast offsets;
+      3. each partition computes its local running sum + its offset and
+         filters — one mapInPandas pass, no second shuffle.
+
+    The unique ``id_col`` tie-break makes the global order (and thus the
+    selected set) independent of the partitioning."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    n_parts = num_partitions or max(df.rdd.getNumPartitions(), 1)
+    ordered = df.repartitionByRange(
+        n_parts, F.col(priority_col).desc(), F.col(id_col).asc()
+    ).sortWithinPartitions(F.col(priority_col).desc(), F.col(id_col).asc())
+
+    totals = (
+        ordered.select(
+            F.spark_partition_id().alias("_pid"), F.col(tokens_col).alias("_t")
+        )
+        .groupBy("_pid")
+        .agg(F.sum("_t").alias("_total"))
+        .collect()
+    )
+    by_pid = {r["_pid"]: r["_total"] for r in totals}
+    offsets = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # note: StructType.add mutates in place — build a copy
+    schema = StructType(
+        list(ordered.schema.fields) + [StructField("cum_tokens", LongType())]
+    )
+
+    def take_prefix(batches):
+        pid = TaskContext.get().partitionId()
+        running = offsets.get(pid, 0)
+        if running > budget:
+            return  # whole partition is past the budget
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cum = pdf[tokens_col].cumsum() + running
+            running = int(cum.iloc[-1])
+            out = pdf.assign(cum_tokens=cum.astype("int64"))
+            out = out[out["cum_tokens"] <= budget]
+            if len(out):
+                yield out
+            if running > budget:
+                return
+
+    return ordered.mapInPandas(take_prefix, schema=schema)

@@ -201,3 +201,43 @@ class TestPackSequences:
         ).collect()
         key = lambda r: (r.doc_id, r.bucket, r.pack_id, r.pack_offset)  # noqa: E731
         assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_budget_select_matches_global_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.sampling import budget_select
+
+    rng = random.Random(17)
+    rows = [(i, rng.randint(1, 40), round(rng.random(), 3)) for i in range(1500)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens int, pri double"
+    ).repartition(6)
+    got = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in budget_select(df, "pri", "n_tokens", 4000).collect()
+    )
+    w = Window.orderBy(F.col("pri").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in df.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 4000)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_budget_select_zero_and_large_budget(spark):
+    from imposm3_spark.datapipe.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [(1, 10, 0.9), (2, 10, 0.5)], "doc_id long, n_tokens int, pri double"
+    )
+    assert budget_select(df, "pri", "n_tokens", 5).count() == 0
+    all_rows = budget_select(df, "pri", "n_tokens", 1000).collect()
+    assert {r["doc_id"]: r["cum_tokens"] for r in all_rows} == {1: 10, 2: 20}
