@@ -438,3 +438,60 @@ def doc_pairgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
     )
     return tri.agg(F.count("*").alias("n_triangles"))
+
+
+@register(
+    "doc_corpus_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+       OR md5(o.text) <> md5(n.text)
+    """,
+)
+def doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (dataset-version CDC): classify documents as
+    added / removed / changed between two corpus versions by a full outer
+    join on id + content-hash compare — the incremental-ingest primitive
+    (only the diff re-enters the dedup/curation pipeline downstream).
+    Hashes, not full texts, feed the comparison; one co-partitioned
+    join."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 != 0).select("doc_id", F.md5("text").alias("h"))
+    new = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(F.col("doc_id") % 13 == 0, F.upper("text")).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+    )
+    j = old.withColumnsRenamed({"doc_id": "o_id", "h": "o_h"}).join(
+        new.withColumnsRenamed({"doc_id": "n_id", "h": "n_h"}),
+        F.col("o_id") == F.col("n_id"),
+        "full_outer",
+    )
+    return (
+        j.filter(
+            F.col("o_id").isNull() | F.col("n_id").isNull() | (F.col("o_h") != F.col("n_h"))
+        )
+        .select(
+            F.coalesce("o_id", "n_id").alias("doc_id"),
+            F.when(F.col("o_id").isNull(), "added")
+            .when(F.col("n_id").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change"),
+        )
+    )
