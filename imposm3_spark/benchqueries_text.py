@@ -495,3 +495,46 @@ def doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change"),
         )
     )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      count(*) AS n_users,
+      sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
+      sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+               THEN 1 ELSE 0 END) AS step_click,
+      sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click
+               THEN 1 ELSE 0 END) AS step_purchase
+    FROM per_user
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): one
+    conditional-min aggregation per user (a single map-side-combinable
+    pass over the events — NOT a per-step self-join, which at 100 TB
+    multiplies the fact table), then ordering predicates on the
+    first-occurrence timestamps."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_buy = reached_click & (F.col("t_buy") > F.col("t_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(reached_view.cast("long")).alias("step_view"),
+        F.sum(reached_click.cast("long")).alias("step_click"),
+        F.sum(reached_buy.cast("long")).alias("step_purchase"),
+    )
