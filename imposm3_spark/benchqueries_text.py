@@ -538,3 +538,102 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(reached_click.cast("long")).alias("step_click"),
         F.sum(reached_buy.cast("long")).alias("step_purchase"),
     )
+
+
+@register(
+    "events_pivot",
+    """
+    SELECT CAST(date_part('day', ts) AS INT) AS d,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+    FROM events GROUP BY 1
+    """,
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (day x event_type count matrix) through the native
+    `.pivot()` API with explicit values — explicit values keep it ONE
+    aggregation pass (omitting them costs an extra distinct-values job
+    at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.dayofmonth("ts").cast("int").alias("d"))
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot yields nullable counts: absent combos -> 0 to match the oracle
+    return out.select(
+        "d", *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+               for c in ("view", "click", "purchase", "signup", "error")]
+    )
+
+
+@register(
+    "lineitem_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             unnest(['quantity', 'extendedprice', 'discount']) AS measure,
+             unnest([CAST(l_quantity AS DOUBLE), l_extendedprice, l_discount]) AS val
+      FROM lineitem
+    )
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide measures -> long rows) via the native
+    `unpivot` API — a zero-shuffle row expansion, the inverse of pivot."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice", "discount"],
+            "measure",
+            "raw",
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "measure", F.round("raw", 2).alias("val")
+        )
+    )
+
+
+@register(
+    "orders_price_deciles",
+    """
+    SELECT decile,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    GROUP BY decile
+    """,
+)
+def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile banding via ntile: the global sort is the documented cost
+    (rank windows need total order); the unique-key tie-break pins
+    deterministic band edges across engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
