@@ -623,13 +623,28 @@ def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile banding via ntile: the global sort is the documented cost
-    (rank windows need total order); the unique-key tie-break pins
+    """Decile banding with ntile semantics but WITHOUT the single-task
+    global window: two-phase global row numbers (range partition + local
+    sort + driver offset prefix sum — sampling.with_global_row_numbers),
+    then the exact ntile bucket formula from (rn, total): the first
+    total%10 buckets carry one extra row. The unique-key tie-break pins
     deterministic band edges across engines."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    from imposm3_spark.datapipe.sampling import with_global_row_numbers
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    numbered = with_global_row_numbers(
+        o, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    )
+    total = numbered.count()
+    q, r = divmod(total, 10)
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    decile = F.when(
+        F.col("rn") <= big, ((F.col("rn") - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(((F.col("rn") - 1 - big) / q).cast("long") + 1 + r) if q else (
+        F.col("rn")
+    )
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        numbered.select("o_totalprice", decile.cast("int").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),

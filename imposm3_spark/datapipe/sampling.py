@@ -172,3 +172,53 @@ def budget_select(
                 return
 
     return ordered.mapInPandas(take_prefix, schema=schema)
+
+
+def with_global_row_numbers(
+    df: DataFrame,
+    order_cols: list,
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row numbers in ``order_cols`` order WITHOUT a
+    single-task window: range repartition + local sort (the same exchange
+    a total sort pays), per-partition row counts -> driver prefix sum ->
+    broadcast offsets, then one mapInPandas pass adds offset + local
+    index. Rank-family windows (row_number/ntile/percent_rank over a
+    global ORDER BY) all derive from this with the total count."""
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    n_parts = num_partitions or max(df.rdd.getNumPartitions(), 1)
+    ordered = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    counts = (
+        ordered.select(F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    by_pid = {r["_pid"]: r["count"] for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+
+    schema = StructType(list(ordered.schema.fields) + [StructField(rn_col, LongType())])
+
+    def number(batches):
+        import pandas as pd  # noqa: F401
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            idx = pd.RangeIndex(base + 1, base + n + 1)
+            base += n
+            yield pdf.assign(**{rn_col: idx.to_numpy()})
+
+    return ordered.mapInPandas(number, schema=schema)

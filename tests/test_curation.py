@@ -241,3 +241,28 @@ def test_budget_select_zero_and_large_budget(spark):
     assert budget_select(df, "pri", "n_tokens", 5).count() == 0
     all_rows = budget_select(df, "pri", "n_tokens", 1000).collect()
     assert {r["doc_id"]: r["cum_tokens"] for r in all_rows} == {1: 10, 2: 20}
+
+
+def test_global_row_numbers_match_window(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.sampling import with_global_row_numbers
+
+    rng = random.Random(23)
+    rows = [(i, round(rng.random(), 2)) for i in range(800)]  # ties in v
+    df = spark.createDataFrame(rows, "id long, v double").repartition(5)
+    got = {
+        r["id"]: r["rn"]
+        for r in with_global_row_numbers(
+            df, [F.col("v").asc(), F.col("id").asc()]
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
