@@ -100,13 +100,22 @@ def cmd_import(args) -> int:
     if args.connection:
         from imposm3_spark.sinks import postgis as pg
 
-        cfg = pg.PostGISConfig(srid=args.srid)
+        cfg = pg.PostGISConfig(
+            srid=args.srid, use_postgis=getattr(args, "use_postgis", True)
+        )
         if args.connection.startswith("ddl:"):
             # print the DDL flow instead of executing (no live DB needed)
             for name in tables:
                 for stmt in pg.table_ddl(mapping.tables[name], cfg):
                     print(stmt + ";")
         else:
+            # schema + tables first (postgis.go Init flow), then COPY
+            pg.execute_ddl(
+                f'CREATE SCHEMA IF NOT EXISTS "{cfg.schema_import}"', args.connection
+            )
+            for name in tables:
+                for stmt in pg.table_ddl(mapping.tables[name], cfg):
+                    pg.execute_ddl(stmt, args.connection)
             for name, df in tables.items():
                 pg.write_bulk(df, mapping.tables[name], cfg, args.connection)
             if args.optimize or args.deployproduction:
@@ -325,6 +334,12 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("-diff", action="store_true", help="persist state for diff mode")
         p.add_argument("-optimize", action="store_true")
         p.add_argument("-deployproduction", action="store_true")
+        p.add_argument(
+            "-no-postgis",
+            dest="use_postgis",
+            action="store_false",
+            help="plain PostgreSQL target: geometry as BYTEA, no GIST/CLUSTER",
+        )
         return cmd_import(p.parse_args(rest))
     if cmd == "query":
         p = argparse.ArgumentParser(prog="imposm3_spark query")

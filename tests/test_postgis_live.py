@@ -233,3 +233,52 @@ def test_rotate_schemas(loaded):
 def test_copy_payload_frame_bytes():
     lines = list(copy_payload([(1, None, "a\tb", True, b"\x01")]))
     assert lines == ["1\t\\N\ta\\tb\tt\t\\\\x01\n"]
+
+
+def test_cli_import_to_live_postgres(spark, pg_dsn, have_hstore):
+    """The reference's full workflow, end to end: mapping + .osm ->
+    ImportPipeline -> live PostgreSQL (DDL + distributed COPY) -> index
+    finishers -> production deploy (schema rotation). Asserts the
+    deployed table's rows, EWKB payloads, and server-parsed hstore."""
+    if not have_hstore:  # pragma: no cover
+        pytest.skip("hstore extension unavailable")
+    from imposm3_spark.cli import main
+
+    rc = main(
+        [
+            "import",
+            "-mapping", "/root/reference/test/single_table_mapping.json",
+            "-read", "/root/reference/test/single_table.osm",
+            "-connection", pg_dsn,
+            "-no-postgis",
+            "-optimize",
+            "-deployproduction",
+        ]
+    )
+    assert rc == 0
+    # deployed to production schema by the rotation
+    assert psql_query(pg_dsn, 'SELECT count(*) FROM "public"."osm_all"') == [["14"]]
+    # geometry column carries EWKB bytes (SRID flag 0x20 in byte 4)
+    assert psql_query(
+        pg_dsn,
+        'SELECT count(*) FROM "public"."osm_all" '
+        "WHERE geometry IS NOT NULL AND octet_length(geometry) > 5",
+    ) == [["14"]]
+    # hstore parses server-side and carries the mapped tags
+    got = psql_query(
+        pg_dsn,
+        "SELECT count(*) FROM \"public\".\"osm_all\" WHERE tags ? 'highway'",
+    )
+    assert int(got[0][0]) > 0
+    # single-id-space: way/relation ids are negated (mangled) — both signs present
+    assert psql_query(
+        pg_dsn,
+        'SELECT count(*) FROM "public"."osm_all" WHERE osm_id < 0',
+    ) != [["0"]]
+    # btree index from -optimize exists on the rotated table
+    got = psql_query(
+        pg_dsn,
+        "SELECT count(*) FROM pg_indexes WHERE tablename = 'osm_all' "
+        "AND indexdef LIKE '%osm_id%'",
+    )
+    assert int(got[0][0]) >= 1
