@@ -342,3 +342,44 @@ def test_json_props_scan_speed_parse(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     n = _optimized_count(plan, "Exchange hashpartitioning")
     assert n == 1, f"expected 1 exchange (group agg), got {n}"
+
+
+def test_aqe_skew_join_engages(spark):
+    """AQE skew-join splitting must actually fire under skew — the runtime
+    defense for mega-way / hot-key joins. Thresholds are lowered so the
+    test's skew qualifies; the executed plan must mark the skewed side."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one hot key carrying ~90% of the rows on the left side
+        left = spark.range(0, 30000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("p"),
+        )
+        right = spark.range(0, 2000).select(
+            (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+        )
+        # NOTE: no aggregation on the join key downstream — AQE skips the
+        # skew split when the join's output partitioning is reused (the
+        # split breaks hash distribution; see forceOptimizeSkewedJoin)
+        df = left.join(right, "k")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, f"AQE did not mark the skewed join:\n{plan[:2000]}"
