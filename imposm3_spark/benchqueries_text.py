@@ -652,3 +652,48 @@ def orders_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "events_asof_nearest",
+    """
+    SELECT p.event_id, p.user_id,
+           (SELECT min(abs(epoch_us(c.ts) - epoch_us(p.ts)))
+            FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click') AS gap_us
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join: for every purchase, the time gap to the
+    user's closest click in EITHER direction — composed from two as-of
+    merge-scan passes (backward latest-preceding + forward
+    earliest-following), one key-partitioned sort each, never a per-row
+    scan of the right side. The oracle's correlated min(abs()) pins the
+    same value."""
+    from imposm3_spark.datapipe.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    back = asof_join(
+        purchases, clicks.withColumnRenamed("c_ts", "prev_ts"),
+        on="user_id", left_time="ts", right_time="prev_ts",
+        right_payload=["prev_ts"],
+    )
+    both = asof_join(
+        back, clicks.withColumnRenamed("c_ts", "next_ts"),
+        on="user_id", left_time="ts", right_time="next_ts",
+        right_payload=["next_ts"], direction="forward",
+    )
+    # NTZ timestamps: cast before unix_micros; the (fixed) session-zone
+    # offset cancels in the differences
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    gap = F.least(us("ts") - us("prev_ts"), us("next_ts") - us("ts"))
+    return both.select("event_id", "user_id", gap.alias("gap_us"))

@@ -30,13 +30,19 @@ def asof_join(
     right_time: str,
     right_payload: list[str],
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the payload of the latest right row with
     ``right.time <= left.time`` (or ``<`` when ``strict``) and the same key.
+    ``direction="forward"`` flips the inequality: the EARLIEST right row
+    with ``right.time >= left.time`` (``>`` when strict) — together the two
+    directions compose nearest-neighbor time joins.
 
     Returns all left columns + ``right_payload`` columns (null when no
-    right row precedes the left row — i.e. an as-of LEFT join).
+    right row precedes/follows the left row — i.e. an as-of LEFT join).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction {direction!r}")
     lcols = left.columns
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
 
@@ -57,8 +63,11 @@ def asof_join(
     both = l_tag.unionByName(r_tag)
 
     # at equal timestamps the right row sorts first (side 0) so a non-strict
-    # as-of sees it; strict mode sorts the left row first instead.
-    order = [F.col("__t").asc(), F.col("__side").asc() if not strict else F.col("__side").desc()]
+    # as-of sees it; strict mode sorts the left row first instead. Forward
+    # mode scans time DESCENDING, so "last preceding in sort order" becomes
+    # "earliest following in time".
+    t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    order = [t_ord, F.col("__side").asc() if not strict else F.col("__side").desc()]
     w = (
         Window.partitionBy("__k")
         .orderBy(*order)
