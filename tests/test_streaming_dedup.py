@@ -104,3 +104,60 @@ def test_streaming_neardup_flags_across_batches(spark, tmp_path):
     assert flagged == {2, 10}
     dup10 = [r for r in got.collect() if r["doc_id"] == 10]
     assert all(r["first_doc_id"] == 1 for r in dup10)
+
+
+def test_native_dedup_within_watermark(spark, tmp_path):
+    """Native dropDuplicatesWithinWatermark: the bounded-state alternative
+    to the custom registry — duplicates within the watermark horizon
+    collapse; state for expired keys is dropped (so it runs forever)."""
+    from datetime import datetime
+
+    from pyspark.sql.types import TimestampType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("h", StringType(), True),
+            StructField("ts", TimestampType(), False),
+        ]
+    )
+    src = tmp_path / "wsrc"
+    src.mkdir()
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["h"])
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "wout"))
+            .option("checkpointLocation", str(tmp_path / "wckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+        return spark.read.parquet(str(tmp_path / "wout"))
+
+    t = datetime(2024, 1, 1, 9, 0)
+    write(
+        [
+            (1, "AAA", t),
+            (2, "AAA", datetime(2024, 1, 1, 9, 10)),  # dup within horizon
+            (3, "BBB", datetime(2024, 1, 1, 9, 20)),
+        ]
+    )
+    got = drain()
+    assert got.count() == 2  # one AAA, one BBB
+    assert sorted(r["h"] for r in got.collect()) == ["AAA", "BBB"]
+
+    # same hash again within a later batch but inside the (advanced)
+    # watermark horizon of its first emission -> still deduped
+    write([(4, "BBB", datetime(2024, 1, 1, 9, 40))])
+    got = drain()
+    assert got.filter(F.col("h") == "BBB").count() == 1
