@@ -697,3 +697,86 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gap = F.least(us("ts") - us("prev_ts"), us("next_ts") - us("ts"))
     return both.select("event_id", "user_id", gap.alias("gap_us"))
+
+
+@register(
+    "emb_norm_stats",
+    """
+    WITH norms AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n,
+           round(avg(nrm), 6) AS avg_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM norms GROUP BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm distribution per label: an in-row array fold
+    (F.aggregate — JVM-side, zero shuffle) feeding one partial-agg
+    group — the standard pre-normalization sanity scan of an embedding
+    corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "doc_quality_matrix",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tokens,
+             text
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, lang,
+             (CASE WHEN len(tokens) BETWEEN 10 AND 10000 THEN 1 ELSE 0 END)
+           + (CASE WHEN len(tokens) > 0 AND
+                 CAST(len(list_filter(tokens,
+                     t -> t IN ('the','and','of','to','a','in','is','that'))) AS DOUBLE)
+                 / len(tokens) > 0.01 THEN 1 ELSE 0 END)
+           + (CASE WHEN length(text) = 0 OR
+                 CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                 / length(text) < 0.2 THEN 1 ELSE 0 END)
+           + (CASE WHEN len(tokens) > 0 AND
+                 CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                 / len(tokens) BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END) AS band
+      FROM toks
+    )
+    SELECT lang, band, count(*) AS n
+    FROM feat GROUP BY lang, band
+    """,
+)
+def doc_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language x quality-band census (band = number of quality criteria
+    met, 0-4 = quality_score/0.25): the corpus health dashboard query —
+    zero-shuffle scoring, one tiny aggregate."""
+    from imposm3_spark.datapipe.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", (quality_score(F.col("text")) / 0.25).cast("int").alias("band"))
+        .groupBy("lang", "band")
+        .agg(F.count("*").alias("n"))
+    )
