@@ -64,20 +64,26 @@ def main() -> None:
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
-        timings[name] = round(time.perf_counter() - start, 4)
+        # 3 decimals: keeps the single JSON line compact enough that a
+        # tail-capture of the process output can't truncate it (r02's
+        # full-precision floats overflowed the driver's capture window)
+        timings[name] = round(time.perf_counter() - start, 3)
         _ = n
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # summary keys first so even a head-truncated capture shows the totals
     print(
         json.dumps(
             {
                 "metric": "benchqueries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": timings,
             }
-        )
+        ),
+        flush=True,
     )
     spark.stop()
 

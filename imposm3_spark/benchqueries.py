@@ -1328,14 +1328,43 @@ def emb_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_neardup_pairs(e, threshold=0.4, bits=8, tables=4, dim=64)
 
 
-@register("emb_ivf_topk_probe")  # rows-only: nprobe < ncentroids prunes cells
+@register(
+    "emb_ivf_topk_probe",
+    # Recall-bound oracle: pruning (nprobe=4 of 16 cells) has recall < 1, so
+    # the probe's exact ROWS aren't SQL-predictable — but three invariants
+    # are, and each fails if the machinery breaks: (n_results) every query
+    # returns exactly k=3 rows; (n_sim_exact) every probe sim equals the
+    # independently recomputed exact cosine — a wrong rerank or a row
+    # corrupted in the cell join changes this; (n_within_m) every probe
+    # result sits inside the brute-force top-32 — measured max exact rank is
+    # 11 across sf0.001/0.01/0.1, so 32 bounds recall with 3x margin while
+    # still rejecting a quantizer that probes the wrong cells.
+    """
+    SELECT vec_id AS query_id,
+           3 AS n_results, 3 AS n_sim_exact, 3 AS n_within_m
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
 def emb_ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The production IVF shape — nprobe=4 of 16 cells, ~4x less rerank work;
-    recall < 1 by design so there is no exact SQL oracle (the all-probe
-    variant above is the value-checked one)."""
+    """The production IVF shape — nprobe=4 of 16 cells, ~4x less rerank
+    work — emitted as per-query invariant counts (see oracle comment) so
+    the pruned path is value-checked, not rows-only."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return sim.ivf_topk(e, q, k=3, ncentroids=16, nprobe=4)
+    probe = sim.ivf_topk(e, q, k=3, ncentroids=16, nprobe=4)
+    exact = sim.brute_force_topk(e, q, k=32)
+    j = probe.alias("p").join(
+        exact.alias("x"), ["query_id", "vec_id"], "left"
+    )
+    return j.groupBy("query_id").agg(
+        F.count("*").alias("n_results"),
+        F.sum(
+            F.when(
+                F.abs(F.col("p.sim") - F.col("x.sim")) <= F.lit(1.5e-6), 1
+            ).otherwise(0)
+        ).alias("n_sim_exact"),
+        F.sum(F.when(F.col("x.rank") <= 32, 1).otherwise(0)).alias("n_within_m"),
+    )
 
 
 @register(
@@ -1463,12 +1492,18 @@ def tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # Representation-proof timestamps: the parquet columns are tz-less
+    # timestamp[us]; force TIMESTAMP_NTZ on the column side AND the literal
+    # side so the predicate evaluates identically whether the session read
+    # the scan as NTZ or LTZ and regardless of session timezone.
+    sd = F.col("l_shipdate").cast("timestamp_ntz")
+    od = F.col("o_orderdate").cast("timestamp_ntz")
     return (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .filter(
-            (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-            & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            (sd >= od + F.expr("INTERVAL 60 DAYS"))
+            & (sd >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (sd < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         )
         .groupBy(F.col("l_returnflag").alias("shipclass"))
         .agg(

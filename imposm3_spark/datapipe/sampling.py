@@ -131,6 +131,13 @@ def budget_select(
     ordered = df.repartitionByRange(
         n_parts, F.col(priority_col).desc(), F.col(id_col).asc()
     ).sortWithinPartitions(F.col(priority_col).desc(), F.col(id_col).asc())
+    # Pin the partitioning: repartitionByRange SAMPLES its boundaries per
+    # job, so running the totals action and the mapInPandas action against
+    # the live plan can yield DIFFERENT boundaries once partitions exceed
+    # the boundary sample — offsets from job 1 applied to job 2's
+    # partitions would corrupt cum_tokens. An eager localCheckpoint
+    # materializes one partitioning both jobs share.
+    ordered = ordered.localCheckpoint(eager=True)
 
     totals = (
         ordered.select(
@@ -193,6 +200,10 @@ def with_global_row_numbers(
     ordered = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
         *order_cols
     )
+    # Same boundary-stability requirement as budget_select: both the
+    # counts job and the numbering job must observe ONE sampled range
+    # partitioning, so materialize it once.
+    ordered = ordered.localCheckpoint(eager=True)
     counts = (
         ordered.select(F.spark_partition_id().alias("_pid"))
         .groupBy("_pid")

@@ -47,7 +47,14 @@ def get_spark(app_name: str = "imposm3-spark", master: str | None = None,
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # console progress bars interleave with stdout in captured logs and
+        # can corrupt machine-read output (bench.py's JSON line)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # tz-less parquet timestamp[us] -> TIMESTAMP_NTZ (representation-
+        # independent; Spark 4 default, pinned so a changed default or a
+        # foreign session can't flip timestamp semantics)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert explicitly (see
         # benchqueries._events)

@@ -266,3 +266,55 @@ def test_global_row_numbers_match_window(spark):
         for r in df.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_global_prefix_ops_stable_at_many_partitions(spark):
+    """Regression: repartitionByRange re-samples its boundaries per JOB, so
+    the per-partition-offsets job and the mapInPandas job could see
+    different partitionings once partitions exceed the boundary sample —
+    corrupting rn/cum_tokens at scale (reproduced at 200k rows pre-fix).
+    The eager localCheckpoint in sampling.py pins one partitioning."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.sampling import (
+        budget_select,
+        with_global_row_numbers,
+    )
+
+    n = 200_000
+    df = (
+        spark.range(n)
+        .withColumn(
+            "v",
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint"),
+        )
+        .repartition(64)
+    )
+    got = [
+        (r["id"], r["v"], r["rn"])
+        for r in with_global_row_numbers(
+            df, [F.col("v").asc(), F.col("id").asc()], num_partitions=64
+        ).collect()
+    ]
+    assert len(got) == n
+    got.sort(key=lambda t: (t[1], t[0]))
+    assert [t[2] for t in got] == list(range(1, n + 1))
+
+    # budget_select on the same data: every doc costs 7 tokens, priority =
+    # the hash; expected selection = ids of the `budget//7` largest hashes.
+    sel = budget_select(
+        df.withColumnRenamed("id", "doc_id").withColumn("n_tokens", F.lit(7)),
+        "v",
+        "n_tokens",
+        budget=7 * 12_345,
+        num_partitions=64,
+    ).collect()
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+    want_ids = sorted(range(n), key=lambda i: (-h(i), i))[:12_345]
+    assert sorted(r["doc_id"] for r in sel) == sorted(want_ids)
+    assert {r["cum_tokens"] % 7 for r in sel} == {0}
+    assert max(r["cum_tokens"] for r in sel) == 7 * 12_345
