@@ -122,7 +122,9 @@ def grid_join_points_polygons(
         # into a dense (rows, verts) matrix, and the edge loop runs numpy
         # ops over the whole bucket — no per-ring python. Semantics are
         # bit-identical to py_geom.point_in_ring >= 0 (even-odd +
-        # inclusive boundary, same 1e-12 tolerances).
+        # inclusive boundary, same 1e-12 tolerances), INCLUDING open
+        # rings: both kernels treat first != last as implicitly closed
+        # and test the closing edge (py_geom.point_in_ring docstring).
         n = len(x)
         if n == 0:
             return pd.Series([], dtype=bool)

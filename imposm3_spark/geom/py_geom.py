@@ -70,13 +70,23 @@ def bbox(coords: Sequence[Coord]) -> tuple[float, float, float, float]:
 
 
 def point_in_ring(pt: Coord, ring: Sequence[Coord]) -> int:
-    """Ray casting. Returns 1 strictly inside, 0 on boundary, -1 outside."""
+    """Ray casting. Returns 1 strictly inside, 0 on boundary, -1 outside.
+
+    An OPEN ring (first != last) is treated as implicitly closed — the
+    closing edge last->first is tested like any other. Pipeline rings are
+    always closed (ring merge guarantees it), so this only matters for raw
+    caller input; grid_join's vectorized kernel applies the identical
+    implicit close, keeping the two kernels bit-identical on all inputs."""
     x, y = pt
     n = len(ring)
     inside = False
-    for i in range(n - 1):
+    if n < 2:
+        return -1  # no edges: nothing is inside/on a degenerate ring
+    closed = ring[0] == ring[n - 1]
+    edges = n - 1 if closed else n
+    for i in range(edges):
         x1, y1 = ring[i]
-        x2, y2 = ring[i + 1]
+        x2, y2 = ring[(i + 1) % n]
         # boundary check: point on segment?
         if _on_segment(x, y, x1, y1, x2, y2):
             return 0

@@ -234,6 +234,45 @@ def psql_copy(dsn: str, copy_sql: str, payload_lines: Iterable[str]) -> None:
     _psql(dsn, f"{copy_sql};\n{body}\\.\n")
 
 
+def psql_copy_stream(dsn: str, copy_sql: str, payload_lines: Iterable[str]) -> None:
+    """COPY an arbitrarily large payload through ONE psql process inside ONE
+    transaction: BEGIN / COPY FROM STDIN (stdin fed incrementally, bounded
+    memory) / COMMIT. Task-retry safe: a partition that fails mid-stream
+    rolls back atomically, so Spark re-running the task cannot leave
+    duplicated rows — unlike per-chunk psql invocations, which each commit
+    (the psycopg2 path already commits once per partition; this matches it)."""
+    proc = subprocess.Popen(
+        ["psql", dsn, "-X", "-q", "-v", "ON_ERROR_STOP=1", "-f", "-"],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
+    )
+    try:
+        try:
+            proc.stdin.write(f"BEGIN;\n{copy_sql};\n".encode())
+            buf: list[bytes] = []
+            size = 0
+            for line in payload_lines:
+                b = line.encode()
+                buf.append(b)
+                size += len(b)
+                if size >= 4 * 1024 * 1024:
+                    proc.stdin.write(b"".join(buf))
+                    buf, size = [], 0
+            buf.append(b"\\.\nCOMMIT;\n")
+            proc.stdin.write(b"".join(buf))
+            proc.stdin.close()
+        except BrokenPipeError:
+            pass  # psql died mid-stream; its stderr is surfaced below
+        stderr = proc.stderr.read()
+        if proc.wait() != 0:
+            raise RuntimeError(f"psql failed: {stderr.decode(errors='replace')}")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
 def psql_query(dsn: str, sql: str) -> list[list[str]]:
     """Tab-separated unaligned query output (test/verification helper)."""
     out = subprocess.run(
@@ -266,16 +305,7 @@ def write_bulk(
         psql_execute(dsn, [f"TRUNCATE {full} RESTART IDENTITY"])
 
         def copy_partition(rows) -> None:
-            chunk: list[str] = []
-            size = 0
-            for line in copy_payload(rows):
-                chunk.append(line)
-                size += len(line)
-                if size > 8 * 1024 * 1024:
-                    psql_copy(dsn, copy_sql, chunk)
-                    chunk, size = [], 0
-            if chunk:
-                psql_copy(dsn, copy_sql, chunk)
+            psql_copy_stream(dsn, copy_sql, copy_payload(rows))
 
         df.foreachPartition(copy_partition)
         return

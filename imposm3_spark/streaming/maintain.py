@@ -44,14 +44,18 @@ class RollupStore:
         path: str,
         key_cols: list[str],
         agg_spec: dict[str, tuple[str, str | None]],
+        retain_versions: int = 2,
     ):
         for name, (kind, _src) in agg_spec.items():
             if kind not in _MERGEABLE:
                 raise ValueError(f"{name}: non-mergeable agg {kind!r}")
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.agg_spec = dict(agg_spec)
+        self.retain_versions = retain_versions
         os.makedirs(path, exist_ok=True)
 
     # ---- versioning -------------------------------------------------
@@ -116,9 +120,26 @@ class RollupStore:
         new_dir = self._table_dir(version + 1)
         merged.write.mode("overwrite").parquet(new_dir)
         self._publish(version + 1, batch_id)
-        old = self._table_dir(version)
-        if version > 0 and os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        self._gc(current=version + 1)
+
+    def _gc(self, current: int) -> None:
+        """Delete every version older than ``current - retain_versions + 1``.
+
+        Retaining the previous version (default retain=2) closes the reader
+        race (a reader that loaded CURRENT just before the flip can still
+        finish scanning v{n-1}); sweeping ALL stale v{k} dirs — not just the
+        immediately previous one — means a crash between _publish and the
+        sweep leaks nothing permanently: the next publish collects it."""
+        floor = current - self.retain_versions + 1
+        for name in os.listdir(self.path):
+            if not name.startswith("v"):
+                continue
+            try:
+                k = int(name[1:])
+            except ValueError:
+                continue
+            if k < floor:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     # ---- streaming sink ---------------------------------------------
 

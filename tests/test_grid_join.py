@@ -128,3 +128,36 @@ def test_grid_join_sort_merge_path_same_result(spark):
     assert got == want
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_open_ring_matches_scalar_kernel(spark):
+    """Open rings (first != last) are implicitly closed by BOTH kernels:
+    the vectorized grid-join ray cast and py_geom.point_in_ring must agree
+    on points inside, outside, and ON the implicit closing edge."""
+    from imposm3_spark.geom.grid_join import grid_join_points_polygons
+    from imposm3_spark.geom.py_geom import point_in_ring
+
+    open_tri = [(0.0, 0.0), (4.0, 0.0), (0.0, 4.0)]  # closing edge omitted
+    pts = [
+        (1, 1.0, 1.0),   # inside
+        (2, 3.0, 3.0),   # outside, but only if the closing edge is tested
+        (3, 2.0, 2.0),   # ON the implicit closing edge
+        (4, 5.0, 5.0),   # outside everything
+        (5, 2.0, 0.0),   # on an explicit edge
+    ]
+    for pid, x, y in pts:
+        scalar = point_in_ring((x, y), open_tri)
+        # closing the ring by hand must give the same verdict
+        assert scalar == point_in_ring((x, y), open_tri + open_tri[:1]), pid
+
+    points = spark.createDataFrame(pts, "pid int, x double, y double")
+    polys = spark.createDataFrame(
+        [(10, [{"x": x, "y": y} for x, y in open_tri])],
+        "poly_id int, ring array<struct<x:double,y:double>>",
+    )
+    got = {
+        r["pid"]
+        for r in grid_join_points_polygons(points, polys, cell_size=2.0).collect()
+    }
+    want = {pid for pid, x, y in pts if point_in_ring((x, y), open_tri) >= 0}
+    assert got == want == {1, 3, 5}

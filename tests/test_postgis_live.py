@@ -282,3 +282,38 @@ def test_cli_import_to_live_postgres(spark, pg_dsn, have_hstore):
         "AND indexdef LIKE '%osm_id%'",
     )
     assert int(got[0][0]) >= 1
+
+
+def test_copy_stream_atomic_rollback(pg_dsn):
+    """A mid-stream failure past the first flush threshold must leave ZERO
+    rows (one transaction per partition): a Spark task retry re-COPYes the
+    whole partition, so any partially-committed chunk would duplicate."""
+    from imposm3_spark.sinks.postgis import psql_copy_stream, psql_execute, psql_query
+
+    psql_execute(pg_dsn, [
+        'DROP TABLE IF EXISTS "import".stream_atomic',
+        'CREATE TABLE "import".stream_atomic (id BIGINT, val TEXT)',
+    ])
+    copy_sql = 'COPY "import".stream_atomic (id, val) FROM STDIN'
+
+    def payload_with_poison():
+        # ~6 MB of good rows (past the 4 MB incremental flush), then a bad row
+        for i in range(60_000):
+            yield f"{i}\t{'x' * 100}\n"
+        yield "not_a_bigint\toops\n"
+
+    try:
+        psql_copy_stream(pg_dsn, copy_sql, payload_with_poison())
+        raise AssertionError("expected psql_copy_stream to fail")
+    except RuntimeError as exc:
+        assert "psql failed" in str(exc)
+    assert psql_query(pg_dsn, 'SELECT count(*) FROM "import".stream_atomic') == [["0"]]
+
+    # happy path: the same volume commits exactly once, all rows visible
+    psql_copy_stream(
+        pg_dsn, copy_sql, (f"{i}\t{'x' * 100}\n" for i in range(60_000))
+    )
+    assert psql_query(
+        pg_dsn, 'SELECT count(*), min(id), max(id) FROM "import".stream_atomic'
+    ) == [["60000", "0", "59999"]]
+    psql_execute(pg_dsn, ['DROP TABLE "import".stream_atomic'])

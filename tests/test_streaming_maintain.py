@@ -107,3 +107,28 @@ def test_atomic_version_visible_table(spark, tmp_path):
     assert _rows(store) == {"a": (2, 2.0)}
     assert store.last_batch_id == 1
     _ = v1  # old handle may be invalidated; the marker flip is the contract
+
+
+def test_version_retention_gc(spark, tmp_path):
+    """Publish keeps the previous version (reader race window) and sweeps
+    ALL older versions, including ones leaked by a crash before GC."""
+    import os
+
+    from imposm3_spark.streaming.maintain import RollupStore
+
+    store = RollupStore(
+        spark, str(tmp_path / "roll"), ["k"], {"n": ("count", None)}
+    )
+    # simulate a crash-leaked stale dir that a naive previous-only GC never revisits
+    os.makedirs(tmp_path / "roll" / "v999_bogus")  # non-numeric: ignored
+    for b in range(4):
+        df = spark.createDataFrame([(1,), (2,)], "k int")
+        store.apply_batch(df, b)
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(tmp_path / "roll")
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        assert versions == ([b + 1] if b == 0 else [b, b + 1])
+    assert (tmp_path / "roll" / "v999_bogus").is_dir()  # untouched
+    assert store.current().count() == 2
+    assert [r["n"] for r in store.current().collect()] == [4, 4]
