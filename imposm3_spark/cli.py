@@ -31,6 +31,8 @@ import shutil
 import sys
 from pathlib import Path
 
+from imposm3_spark.config import merge_config
+
 VERSION = "0.2.0"
 
 STATE_DIRS = ("nodes", "ways", "relations")
@@ -101,7 +103,11 @@ def cmd_import(args) -> int:
         from imposm3_spark.sinks import postgis as pg
 
         cfg = pg.PostGISConfig(
-            srid=args.srid, use_postgis=getattr(args, "use_postgis", True)
+            schema_import=getattr(args, "dbschema_import", "import"),
+            schema_production=getattr(args, "dbschema_production", "public"),
+            schema_backup=getattr(args, "dbschema_backup", "backup"),
+            srid=args.srid,
+            use_postgis=getattr(args, "use_postgis", True),
         )
         if args.connection.startswith("ddl:"):
             # print the DDL flow instead of executing (no live DB needed)
@@ -263,6 +269,7 @@ def cmd_run(args) -> int:
         diff_dir=args.diffdir,
         state_file=str(Path(args.diffdir) / "last.state.txt"),
         expire_dir=args.expiretiles_dir or None,
+        expire_zoom=getattr(args, "expiretiles_zoom", 0) or 14,
         downloader=downloader,
     )
     applied = runner.run(max_batches=args.max_batches, poll_interval=args.poll_interval)
@@ -310,12 +317,16 @@ def cmd_curate(args) -> int:
 
 def _base_flags(p: argparse.ArgumentParser) -> None:
     # single-dash long flags for Go-flag parity (config.go:180-194)
-    p.add_argument("-mapping", required=True, help="mapping file (yaml/json)")
+    p.add_argument("-config", default="", help="JSON config file, merged under explicit flags (config.go:64-154)")
+    p.add_argument("-mapping", default="", help="mapping file (yaml/json); may come from -config")
     p.add_argument("-srid", type=int, default=3857)
-    p.add_argument("-limitto", default="", help="limit to geometries (geojson)")
+    p.add_argument("-limitto", default="", help="limit to geometries (geojson); NONE clears a config value")
     p.add_argument("-limittocachebuffer", type=float, default=0.0)
     p.add_argument("-connection", default="", help="postgis connection")
-    p.add_argument("-write-parquet", dest="write_parquet", default="", help="output dir")
+    p.add_argument("-write-parquet", dest="write_parquet", default="", help="output dir (config key: cachedir)")
+    p.add_argument("-dbschema-import", dest="dbschema_import", default="import")
+    p.add_argument("-dbschema-production", dest="dbschema_production", default="public")
+    p.add_argument("-dbschema-backup", dest="dbschema_backup", default="backup")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -340,7 +351,9 @@ def main(argv: list[str] | None = None) -> int:
             action="store_false",
             help="plain PostgreSQL target: geometry as BYTEA, no GIST/CLUSTER",
         )
-        return cmd_import(p.parse_args(rest))
+        args = p.parse_args(rest)
+        merge_config(args, p)
+        return cmd_import(args)
     if cmd == "query":
         p = argparse.ArgumentParser(prog="imposm3_spark query")
         # no mapping needed: pure element-state lookups (query.go flags)
@@ -356,6 +369,7 @@ def main(argv: list[str] | None = None) -> int:
         p = argparse.ArgumentParser(prog="imposm3_spark diff")
         _base_flags(p)
         args, files = p.parse_known_args(rest)
+        merge_config(args, p)
         return cmd_diff(args, files)
     if cmd == "curate":
         p = argparse.ArgumentParser(prog="imposm3_spark curate")
@@ -368,11 +382,16 @@ def main(argv: list[str] | None = None) -> int:
     if cmd == "run":
         p = argparse.ArgumentParser(prog="imposm3_spark run")
         _base_flags(p)
-        p.add_argument("-diffdir", required=True, help="landing dir for .osc sequences")
-        p.add_argument("-url", default="", help="replication feed base url")
+        p.add_argument("-diffdir", default="", help="landing dir for .osc sequences (config key: diffdir)")
+        p.add_argument("-url", default="", help="replication feed base url (config key: replication_url)")
         p.add_argument("-expiretiles-dir", dest="expiretiles_dir", default="")
+        p.add_argument("-expiretiles-zoom", dest="expiretiles_zoom", type=int, default=0)
         p.add_argument("-max-batches", dest="max_batches", type=int, default=None)
         p.add_argument("-poll-interval", dest="poll_interval", type=float, default=0.0)
-        return cmd_run(p.parse_args(rest))
+        args = p.parse_args(rest)
+        merge_config(args, p)
+        if not args.diffdir:
+            p.error("missing -diffdir (flag or config diffdir)")
+        return cmd_run(args)
     print(f"invalid command: '{cmd}'", file=sys.stderr)
     return 2

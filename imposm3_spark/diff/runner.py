@@ -74,6 +74,7 @@ class ReplicationRunner:
     diff_dir: str
     state_file: str
     expire_dir: str | None = None
+    expire_zoom: int = 14  # `-expiretiles-zoom` / config expiretiles_zoom
     gens: dict[str, DataFrame] | None = None  # generalized tables (T6)
     # optional durable element state (diff/state_store.py): saved after
     # every batch; `resume()` reloads it, so a restarted runner continues
@@ -106,8 +107,10 @@ class ReplicationRunner:
 
             ns = OsmState(*[getattr(new_state, a) for a in ("nodes", "ways", "relations")])
             frontier = compute_frontier(self.state, ns, changes)
-            tiles = expired_tiles_for_batch(self.pipe, self.state, ns, frontier)
-            tl = TileExpireList(max_zoom=14)
+            tiles = expired_tiles_for_batch(
+                self.pipe, self.state, ns, frontier, max_zoom=self.expire_zoom
+            )
+            tl = TileExpireList(max_zoom=self.expire_zoom)
             for r in tiles.collect():
                 tl.tiles.setdefault(r["z"], set()).add((r["x"], r["y"]))
             tl.flush(self.expire_dir)

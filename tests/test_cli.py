@@ -149,3 +149,87 @@ def test_cli_curate(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
     assert ids == [1, 3]  # dup dropped (min id kept), low-quality dropped
     assert "quality" in got.columns and "n_tokens" in got.columns
+
+
+def test_config_file_merge_under_flags(spark, tmp_path, capsys):
+    """`-config conf.json` (config.go:64-154): config fills flags left at
+    their defaults — mapping, srid, cachedir->write-parquet, dbschemas —
+    while explicit flags win; `-limitto NONE` clears a config limitto."""
+    import json
+
+    out = tmp_path / "out"
+    conf = tmp_path / "conf.json"
+    conf.write_text(json.dumps({
+        "mapping": f"{FIX}/single_table_mapping.json",
+        "srid": 3857,
+        "cachedir": str(tmp_path / "config_dir_overridden_by_flag"),
+        "limitto": str(tmp_path / "does_not_exist.geojson"),
+        "connection": "ddl:",
+        "schemas": {"import": "staging", "production": "live"},
+    }))
+    rc = main([
+        "import",
+        "-config", str(conf),
+        "-read", f"{FIX}/single_table.osm",
+        # explicit flags beat config:
+        "-write-parquet", str(out),
+        "-limitto", "NONE",
+    ])
+    assert rc == 0
+    ddl = capsys.readouterr().out
+    # connection came from config; schemas from config reached the DDL
+    assert '"staging"."osm_all"' in ddl
+    # mapping came from config, explicit -write-parquet won over cachedir
+    assert spark.read.parquet(str(out / "all")).count() == 14
+    assert not (tmp_path / "config_dir_overridden_by_flag").exists()
+
+
+def test_config_file_validation(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    conf = tmp_path / "bad.json"
+    conf.write_text(json.dumps({"mapping": f"{FIX}/single_table_mapping.json",
+                                "srid": 9999}))
+    with _pytest.raises(SystemExit):
+        main(["import", "-config", str(conf), "-read", f"{FIX}/single_table.osm"])
+    # missing mapping everywhere -> error
+    conf2 = tmp_path / "empty.json"
+    conf2.write_text("{}")
+    with _pytest.raises(SystemExit):
+        main(["import", "-config", str(conf2), "-read", f"{FIX}/single_table.osm"])
+
+
+def test_config_replication_interval_floor(tmp_path):
+    """run: replication_interval (minutes, floored at 1) maps to the poll
+    interval; diffdir may come from the config file."""
+    import json
+
+    from imposm3_spark.cli import main as cli_main
+    from imposm3_spark.config import merge_config
+    import argparse
+
+    # unit-level: merge semantics without spinning the runner
+    from imposm3_spark import cli as climod
+    p = argparse.ArgumentParser()
+    climod._base_flags(p)
+    p.add_argument("-diffdir", default="")
+    p.add_argument("-url", default="")
+    p.add_argument("-expiretiles-dir", dest="expiretiles_dir", default="")
+    p.add_argument("-expiretiles-zoom", dest="expiretiles_zoom", type=int, default=0)
+    p.add_argument("-poll-interval", dest="poll_interval", type=float, default=0.0)
+    conf = tmp_path / "run.json"
+    conf.write_text(json.dumps({
+        "mapping": f"{FIX}/single_table_mapping.json",
+        "diffdir": "/tmp/diffs",
+        "replication_url": "https://example.org/replication/minute",
+        "replication_interval": 0.25,   # floored to 1 minute
+        "expiretiles_zoom": 99,         # clamped to 14
+    }))
+    args = p.parse_args(["-config", str(conf)])
+    merge_config(args, p)
+    assert args.diffdir == "/tmp/diffs"
+    assert args.url == "https://example.org/replication/minute"
+    assert args.poll_interval == 60.0
+    assert args.expiretiles_zoom == 14
