@@ -317,3 +317,65 @@ def test_copy_stream_atomic_rollback(pg_dsn):
         pg_dsn, 'SELECT count(*), min(id), max(id) FROM "import".stream_atomic'
     ) == [["60000", "0", "59999"]]
     psql_execute(pg_dsn, ['DROP TABLE "import".stream_atomic'])
+
+
+def test_postgis_geometry_ddl_branch_live(pg_dsn):
+    """Execute the use_postgis=True DDL flow end-to-end against live
+    PostgreSQL: the env has no postgis extension, so a stand-in
+    AddGeometryColumn (same signature as postgis's) adds a native POINT
+    column — which is GiST-indexable and CLUSTER-able, so every statement
+    the geometry branch emits (AddGeometryColumn select, GIST index,
+    CLUSTER, ANALYSE, rotation) actually runs instead of being
+    string-compared."""
+    cfg = PostGISConfig(use_postgis=True)
+    # stand-in with postgis's exact call shape (schema, table, col, srid, type, dim)
+    psql_execute(pg_dsn, [
+        """
+        CREATE OR REPLACE FUNCTION AddGeometryColumn(
+            sch VARCHAR, tbl VARCHAR, col VARCHAR,
+            srid INTEGER, gtype VARCHAR, dim INTEGER
+        ) RETURNS TEXT LANGUAGE plpgsql AS $fn$
+        BEGIN
+            EXECUTE format('ALTER TABLE %I.%I ADD COLUMN %I POINT', sch, tbl, col);
+            RETURN sch || '.' || tbl || '.' || col ||
+                   ' SRID:' || srid || ' TYPE:' || gtype || ' DIMS:' || dim;
+        END $fn$
+        """.strip(),
+        'CREATE SCHEMA IF NOT EXISTS "import"',
+    ])
+    for stmt in table_ddl(ROADS, cfg):
+        psql_execute(pg_dsn, [stmt])
+    # geometry column exists with the stand-in type
+    assert psql_query(
+        pg_dsn,
+        "SELECT data_type FROM information_schema.columns WHERE "
+        "table_schema='import' AND table_name='osm_roads' AND column_name='geometry'",
+    ) == [["point"]]
+    psql_execute(pg_dsn, [
+        "INSERT INTO \"import\".\"osm_roads\" (osm_id, geometry, name, oneway, z, tags) "
+        "SELECT i, point(i % 7, i % 11), 'r' || i, i % 2 = 0, i, NULL FROM generate_series(1, 50) i"
+    ])
+    for stmt in finish_ddl(ROADS, cfg):
+        psql_execute(pg_dsn, [stmt])
+    idx = {r[0] for r in psql_query(
+        pg_dsn,
+        "SELECT indexname FROM pg_indexes WHERE schemaname='import' AND tablename='osm_roads'",
+    )}
+    assert {"osm_roads_osm_id_idx", "osm_roads_geom"} <= idx
+    # CLUSTER executed and marked the GiST index as the clustering index
+    assert psql_query(
+        pg_dsn,
+        "SELECT i.relname FROM pg_index x "
+        "JOIN pg_class i ON i.oid = x.indexrelid "
+        "JOIN pg_class t ON t.oid = x.indrelid "
+        "JOIN pg_namespace n ON n.oid = t.relnamespace "
+        "WHERE n.nspname='import' AND t.relname='osm_roads' AND x.indisclustered",
+    ) == [["osm_roads_geom"]]
+    # rotation moves the geometry table import -> production
+    m = Mapping(tables={"roads": ROADS})
+    for stmt in rotate_ddl(m, cfg):
+        psql_execute(pg_dsn, [stmt])
+    assert psql_query(
+        pg_dsn, 'SELECT count(*) FROM "public"."osm_roads"'
+    ) == [["50"]]
+    psql_execute(pg_dsn, ['DROP TABLE IF EXISTS "public"."osm_roads" CASCADE'])
