@@ -47,6 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_FIRST = [
     "tpch_q12_priority",
     "emb_ivf_topk_probe",
+    "doc_mix_temperature",
+    "doc_bloom_decontaminate",
+    "doc_dsir_weights",
+    "emb_pq_topk",
     "events_salted_agg",
     "orders_salted_join",
     "orders_hotkey_join",

@@ -1207,3 +1207,219 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_chars", 2048, n_buckets=8).select(
         "doc_id", "bucket", "pack_id", "pack_offset"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: targeted data selection, Bloom decontamination, PQ ANN
+# ---------------------------------------------------------------------------
+
+from imposm3_spark.datapipe.dedup import bloom_decontaminate  # noqa: E402
+from imposm3_spark.datapipe.sampling import (  # noqa: E402
+    dsir_log_weights,
+    temperature_mix,
+)
+from imposm3_spark.datapipe.similarity import pq_topk  # noqa: E402
+
+
+@register(
+    "doc_mix_temperature",
+    """
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    r1 AS (
+      SELECT lang, n,
+             pow(CAST(n AS DOUBLE), 0.5) / sum(pow(CAST(n AS DOUBLE), 0.5)) OVER () AS q
+      FROM counts
+    ),
+    rates AS (
+      SELECT lang, round(least(1.0, q * (min(n / q) OVER ()) / n), 6) AS keep_rate
+      FROM r1
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r USING (lang)
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < r.keep_rate
+    """,
+)
+def doc_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted language mixing (alpha=0.5): downsample so the
+    kept corpus follows p^alpha — the multilingual-pretraining rebalance.
+    Deterministic md5-hash selection; one stratum-sized agg + broadcast
+    join + pure filter (the corpus never shuffles); see
+    datapipe.sampling.temperature_mix."""
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix(docs, "lang", "doc_id", alpha=0.5).select("doc_id", "lang")
+
+
+@register(
+    "doc_bloom_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tokens
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(tokens) - 2, 0) + 1),
+        i -> array_to_string(tokens[i:i+2], ' '))) AS shs
+      FROM toks
+    ), bench_sh AS (
+      SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0
+    ), bench_bits AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5(s), 1 + 8 * j, 8)) AS BIGINT) % 65536 AS bit
+      FROM bench_sh, (SELECT unnest(range(0, 4)) AS j)
+    ), corp AS (
+      SELECT DISTINCT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0
+    ), corp_bits AS (
+      SELECT doc_id, s,
+             CAST(concat('0x', substr(md5(s), 1 + 8 * j, 8)) AS BIGINT) % 65536 AS bit
+      FROM corp, (SELECT unnest(range(0, 4)) AS j)
+    ), pos AS (
+      SELECT doc_id, s
+      FROM corp_bits
+      WHERE bit IN (SELECT bit FROM bench_bits)
+      GROUP BY doc_id, s
+      HAVING count(*) = 4
+    )
+    SELECT doc_id, count(*) AS n_hits FROM pos GROUP BY doc_id
+    """,
+)
+def doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: same contamination question as
+    doc_decontaminate but through a fixed-size (64 Kbit, 4 hash) Bloom
+    filter of the eval shingles — broadcast cost independent of eval-suite
+    size, deterministic false positives, zero false negatives. The oracle
+    rebuilds the filter bit-for-bit from the same md5 windows; see
+    datapipe.dedup.bloom_decontaminate."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return bloom_decontaminate(corpus, bench, shingle_k=3)
+
+
+@register(
+    "doc_dsir_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tokens
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, source,
+             unnest(list_concat(
+               tokens,
+               list_transform(range(1, greatest(len(tokens) - 1, 0) + 1),
+                              i -> array_to_string(tokens[i:i+1], ' ')))) AS f
+      FROM toks
+    ), fb AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS bucket
+      FROM feats
+    ), t_counts AS (
+      SELECT bucket, count(*) AS t_n FROM fb WHERE source = 'src0' GROUP BY bucket
+    ), r_counts AS (
+      SELECT bucket, count(*) AS r_n FROM fb WHERE source <> 'src0' GROUP BY bucket
+    ), buckets AS (
+      SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+             COALESCE(t_n, 0) AS t_n, COALESCE(r_n, 0) AS r_n
+      FROM t_counts t FULL JOIN r_counts r ON t.bucket = r.bucket
+    ), ratios AS (
+      SELECT bucket,
+             ln((t_n + 1) / (sum(t_n) OVER () + 4096.0))
+             - ln((r_n + 1) / (sum(r_n) OVER () + 4096.0)) AS log_ratio
+      FROM buckets
+    )
+    SELECT fb.doc_id,
+           count(*) AS n_feats,
+           round(sum(COALESCE(ratios.log_ratio, 0.0)), 4) AS logw
+    FROM fb LEFT JOIN ratios USING (bucket)
+    WHERE fb.source <> 'src0'
+    GROUP BY fb.doc_id
+    """,
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (data selection for
+    targeted pretraining, public method): unigram+bigram features hashed
+    into 4096 buckets, per-doc weight = summed log likelihood ratio of the
+    target distribution (source 'src0') vs the raw corpus. Two bucket-sized
+    aggregates + a broadcast joined back onto one corpus scan; see
+    datapipe.sampling.dsir_log_weights."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return dsir_log_weights(corpus, target, n_buckets=4096)
+
+
+@register(
+    "emb_pq_topk",
+    """
+    WITH RECURSIVE seeds AS (
+      SELECT m, j, 7000 + m * 16 + j AS seed
+      FROM (SELECT unnest(range(0, 8)) AS m), (SELECT unnest(range(0, 16)) AS j)
+    ), lcg(seed, step, state) AS (
+      SELECT seed, 0,
+             (CAST(seed AS HUGEINT)*6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616
+      FROM seeds
+      UNION ALL
+      SELECT seed, step + 1,
+             (state*6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      FROM lcg WHERE step < 8
+    ), cents AS (
+      SELECT seed,
+             list((((CAST(state // 2048 AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0) * 0.5)
+                  ORDER BY step) AS cent
+      FROM lcg WHERE step >= 1 GROUP BY seed
+    ), cb AS (
+      SELECT s.m, s.j, c.cent FROM seeds s JOIN cents c ON c.seed = s.seed
+    ), sub AS (
+      SELECT e.vec_id, mm.m,
+             list_transform(range(1, 9), d -> CAST(e.embedding[mm.m * 8 + d] AS DOUBLE)) AS sv
+      FROM embeddings e, (SELECT unnest(range(0, 8)) AS m) mm
+    ), dists AS (
+      SELECT sub.vec_id, sub.m, cb.j,
+             list_aggregate(list_transform(range(1, 9),
+               d -> (sv[d] - cent[d]) * (sv[d] - cent[d])), 'sum') AS d2
+      FROM sub JOIN cb ON cb.m = sub.m
+    ), codes AS (
+      SELECT vec_id, m, j FROM (
+        SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+        FROM dists) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), qsub AS (
+      SELECT q.query_id, mm.m,
+             list_transform(range(1, 9), d -> CAST(q.qvec[mm.m * 8 + d] AS DOUBLE)) AS qv
+      FROM q, (SELECT unnest(range(0, 8)) AS m) mm
+    ), adc_m AS (
+      SELECT qsub.query_id, codes.vec_id AS cand_id, qsub.m,
+             list_aggregate(list_transform(range(1, 9),
+               d -> (qv[d] - cent[d]) * (qv[d] - cent[d])), 'sum') AS dm
+      FROM qsub
+      JOIN codes ON codes.m = qsub.m AND codes.vec_id != qsub.query_id
+      JOIN cb ON cb.m = codes.m AND cb.j = codes.j
+    ), adc AS (
+      SELECT query_id, cand_id,
+             round(list_aggregate(list(dm ORDER BY m), 'sum'), 6) AS adc
+      FROM adc_m GROUP BY query_id, cand_id
+    )
+    SELECT query_id, cand_id AS vec_id, rank, adc FROM (
+      SELECT query_id, cand_id, adc,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rank
+      FROM adc
+    ) WHERE rank <= 3
+    """,
+)
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 64-dim vectors compress to 8 one-byte
+    codes (16 centroids per 8-dim subspace, LCG codebook — deterministic,
+    so the oracle rebuilds every centroid bit-for-bit) and the top-k scan
+    uses asymmetric distances against codes only. The candidate side
+    carries m_sub bytes per row instead of the vector — the memory shape
+    that makes billion-scale ANN fit; see datapipe.similarity.pq_topk."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return pq_topk(e, q, k=3)

@@ -468,3 +468,65 @@ def repetition_stats(
             .alias("top_bigram_frac"),
         )
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination: like `decontaminate`, but the
+    membership structure is a Bloom filter over the eval set's shingles —
+    m_bits bits, k_hashes set per shingle — so the broadcast side is a FIXED
+    size (m_bits bits) no matter how large the eval suite grows, at the cost
+    of (deterministic, hash-collision) false positives. A flagged doc might
+    be clean; a clean verdict is always true — exactly the guarantee a
+    pre-training contamination gate needs (flags go to the exact checker or
+    get dropped outright).
+
+    The k hash functions are disjoint 8-hex-char windows of md5(shingle)
+    mod m_bits — engine-reproducible, so the whole filter (bit set AND
+    verdicts) is deterministic and SQL-checkable. Returns (id_col, n_hits):
+    corpus docs with >=1 Bloom-positive shingle and their positive-shingle
+    count.
+
+    Scale shape: the bench side reduces to <= m_bits distinct bit rows
+    (tiny, broadcast); the corpus side is scan + explode + a broadcast
+    semi-join counting, per shingle, how many of its k bits are set —
+    a shingle hits iff all k do. No corpus shuffle; the only exchange
+    aggregates (doc, hit) pairs."""
+    assert 8 * k_hashes <= 32, "md5 yields 32 hex chars = at most 4 8-char windows"
+
+    def bits_of(col):
+        # k_hashes bucket ids from disjoint md5 windows
+        return F.array(
+            *[
+                F.conv(F.substring(F.md5(col), 1 + 8 * j, 8), 16, 10).cast("bigint")
+                % m_bits
+                for j in range(k_hashes)
+            ]
+        )
+
+    bench_bits = (
+        benchmark.select(F.explode(shingles(F.col(text_col), k=shingle_k)).alias("s"))
+        .select(F.explode(bits_of(F.col("s"))).alias("bit"))
+        .distinct()
+    )
+    corp = corpus.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), k=shingle_k)).alias("s"),
+    ).distinct()
+    corp_bits = corp.select(
+        id_col, "s", F.posexplode(bits_of(F.col("s"))).alias("j", "bit")
+    )
+    hits = (
+        corp_bits.join(F.broadcast(bench_bits), "bit", "leftsemi")
+        .groupBy(id_col, "s")
+        .count()
+        .filter(F.col("count") == k_hashes)  # shingle positive iff ALL k bits set
+    )
+    return hits.groupBy(id_col).agg(F.count("*").alias("n_hits"))

@@ -233,3 +233,113 @@ def with_global_row_numbers(
             yield pdf.assign(**{rn_col: idx.to_numpy()})
 
     return ordered.mapInPandas(number, schema=schema)
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-reweighted source/language mixing (the multilingual-
+    pretraining resampling step): downsample strata so the KEPT corpus
+    follows q_i ∝ p_i^alpha instead of the raw p_i — alpha < 1 flattens
+    head strata toward the tail. Deterministic: row selection is the
+    md5-hash filter, so the same corpus + alpha yields the same subset on
+    any engine/partitioning.
+
+    Per-stratum keep rate: r_i = q_i * N* / n_i with N* = min_i n_i / q_i,
+    the largest total for which every rate stays <= 1 (the argmin stratum
+    keeps ALL rows; only-downsampling keeps the op deterministic — no row
+    duplication). Rates round to 6 decimals so the float threshold compares
+    identically across engines.
+
+    Scale: one tiny groupBy on the stratum key (stratum cardinality sized,
+    map-side combined), rates via windows over that tiny frame, then a
+    broadcast join back and a pure filter — the corpus itself is never
+    shuffled."""
+    counts = df.groupBy(strata_col).count()
+    w_all = Window.partitionBy()
+    rates = (
+        counts.withColumn("_w", F.pow(F.col("count").cast("double"), F.lit(alpha)))
+        .withColumn("_q", F.col("_w") / F.sum("_w").over(w_all))
+        .withColumn("_nstar", F.min(F.col("count") / F.col("_q")).over(w_all))
+        .withColumn(
+            "keep_rate",
+            F.round(
+                F.least(F.lit(1.0), F.col("_q") * F.col("_nstar") / F.col("count")), 6
+            ),
+        )
+        .select(strata_col, "keep_rate")
+    )
+    u = det_hash(F.col(id_col)) / F.lit(4294967296.0)
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(u < F.col("keep_rate"))
+        .drop("keep_rate")
+    )
+
+
+def dsir_log_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights for targeted data selection (hashed
+    n-gram importance resampling, Xie et al. 2023, public method): model
+    the target and raw corpora as unigram+bigram distributions over
+    ``n_buckets`` hashed feature buckets and score every corpus doc by its
+    summed log likelihood ratio — documents that look like the target get
+    high weight. Returns (id_col, n_feats, logw) with logw rounded to 4
+    decimals (engine-stable float compare).
+
+    Laplace add-1 smoothing on both distributions keeps every bucket ratio
+    finite. Everything is expressions + two bucket-sized aggregates: the
+    feature table (explode) shuffles (bucket) pairs once per side, the
+    per-bucket log-ratio table is n_buckets rows and broadcasts back onto
+    the corpus features — corpus text is scanned once, never reshuffled."""
+    from imposm3_spark.datapipe.dedup import shingles, tokens
+
+    def feats(d: DataFrame, keep_id: bool) -> DataFrame:
+        uni = tokens(F.lower(F.col(text_col)))
+        bi = shingles(F.col(text_col), k=2)
+        all_f = F.concat(uni, bi)
+        bucket = F.explode(
+            F.transform(
+                all_f,
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+                .cast("bigint")
+                % n_buckets,
+            )
+        ).alias("bucket")
+        cols = [F.col(id_col), bucket] if keep_id else [bucket]
+        return d.select(*cols)
+
+    t_counts = feats(target, False).groupBy("bucket").count()
+    r_counts = feats(corpus, False).groupBy("bucket").count()
+    # totals via window over the tiny bucket frames (no driver round-trip)
+    w_all = Window.partitionBy()
+    buckets = (
+        t_counts.withColumnRenamed("count", "t_n")
+        .join(r_counts.withColumnRenamed("count", "r_n"), "bucket", "full")
+        .na.fill(0, ["t_n", "r_n"])
+        .withColumn("_tt", F.sum("t_n").over(w_all))
+        .withColumn("_rt", F.sum("r_n").over(w_all))
+        .withColumn(
+            "log_ratio",
+            F.log((F.col("t_n") + 1) / (F.col("_tt") + n_buckets))
+            - F.log((F.col("r_n") + 1) / (F.col("_rt") + n_buckets)),
+        )
+        .select("bucket", "log_ratio")
+    )
+    return (
+        feats(corpus, True)
+        .join(F.broadcast(buckets), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum(F.coalesce("log_ratio", F.lit(0.0))), 4).alias("logw"),
+        )
+    )

@@ -376,3 +376,131 @@ def quantize_int8(vec: Column) -> tuple[Column, Column]:
     scale = F.when(m > 0, F.lit(127.0) / m).otherwise(F.lit(0.0))
     q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
     return q, scale
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): fixed LCG codebooks, ADC distance scan
+# ---------------------------------------------------------------------------
+
+_PQ_SEED_BASE = 7000
+
+
+def _pq_codebook(m_sub: int, ncodes: int, d_sub: int) -> np.ndarray:
+    """(m_sub, ncodes, d_sub) codebook from the repo's 64-bit LCG, scaled to
+    [-0.5, 0.5] (the synthetic embeddings' value range). Fixed codebooks
+    trade recall vs trained k-means for full determinism: every centroid
+    value is reproducible in ANY engine (the DuckDB oracle rebuilds the
+    codebook bit-for-bit via a HUGEINT recursive CTE), so PQ encode, ADC
+    distances, and top-k are all value-checkable. Swapping in a trained
+    codebook (e.g. _kmeans_centroids per subspace) changes only this
+    function."""
+    cb = np.empty((m_sub, ncodes, d_sub), dtype=np.float64)
+    for m in range(m_sub):
+        for j in range(ncodes):
+            seed = _PQ_SEED_BASE + m * ncodes + j
+            state = (seed * 6364136223846793005 + 1442695040888963407) % (2**64)
+            for d in range(d_sub):
+                state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+                cb[m, j, d] = (((state >> 11) / 2**53) * 2.0 - 1.0) * 0.5
+    return cb
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m_sub: int = 8,
+    ncodes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(id, codes array<int>): PQ encoding — split each vector into m_sub
+    subvectors and store, per subspace, the index of the nearest codebook
+    centroid (L2, ties to the lowest index). 64 floats -> m_sub bytes:
+    the compression that makes billion-scale ANN fit in memory.
+
+    Scale: scan-speed pandas UDF (one batched numpy distance computation
+    per Arrow chunk, codebook is a closure constant), zero shuffle."""
+    d_sub = dim // m_sub
+    assert d_sub * m_sub == dim
+    C = _pq_codebook(m_sub, ncodes, d_sub)  # (m, K, d)
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])  # (B, dim)
+        Xs = X.reshape(len(X), m_sub, d_sub)
+        # accumulate the squared distance SEQUENTIALLY over d: bit-identical
+        # to the oracle's left-to-right list sum (numpy's pairwise .sum()
+        # associates differently and can flip argmin near-ties)
+        d2 = np.zeros((len(X), m_sub, ncodes))
+        for d in range(d_sub):
+            diff = Xs[:, :, None, d] - C[None, :, :, d]
+            d2 += diff * diff
+        codes = d2.argmin(axis=-1).astype(np.int32)  # ties -> lowest index
+        return pd.Series(list(codes))
+
+    return embeddings.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m_sub: int = 8,
+    ncodes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: candidates are scanned via their
+    m_sub-byte codes only — the approximate distance is the sum over
+    subspaces of ||q_m - codebook[m][code_m]||^2, the standard IVF-PQ
+    rerank kernel. Returns (query_id, vec_id, rank, adc), rank by
+    (adc asc, id asc), self-matches excluded; adc rounds to 6 decimals.
+
+    Scale shape: the corpus side carries ONLY (id, codes) — m_sub bytes a
+    row instead of dim floats — and the query side broadcasts; the scan is
+    one vectorized numpy gather+sum per Arrow batch. The final top-k is a
+    per-query window (partitioned on query_id, never a global sort)."""
+    d_sub = dim // m_sub
+    C = _pq_codebook(m_sub, ncodes, d_sub)
+    codes = pq_codes(embeddings, m_sub, ncodes, id_col, vec_col, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(codes.withColumnRenamed(id_col, "cand_id"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+
+    @pandas_udf("double")
+    def adc(qv: pd.Series, cs: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="float64")
+        Q = np.stack([np.asarray(x, dtype=np.float64) for x in qv]).reshape(
+            -1, m_sub, d_sub
+        )
+        codes_m = np.stack([np.asarray(c, dtype=np.int64) for c in cs])  # (B, m)
+        cent = C[np.arange(m_sub)[None, :], codes_m]  # (B, m, d)
+        # sequential accumulation (d inside m) — associates exactly like the
+        # oracle's ordered list sums, so the rounded adc compares bit-equal
+        total = np.zeros(len(Q))
+        for m in range(m_sub):
+            s = np.zeros(len(Q))
+            for d in range(d_sub):
+                diff = Q[:, m, d] - cent[:, m, d]
+                s = s + diff * diff
+            total = total + s
+        return pd.Series(total)
+
+    scored = cand.withColumn("adc", F.round(adc(F.col("qvec"), F.col("codes")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("vec_id"), "rank", "adc")
+    )

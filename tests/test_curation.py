@@ -318,3 +318,147 @@ def test_global_prefix_ops_stable_at_many_partitions(spark):
     assert sorted(r["doc_id"] for r in sel) == sorted(want_ids)
     assert {r["cum_tokens"] % 7 for r in sel} == {0}
     assert max(r["cum_tokens"] for r in sel) == 7 * 12_345
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.sampling import temperature_mix
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    raw = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    kept_df = temperature_mix(docs, "lang", "doc_id", alpha=0.5)
+    kept = {r["lang"]: r["count"] for r in kept_df.groupBy("lang").count().collect()}
+    # flatter: the head/tail ratio must shrink toward 1
+    raw_ratio = max(raw.values()) / min(raw.values())
+    kept_ratio = max(kept.values()) / min(kept.values())
+    assert kept_ratio < raw_ratio
+    # only-downsampling: no stratum grows; at least one keeps ~all rows
+    assert all(kept[s] <= raw[s] for s in raw)
+    assert any(kept[s] >= 0.9 * raw[s] for s in raw)
+    # deterministic & partitioning-independent
+    again = {
+        r["lang"]: r["count"]
+        for r in temperature_mix(docs.repartition(13), "lang", "doc_id", 0.5)
+        .groupBy("lang")
+        .count()
+        .collect()
+    }
+    assert again == kept
+    # alpha=1 is the identity distribution (every rate 1)
+    assert temperature_mix(docs, "lang", "doc_id", alpha=1.0).count() == docs.count()
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.dedup import bloom_decontaminate, decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    exact = {
+        r["doc_id"]: r["n_shared"] for r in decontaminate(corpus, bench).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_hits"]
+        for r in bloom_decontaminate(corpus, bench).collect()
+    }
+    # zero false negatives: every exactly-contaminated doc is flagged, with
+    # at least as many positive shingles as true shared shingles
+    assert set(exact) <= set(bloom)
+    assert all(bloom[d] >= exact[d] for d in exact)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.sampling import dsir_log_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    target = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    w = dsir_log_weights(corpus, target)
+    rows = w.collect()
+    assert len(rows) == corpus.count()
+    assert all(r["n_feats"] > 0 for r in rows)
+    # partitioning-independent
+    again = dsir_log_weights(corpus.repartition(17), target).collect()
+    assert {r["doc_id"]: r["logw"] for r in again} == {
+        r["doc_id"]: r["logw"] for r in rows
+    }
+    # signal check: a doc that IS target text, scored per-feature (logw is
+    # a sum, so raw values are length-dominated), must land well above the
+    # corpus average and in the top quintile
+    probe = target.limit(1).withColumn("doc_id", F.lit(10_000_000))
+    w2 = dsir_log_weights(corpus.unionByName(probe), target).withColumn(
+        "avg", F.col("logw") / F.col("n_feats")
+    )
+    scored = w2.collect()
+    pv = next(r["avg"] for r in scored if r["doc_id"] == 10_000_000)
+    others = [r["avg"] for r in scored if r["doc_id"] != 10_000_000]
+    assert pv > sum(others) / len(others)
+    assert sum(1 for o in others if o < pv) / len(others) > 0.8
+
+
+def test_pq_topk_structure_and_recall(spark):
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.similarity import brute_force_topk, pq_codes, pq_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    codes = pq_codes(e).collect()
+    assert all(len(r["codes"]) == 8 and all(0 <= c < 16 for c in r["codes"]) for r in codes)
+    top = pq_topk(e, q, k=3).collect()
+    assert len(top) == 15 and all(r["adc"] >= 0 for r in top)
+    # deterministic under repartition
+    again = pq_topk(e.repartition(7), q, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"])  # noqa: E731
+    assert sorted(map(key, top)) == sorted(map(key, again))
+    # quality signal (PQ with an untrained codebook is LOSSY; per-result
+    # rank guarantees would be dishonest): on average the 15 ADC-selected
+    # results must rank far better by TRUE L2 distance than random
+    # candidates would (expected mean quantile 0.5) — everything here is
+    # deterministic, so the assertion is stable
+    import numpy as np
+
+    rows = e.collect()
+    V = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    ids = sorted(V)
+    M = np.stack([V[i] for i in ids])
+    quantiles = []
+    for r in top:
+        d2 = ((M - V[r["query_id"]]) ** 2).sum(axis=1)
+        order = [ids[i] for i in np.argsort(d2, kind="stable") if ids[i] != r["query_id"]]
+        quantiles.append((order.index(r["vec_id"]) + 1) / len(order))
+    assert sum(quantiles) / len(quantiles) < 0.4
+    # exactness of the encode kernel: a vector placed exactly AT codebook
+    # centroid j of every subspace must encode to code j everywhere, and
+    # a query at the same point has ADC 0 to it
+    from imposm3_spark.datapipe.similarity import _pq_codebook
+
+    C = _pq_codebook(8, 16, 8)
+    synth = [
+        (1000 + j, [float(x) for x in C[:, j, :].reshape(-1)]) for j in range(16)
+    ]
+    sdf = spark.createDataFrame(synth, "vec_id long, embedding array<float>")
+    for r in pq_codes(sdf).collect():
+        assert list(r["codes"]) == [r["vec_id"] - 1000] * 8
+    hit = (
+        pq_topk(sdf, sdf.filter(F.col("vec_id") == 1003), k=1)
+        .collect()
+    )
+    # nearest by ADC is any other centroid-vector; its adc is positive,
+    # while the self-match (adc exactly 0) is excluded — check instead that
+    # a query at centroid 3 scores adc 0 against a candidate encoded as 3:
+    # append a duplicate of centroid 3 under a new id
+    dup = spark.createDataFrame(
+        [(2003, [float(x) for x in C[:, 3, :].reshape(-1)])],
+        "vec_id long, embedding array<float>",
+    )
+    hit2 = pq_topk(
+        sdf.unionByName(dup), sdf.filter(F.col("vec_id") == 1003), k=1
+    ).collect()
+    assert hit2[0]["vec_id"] == 2003 and hit2[0]["adc"] == 0.0
+    assert hit[0]["adc"] > 0.0

@@ -383,3 +383,39 @@ def test_aqe_skew_join_engages(spark):
                 spark.conf.set(k, v)
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, f"AQE did not mark the skewed join:\n{plan[:2000]}"
+
+
+def test_temperature_mix_broadcasts_rates(spark):
+    """The corpus side of temperature_mix is scan + filter + a BROADCAST
+    join of the stratum-sized rate table — no corpus exchange."""
+    plan = _executed_plan(bq.QUERIES["doc_mix_temperature"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontaminate_broadcasts_bits(spark):
+    """The Bloom bit set (<= m_bits rows) broadcasts; the corpus shingle
+    side must never sort-merge against it."""
+    plan = _executed_plan(bq.QUERIES["doc_bloom_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_broadcasts_bucket_ratios(spark):
+    """The 4096-bucket log-ratio table broadcasts back onto the corpus
+    feature stream (the full outer join between the two tiny bucket-count
+    frames may shuffle — they are n_buckets-sized)."""
+    plan = _executed_plan(bq.QUERIES["doc_dsir_weights"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_topk_candidates_carry_codes_only(spark):
+    """PQ ADC scans codes, not vectors: the candidate side of the top-k
+    join projects (id, codes) — the raw embedding column must not appear
+    on the candidate side (only the broadcast query side carries a
+    vector)."""
+    plan = _executed_plan(bq.QUERIES["emb_pq_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
