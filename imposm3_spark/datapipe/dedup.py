@@ -494,11 +494,13 @@ def bloom_decontaminate(
     corpus docs with >=1 Bloom-positive shingle and their positive-shingle
     count.
 
-    Scale shape: the bench side reduces to <= m_bits distinct bit rows
-    (tiny, broadcast); the corpus side is scan + explode + a broadcast
-    semi-join counting, per shingle, how many of its k bits are set —
-    a shingle hits iff all k do. No corpus shuffle; the only exchange
-    aggregates (doc, hit) pairs."""
+    Scale shape — the filter IS a broadcast bit array, not a join: the
+    bench side reduces to <= m_bits distinct set bits, collected into an
+    m_bits/8-byte numpy bool array (bounded by construction, like the
+    reference's fixed-size caches) and shipped once as a Spark broadcast;
+    the corpus side is scan + per-doc array_distinct + ONE vectorized
+    membership test per Arrow batch. Zero corpus shuffle; the only
+    exchange aggregates the (rare) hit rows per doc."""
     assert 8 * k_hashes <= 32, "md5 yields 32 hex chars = at most 4 8-char windows"
 
     def bits_of(col):
@@ -516,17 +518,27 @@ def bloom_decontaminate(
         .select(F.explode(bits_of(F.col("s"))).alias("bit"))
         .distinct()
     )
+    # build the filter: <= m_bits rows cross the driver (bounded by
+    # construction — m_bits is a config constant, not data-sized)
+    bitset = np.zeros(m_bits, dtype=bool)
+    set_bits = [r["bit"] for r in bench_bits.collect()]
+    if set_bits:
+        bitset[np.asarray(set_bits, dtype=np.int64)] = True
+    bc = corpus.sparkSession.sparkContext.broadcast(bitset)
+
+    @pandas_udf("boolean")
+    def bloom_hit(bits: pd.Series) -> pd.Series:
+        if len(bits) == 0:
+            return pd.Series([], dtype=bool)
+        idx = np.stack([np.asarray(b, dtype=np.int64) for b in bits])
+        return pd.Series(bc.value[idx].all(axis=1))  # hit iff ALL k bits set
+
+    # per-doc shingle dedup via array_distinct BEFORE exploding — a
+    # row-level expression, unlike .distinct() after the explode, which
+    # would shuffle every (doc, shingle) pair corpus-wide
     corp = corpus.select(
         F.col(id_col),
-        F.explode(shingles(F.col(text_col), k=shingle_k)).alias("s"),
-    ).distinct()
-    corp_bits = corp.select(
-        id_col, "s", F.posexplode(bits_of(F.col("s"))).alias("j", "bit")
+        F.explode(F.array_distinct(shingles(F.col(text_col), k=shingle_k))).alias("s"),
     )
-    hits = (
-        corp_bits.join(F.broadcast(bench_bits), "bit", "leftsemi")
-        .groupBy(id_col, "s")
-        .count()
-        .filter(F.col("count") == k_hashes)  # shingle positive iff ALL k bits set
-    )
+    hits = corp.filter(bloom_hit(bits_of(F.col("s"))))
     return hits.groupBy(id_col).agg(F.count("*").alias("n_hits"))

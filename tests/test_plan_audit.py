@@ -394,12 +394,15 @@ def test_temperature_mix_broadcasts_rates(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_bloom_decontaminate_broadcasts_bits(spark):
-    """The Bloom bit set (<= m_bits rows) broadcasts; the corpus shingle
-    side must never sort-merge against it."""
+def test_bloom_decontaminate_is_joinless_filter(spark):
+    """The Bloom filter is a BROADCAST BIT ARRAY, not a join: the corpus
+    plan must contain no join at all — scan, shingle projection, one
+    vectorized membership filter, one per-doc aggregate exchange."""
     plan = _executed_plan(bq.QUERIES["doc_bloom_decontaminate"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    assert "SortMergeJoin" not in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan
+    assert plan.count("Exchange") <= 2  # final groupBy(doc) (+AQE read)
 
 
 def test_dsir_broadcasts_bucket_ratios(spark):
