@@ -352,7 +352,10 @@ def ngram_jaccard_pairs(
     ).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ lazy checkpoint: both sides of the pair join read the candidate
+    # shingle sets from ONE materialization (candidate-sized, tiny) instead
+    # of re-running the semi join + shingle projection per side
     j = (
         cands.join(sets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
