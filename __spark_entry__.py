@@ -50,7 +50,9 @@ _DRIVER_FIRST = [
     "doc_mix_temperature",
     "doc_bloom_decontaminate",
     "doc_dsir_weights",
+    "doc_perplexity_bins",
     "emb_pq_topk",
+    "emb_ivfpq_topk",
     "events_salted_agg",
     "orders_salted_join",
     "orders_hotkey_join",

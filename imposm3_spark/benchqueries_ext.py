@@ -1423,3 +1423,76 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return pq_topk(e, q, k=3)
+
+
+from imposm3_spark.benchqueries import ORACLES as _ORACLES  # noqa: E402
+from imposm3_spark.datapipe.similarity import ivfpq_topk  # noqa: E402
+from imposm3_spark.datapipe.text import unigram_nll  # noqa: E402
+
+
+# IVF-PQ run ALL-PROBE must equal plain PQ exactly (cell routing prunes
+# nothing), so the composed machinery — trained coarse quantizer, cell
+# equi-join, per-cell ADC, cross-cell merge — value-checks against the PQ
+# oracle even though k-means itself is not SQL-reproducible.
+@register("emb_ivfpq_topk", _ORACLES["emb_pq_topk"])
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the standard billion-scale layout): coarse quantizer
+    routes candidates to cells, queries probe cells, rerank by PQ
+    asymmetric distance over 8-byte codes. All-probe here (see oracle
+    note); production sets nprobe << ncentroids; see
+    datapipe.similarity.ivfpq_topk."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(e, q, k=3, ncentroids=16, nprobe=16)
+
+
+@register(
+    "doc_perplexity_bins",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS tokens
+      FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(tokens) AS tok FROM toks
+    ), vocab AS (
+      SELECT tok, count(*) AS c FROM t GROUP BY tok
+    ), lp AS (
+      SELECT tok, ln(c / sum(c) OVER ()) AS logp FROM vocab
+    ), nll AS (
+      SELECT t.doc_id, count(*) AS n_tokens, round(-avg(lp.logp), 4) AS nll
+      FROM t JOIN lp USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, nll,
+           ntile(3) OVER (ORDER BY nll, doc_id) AS bin
+    FROM nll
+    """,
+)
+def doc_perplexity_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity binning with a corpus-trained unigram LM:
+    per-doc mean negative log likelihood, then head/middle/tail terciles.
+    The tercile is exact ntile semantics WITHOUT a single-task global
+    window — two-phase global row numbers + the closed-form ntile bucket
+    from (rn, total); see datapipe.text.unigram_nll and
+    sampling.with_global_row_numbers."""
+    from imposm3_spark.datapipe.sampling import with_global_row_numbers
+
+    docs = _t(spark, sf_dir, "documents")
+    nll = unigram_nll(docs)
+    numbered = with_global_row_numbers(
+        nll, [F.col("nll").asc(), F.col("doc_id").asc()]
+    )
+    total = numbered.count()
+    q, r = divmod(total, 3)
+    big = r * (q + 1)
+    bin_col = (
+        F.when(F.col("rn") <= big, ((F.col("rn") - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(((F.col("rn") - 1 - big) / q).cast("long") + 1 + r)
+        if q
+        else F.col("rn")
+    )
+    return numbered.select(
+        "doc_id", "n_tokens", "nll", bin_col.cast("int").alias("bin")
+    )

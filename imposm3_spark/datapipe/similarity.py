@@ -301,6 +301,38 @@ def _kmeans_centroids(
     return C
 
 
+def _train_coarse_quantizer(
+    embeddings: DataFrame, ncentroids: int, vec_col: str, id_col: str
+) -> np.ndarray:
+    """Coarse IVF quantizer: deterministic k-means over a BOUNDED sample
+    (TakeOrdered of 4096 rows — cheap at scale, fixed driver memory)."""
+    train = embeddings.orderBy(id_col).limit(4096).select(vec_col).toPandas()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in train[vec_col]])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    return _kmeans_centroids(M, min(ncentroids, len(M)))
+
+
+def _cell_assigner(C: np.ndarray):
+    """n_cells-nearest-centroid assignment UDF factory: one matmul per
+    Arrow batch against the broadcast centroid matrix."""
+    CT = C.T
+
+    def assign_cells(n_cells: int):
+        @pandas_udf("array<int>")
+        def cells(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="object")
+            Q = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+            sims = Q @ CT
+            top = np.argsort(-sims, axis=1)[:, :n_cells]
+            return pd.Series([row.astype("int32").tolist() for row in top])
+
+        return cells
+
+    return assign_cells
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -319,26 +351,8 @@ def ivf_topk(
     candidate-generation is a cell-id equi-join (shuffle on ~ncentroids
     keys — at scale use sqrt(n) centroids so cells stay executor-sized);
     rerank is the same expression-side cosine + window as lsh_topk."""
-    # bounded deterministic training sample (TakeOrdered — cheap at scale)
-    train = embeddings.orderBy(id_col).limit(4096).select(vec_col).toPandas()
-    M = np.stack([np.asarray(v, dtype=np.float64) for v in train[vec_col]])
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-    C = _kmeans_centroids(M, min(ncentroids, len(M)))
-
-    def assign_cells(n_cells: int):
-        CT = C.T
-
-        @pandas_udf("array<int>")
-        def cells(v: pd.Series) -> pd.Series:
-            if len(v) == 0:
-                return pd.Series([], dtype="object")
-            Q = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-            sims = Q @ CT
-            top = np.argsort(-sims, axis=1)[:, :n_cells]
-            return pd.Series([row.astype("int32").tolist() for row in top])
-
-        return cells
+    C = _train_coarse_quantizer(embeddings, ncentroids, vec_col, id_col)
+    assign_cells = _cell_assigner(C)
 
     emb_cells = embeddings.select(
         F.col(id_col).alias("cand_id"),
@@ -477,6 +491,23 @@ def pq_topk(
         .filter(F.col("query_id") != F.col("cand_id"))
     )
 
+    scored = cand.withColumn(
+        "adc", F.round(_adc_udf(C, m_sub, d_sub)(F.col("qvec"), F.col("codes")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("cand_id").alias("vec_id"), "rank", "adc")
+    )
+
+
+def _adc_udf(C: np.ndarray, m_sub: int, d_sub: int):
+    """Asymmetric-distance kernel: ||q_m - codebook[m][code_m]||^2 summed
+    over subspaces. Accumulates SEQUENTIALLY (d inside m) so it associates
+    exactly like the oracle's ordered list sums — the rounded adc compares
+    bit-equal across engines."""
+
     @pandas_udf("double")
     def adc(qv: pd.Series, cs: pd.Series) -> pd.Series:
         if len(qv) == 0:
@@ -486,8 +517,6 @@ def pq_topk(
         )
         codes_m = np.stack([np.asarray(c, dtype=np.int64) for c in cs])  # (B, m)
         cent = C[np.arange(m_sub)[None, :], codes_m]  # (B, m, d)
-        # sequential accumulation (d inside m) — associates exactly like the
-        # oracle's ordered list sums, so the rounded adc compares bit-equal
         total = np.zeros(len(Q))
         for m in range(m_sub):
             s = np.zeros(len(Q))
@@ -497,7 +526,64 @@ def pq_topk(
             total = total + s
         return pd.Series(total)
 
-    scored = cand.withColumn("adc", F.round(adc(F.col("qvec"), F.col("codes")), 6))
+    return adc
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    ncentroids: int = 16,
+    nprobe: int = 16,
+    m_sub: int = 8,
+    ncodes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ (the standard billion-scale ANN layout): a coarse k-means
+    quantizer routes each candidate to ONE cell; queries probe their
+    `nprobe` nearest cells and rerank candidates by PQ asymmetric distance
+    over the m_sub-byte codes — no raw candidate vector is ever read after
+    encode. Returns (query_id, vec_id, rank, adc).
+
+    Value-check design: with nprobe == ncentroids the cell routing prunes
+    nothing, so the result must equal plain `pq_topk` exactly — which makes
+    the composed machinery (quantizer, cell equi-join, per-cell ADC,
+    cross-cell merge) verifiable against the PQ oracle even though the
+    trained k-means quantizer itself is not SQL-reproducible.
+
+    Scale: candidate shuffle is one cell equi-join keyed on ~sqrt(n)
+    cells; each candidate row carries m_sub bytes of codes; the top-k is a
+    per-query-partitioned window."""
+    d_sub = dim // m_sub
+    Ccoarse = _train_coarse_quantizer(embeddings, ncentroids, vec_col, id_col)
+    assign_cells = _cell_assigner(Ccoarse)
+    Cpq = _pq_codebook(m_sub, ncodes, d_sub)
+
+    emb_side = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        assign_cells(1)(F.col(vec_col))[0].alias("cell"),
+        F.col(vec_col).alias("cvec"),
+    )
+    codes = pq_codes(
+        emb_side.select(F.col("cand_id"), F.col("cvec")),
+        m_sub, ncodes, id_col="cand_id", vec_col="cvec", dim=dim,
+    )
+    cand = emb_side.select("cand_id", "cell").join(codes, "cand_id")
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(assign_cells(min(nprobe, ncentroids))(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        q_cells.join(cand, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "adc",
+            F.round(_adc_udf(Cpq, m_sub, d_sub)(F.col("qvec"), F.col("codes")), 6),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

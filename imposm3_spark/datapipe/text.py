@@ -176,3 +176,35 @@ def distinct_token_ratio(text: Column) -> Column:
     return F.when(n > 0, F.size(F.array_distinct(toks)).cast("double") / n).otherwise(
         F.lit(1.0)
     )
+
+
+def unigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document negative log likelihood under a unigram LM trained on
+    the corpus itself — the perplexity-proxy quality signal behind
+    CCNet-style head/middle/tail binning (a real LM is better; the unigram
+    self-model is the engine-side primitive that needs no external
+    artifact). Returns (id_col, n_tokens, nll) with nll = mean -ln p(tok)
+    rounded to 4 decimals; empty docs drop out (no tokens, no likelihood).
+
+    Scale: one explode + vocab-sized count aggregate (map-side combined),
+    log-probs broadcast back onto the token stream, one per-doc aggregate.
+    The corpus text is scanned once; nothing shuffles except (token) pairs
+    and the per-doc rows."""
+    from pyspark.sql import Window
+
+    t = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    w_all = Window.partitionBy()
+    vocab = t.groupBy("tok").count()
+    lp = vocab.withColumn(
+        "logp", F.log(F.col("count") / F.sum("count").over(w_all))
+    ).select("tok", "logp")
+    return (
+        t.join(F.broadcast(lp), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg("logp"), 4).alias("nll"),
+        )
+    )

@@ -213,3 +213,28 @@ def test_chunk_overlap_coverage(spark, toks, chunk_size, stride):
     import math
 
     assert len(rows) == 1 + math.ceil(max(n - chunk_size, 0) / stride)
+
+
+def test_unigram_nll_properties(spark):
+    """Repeated-token docs are more predictable (lower nll) than rare-token
+    docs; empty docs drop; partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.text import unigram_nll
+
+    rows = [
+        (1, "common common common common"),
+        (2, "common rare1 rare2 rare3"),
+        (3, ""),
+        (4, "common common rare4 common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["nll"]) for r in unigram_nll(df).collect()}
+    assert set(got) == {1, 2, 4}  # empty doc excluded
+    assert got[1][0] == 4 and got[2][0] == 4
+    assert got[1][1] < got[4][1] < got[2][1]
+    again = {
+        r["doc_id"]: (r["n_tokens"], r["nll"])
+        for r in unigram_nll(df.repartition(5)).collect()
+    }
+    assert again == got

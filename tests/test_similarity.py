@@ -231,3 +231,41 @@ class TestHotBucketCap:
         }
         assert (10, 11) in capped
         assert not any(a < 5 and b < 5 for a, b in capped)
+
+
+def test_ivfpq_allprobe_equals_pq(spark):
+    """nprobe == ncentroids prunes nothing, so IVF-PQ must reproduce plain
+    PQ top-k EXACTLY — the value check for the composed machinery
+    (quantizer, cell equi-join, per-cell ADC, cross-cell merge)."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.similarity import ivfpq_topk, pq_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"], r["adc"])  # noqa: E731
+    a = sorted(map(key, ivfpq_topk(e, q, k=3, ncentroids=16, nprobe=16).collect()))
+    b = sorted(map(key, pq_topk(e, q, k=3).collect()))
+    assert a == b and len(a) == 15
+
+
+def test_ivfpq_pruned_is_deterministic_subset_machinery(spark):
+    """Pruned probing (nprobe < cells) returns k results per query,
+    deterministically, with ADC values that also appear in the all-probe
+    scoring for the same (query, cand) pair."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.similarity import ivfpq_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    pruned = ivfpq_topk(e, q, k=3, ncentroids=16, nprobe=4).collect()
+    assert len(pruned) == 15
+    again = ivfpq_topk(e.repartition(9), q, k=3, ncentroids=16, nprobe=4).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"])  # noqa: E731
+    assert sorted(map(key, pruned)) == sorted(map(key, again))
+    full = {
+        (r["query_id"], r["vec_id"]): r["adc"]
+        for r in ivfpq_topk(e, q, k=10**6, ncentroids=16, nprobe=16).collect()
+    }
+    assert all(full[(r["query_id"], r["vec_id"])] == r["adc"] for r in pruned)
