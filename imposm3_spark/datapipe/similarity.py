@@ -437,6 +437,14 @@ def pq_codes(
     d_sub = dim // m_sub
     assert d_sub * m_sub == dim
     C = _pq_codebook(m_sub, ncodes, d_sub)  # (m, K, d)
+    return embeddings.select(
+        F.col(id_col), _pq_encoder(C, m_sub, d_sub, ncodes)(F.col(vec_col)).alias("codes")
+    )
+
+
+def _pq_encoder(C: np.ndarray, m_sub: int, d_sub: int, ncodes: int):
+    """Nearest-centroid-per-subspace encode UDF (shared by pq_codes and
+    ivfpq_topk)."""
 
     @pandas_udf("array<int>")
     def encode(v: pd.Series) -> pd.Series:
@@ -454,9 +462,7 @@ def pq_codes(
         codes = d2.argmin(axis=-1).astype(np.int32)  # ties -> lowest index
         return pd.Series(list(codes))
 
-    return embeddings.select(
-        F.col(id_col), encode(F.col(vec_col)).alias("codes")
-    )
+    return encode
 
 
 def pq_topk(
@@ -561,16 +567,13 @@ def ivfpq_topk(
     assign_cells = _cell_assigner(Ccoarse)
     Cpq = _pq_codebook(m_sub, ncodes, d_sub)
 
-    emb_side = embeddings.select(
+    # ONE corpus scan produces both the cell id and the codes — no
+    # self-join of two corpus derivations
+    cand = embeddings.select(
         F.col(id_col).alias("cand_id"),
         assign_cells(1)(F.col(vec_col))[0].alias("cell"),
-        F.col(vec_col).alias("cvec"),
+        _pq_encoder(Cpq, m_sub, d_sub, ncodes)(F.col(vec_col)).alias("codes"),
     )
-    codes = pq_codes(
-        emb_side.select(F.col("cand_id"), F.col("cvec")),
-        m_sub, ncodes, id_col="cand_id", vec_col="cvec", dim=dim,
-    )
-    cand = emb_side.select("cand_id", "cell").join(codes, "cand_id")
     q_cells = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
