@@ -94,6 +94,11 @@ _DRIVER_FIRST = [
     "events_asof_nearest",
     "lineitem_unpivot",
     "orders_price_deciles",
+    # round-3 session additions (slots 49-50 of the driver's 50-entry
+    # window; the other five new queries are local-gate green and rotate
+    # into the window next round)
+    "emb_semdedup",
+    "events_zscore_anomaly",
 ]
 
 

@@ -1753,3 +1753,4 @@ from imposm3_spark import benchqueries_ext as _ext  # noqa: E402,F401
 from imposm3_spark import benchqueries_media as _media  # noqa: E402,F401
 from imposm3_spark import benchqueries_text as _text  # noqa: E402,F401
 from imposm3_spark import benchqueries_spatial as _spatial  # noqa: E402,F401
+from imposm3_spark import benchqueries_stats as _stats  # noqa: E402,F401

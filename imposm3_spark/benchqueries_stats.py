@@ -1,0 +1,272 @@
+"""Round-3 additions: anomaly/sketch statistics, semantic dedup, graded
+contamination, Gopher rule table, and minhash duplicate clusters.
+
+Registered into the same QUERIES/ORACLES registry as benchqueries:
+
+* ``events_zscore_anomaly``   per-user rolling z-score outliers (integer-
+                              cents exact math — bit-identical doubles)
+* ``events_cms_heavy``        count-min-sketch frequency estimates with the
+                              sketch rebuilt bit-for-bit in the oracle
+* ``events_approx_distinct``  HLL++ mergeable distinct counts checked
+                              against an exact-count error bound
+* ``doc_gopher_rules``        Gopher-style quality rule table (pure
+                              expressions, zero shuffle)
+* ``doc_contamination_score`` graded eval-overlap fraction per document
+* ``doc_minhash_clusters``    connected components over MinHash-LSH pairs
+* ``emb_semdedup``            SemDeDup: semantic-cell dedup keeping the
+                              lowest-id representative per near-dup group
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imposm3_spark.benchqueries import _sql_minhash_bands, _t, register
+from imposm3_spark.datapipe import dedup as dd
+from imposm3_spark.datapipe import similarity as sim
+from imposm3_spark.datapipe import stats as st
+from imposm3_spark.datapipe import text as tx
+from imposm3_spark.datapipe.cluster import connected_components
+
+
+@register(
+    "events_zscore_anomaly",
+    # Exact-parity design: all window aggregates run on integer cents
+    # (value has 2 decimals), and the single float expression
+    # z = A / sqrt(B * n / (n-1)) with A = cents*n - s, B = n*ss - s^2
+    # evaluates bit-identically in both engines (see datapipe.stats).
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id, cents,
+             count(*) OVER fr AS n,
+             sum(cents) OVER fr AS s,
+             sum(cents * cents) OVER fr AS ss
+      FROM c
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, n, z FROM (
+      SELECT event_id, user_id, n,
+             round(CAST(cents * n - s AS DOUBLE)
+                   / sqrt(CAST(n * ss - s * s AS DOUBLE) * CAST(n AS DOUBLE)
+                          / CAST(n - 1 AS DOUBLE)), 4) AS z
+      FROM w WHERE n >= 8 AND (n * ss - s * s) > 0
+    ) WHERE abs(z) > 3
+    """,
+)
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: events whose value deviates more than 3
+    sample-stddevs from the user's previous-20-event window."""
+    return st.anomalies(_t(spark, sf_dir, "events"), z_threshold=3.0)
+
+
+def _sql_cms(width: int = 16, depth: int = 3) -> str:
+    buckets = ",\n             ".join(
+        f"(('0x' || substr(md5('{j}:' || key), 1, 15))::BIGINT) % {width} AS b{j}"
+        for j in range(depth)
+    )
+    cells = ",\n    ".join(
+        f"c{j} AS (SELECT b{j} AS cell, CAST(sum(exact) AS BIGINT) AS t{j} "
+        f"FROM hashed GROUP BY b{j})"
+        for j in range(depth)
+    )
+    joins = " ".join(f"JOIN c{j} ON b{j} = c{j}.cell" for j in range(depth))
+    least = ", ".join(f"t{j}" for j in range(depth))
+    return f"""
+    WITH keys AS (
+      SELECT event_type AS key, count(*) AS exact FROM events GROUP BY event_type
+    ), hashed AS (
+      SELECT key, exact,
+             {buckets}
+      FROM keys
+    ),
+    {cells}
+    SELECT key AS event_type, least({least}) AS est, exact,
+           least({least}) - exact AS overcount
+    FROM hashed {joins}
+    """
+
+
+@register("events_cms_heavy", _sql_cms())
+def events_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates (width 16 forces collisions so
+    the overcount path is exercised); the oracle rebuilds the identical
+    sketch, so est/exact/overcount all value-check."""
+    return st.count_min_estimates(_t(spark, sf_dir, "events"), "event_type", width=16, depth=3)
+
+
+@register(
+    "events_approx_distinct",
+    # invariant oracle: the HLL++ estimate itself is implementation-defined
+    # and excluded from the hashed columns; the bound flag must be TRUE.
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL++ distinct counts per event type, asserted within 15%
+    of the exact count (3x the 5% target rsd)."""
+    return st.approx_distinct_check(_t(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+@register(
+    "doc_gopher_rules",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             len(tokens) AS n_tokens,
+             CASE WHEN len(tokens) > 0
+                  THEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(tokens)
+                  ELSE 0.0 END AS mean_len,
+             CASE WHEN len(tokens) > 0
+                  THEN CAST(len(list_filter(tokens, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(tokens)
+                  ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS symbol_ratio,
+             len(list_distinct(list_filter(tokens,
+                 t -> t IN ('the','and','of','to','a','in','is','that')))) AS dsw
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           n_tokens >= 10 AND n_tokens <= 100000 AS r_word_count,
+           mean_len >= 2.0 AND mean_len <= 12.0 AS r_mean_word_len,
+           alpha_ratio >= 0.8 AS r_alpha_ratio,
+           symbol_ratio < 0.1 AS r_symbol_ratio,
+           dsw >= 2 AS r_stopwords,
+           (n_tokens >= 10 AND n_tokens <= 100000)
+             AND (mean_len >= 2.0 AND mean_len <= 12.0)
+             AND alpha_ratio >= 0.8 AND symbol_ratio < 0.1 AND dsw >= 2 AS passes
+    FROM f
+    """,
+)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rule table: per-rule booleans + conjunction flag."""
+    return tx.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_contamination_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(tokens) - 2, 0) + 1),
+        i -> array_to_string(tokens[i:i+2], ' '))) AS shs
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0
+    ), corp AS (
+      SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_shingles,
+             CAST(coalesce(sum(CASE WHEN s IN (SELECT s FROM bench) THEN 1 END), 0)
+                  AS BIGINT) AS n_shared
+      FROM corp GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS overlap_frac
+    FROM agg
+    """,
+)
+def doc_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination: per-doc fraction of distinct 3-gram shingles
+    shared with the held-out slice (doc_id % 97 == 0 stands in for the
+    eval set, as in doc_decontaminate)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dd.contamination_score(corpus, bench, shingle_k=3)
+
+
+@register(
+    "doc_minhash_clusters",
+    _sql_minhash_bands().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+    """,
+)
+def doc_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the MinHash-LSH candidate graph: connected
+    components (min-label) — the doc-side analog of emb_neardup_clusters,
+    the grouping a corpus-scale near-dedup pass feeds into its
+    keep-one-representative step."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    return connected_components(
+        docs.select("doc_id"), pairs, node_col="doc_id", src="id_a", dst="id_b"
+    )
+
+
+_SEMDEDUP_ORACLE = """
+    WITH RECURSIVE lcg(seed, step, state) AS (
+      SELECT seed, 0,
+             (CAST(seed AS HUGEINT)*6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616
+      FROM (SELECT unnest(range(5000, 5006)) AS seed)
+      UNION ALL
+      SELECT seed, step + 1,
+             (state*6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      FROM lcg WHERE step < 64
+    ), planes AS (
+      SELECT seed,
+             list((CAST(state // 2048 AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0
+                  ORDER BY step) AS plane
+      FROM lcg WHERE step >= 1 GROUP BY seed
+    ), buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << (seed - 5000))
+                           ELSE 0 END) AS BIGINT) AS cluster
+      FROM (SELECT e.vec_id, p.seed,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) AS dp
+            FROM embeddings e CROSS JOIN planes p)
+      GROUP BY vec_id
+    ), dominated AS (
+      SELECT DISTINCT bb.vec_id AS id
+      FROM buckets ba JOIN buckets bb
+        ON ba.cluster = bb.cluster AND ba.vec_id < bb.vec_id
+      JOIN embeddings a ON a.vec_id = ba.vec_id
+      JOIN embeddings b ON b.vec_id = bb.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    )
+    SELECT vec_id, cluster FROM buckets
+    WHERE vec_id NOT IN (SELECT id FROM dominated)
+    """
+
+
+@register("emb_semdedup", _SEMDEDUP_ORACLE)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within each semantic cell (LCG hyperplane signature, 64
+    cells) drop every vector with cosine >= 0.4 to a lower-id cell member;
+    survivors are the representatives. Full-parity oracle rebuilds the
+    planes in HUGEINT."""
+    return sim.semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.4, bits=6)

@@ -407,6 +407,51 @@ def decontaminate(
     )
 
 
+def contamination_score(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Graded contamination: for every corpus document, the fraction of its
+    DISTINCT word k-gram shingles that appear in the benchmark/eval set —
+    the score behind threshold-based decontamination policies (drop > 0.8,
+    downweight > 0.2, ...) where the binary `decontaminate` gate is too
+    blunt. Returns (id_col, n_shingles, n_shared, overlap_frac) for every
+    doc with at least one shingle; overlap_frac rounds to 6 decimals of an
+    exact integer ratio, so the oracle hash-matches bit-for-bit.
+
+    Scale: identical shape to `decontaminate` — the eval shingle set
+    broadcasts, the corpus contributes one scan + explode, the per-doc agg
+    shuffles only (doc, counts). Unlike a join-then-count-left-join
+    formulation, the single aggregate counts both totals in one pass.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_shared"),
+        )
+        .withColumn(
+            "overlap_frac",
+            F.round(F.col("n_shared").cast("double") / F.col("n_shingles"), 6),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

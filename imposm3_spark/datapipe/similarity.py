@@ -377,6 +377,53 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    bits: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus, then
+    within each cluster drop every vector whose cosine similarity to a
+    LOWER-id cluster member reaches `threshold` (the lowest id of each
+    near-dup group survives as the representative). Returns the kept rows
+    as (id_col, cluster) — callers semi-join the corpus on id to apply it.
+
+    Clustering here is the deterministic random-hyperplane signature
+    (2^bits cells) rather than trained k-means: the semantics are
+    identical (dedup within a semantic cell), every centroid-free cell id
+    is bit-reproducible in the SQL oracle, and at 100 TB the assignment is
+    a scan-speed matmul with no training pass. Swap `lsh_bucket` for
+    `_cell_assigner(_train_coarse_quantizer(...))` to get k-means cells —
+    the downstream pair scan is unchanged.
+
+    Scale: one bucket equi-join keyed on 2^bits cells (use more bits so
+    cells stay executor-sized), pair scan is within-cell only —
+    sub-quadratic like lsh_neardup_pairs; the survivors anti-join is on
+    ids. No broadcast of the corpus, no global sort.
+    """
+    planes = [_hyperplane(5000 + i, dim) for i in range(bits)]
+    keyed = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("cluster"),
+    )
+    a = keyed.select(F.col("id").alias("a_id"), F.col("vec").alias("avec"), "cluster")
+    b = keyed.select(F.col("id").alias("b_id"), F.col("vec").alias("bvec"), "cluster")
+    dominated = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.round(cosine(F.col("avec"), F.col("bvec")), 6) >= threshold)
+        .select(F.col("b_id").alias("id"))
+        .distinct()
+    )
+    return keyed.join(dominated, "id", "left_anti").select(
+        F.col("id").alias(id_col), "cluster"
+    )
+
+
 def quantize_int8(vec: Column) -> tuple[Column, Column]:
     """Symmetric int8 quantization of a float vector: scale = 127/max|v|,
     q_i = floor(v_i * scale + 0.5) (explicit half-up — identical in every

@@ -1,0 +1,180 @@
+"""Streaming-style statistics operators for large-scale event pipelines:
+rolling anomaly detection, count-min-sketch heavy hitters, and mergeable
+approximate distinct counts.
+
+Reference parity note: imposm3 itself carries only import counters
+(stats/ in the reference); these operators are the analytics-engine
+extensions a 100 TB event/training-data pipeline needs on top.
+
+Design rules shared by the module:
+
+* **Integer-exact float paths.** Anything the DuckDB oracle value-hashes
+  is computed from integer aggregates (cents, counts, sums of squares)
+  with ONE explicitly-ordered float expression at the end, so both
+  engines produce bit-identical doubles — no reliance on float summation
+  order inside window frames.
+* **No global windows.** Every window is partitioned by a key (user_id);
+  the sketch aggregations are plain groupBys with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_zscore(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    window: int = 20,
+    min_periods: int = 8,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: for each event, z =
+    (value - mean) / stddev over the PREVIOUS `window` events of the same
+    key (ordered by `order_cols`), emitted when at least `min_periods`
+    history rows exist and the history is non-constant.
+
+    Exactness: `value` is money-like (2 decimals), so the computation runs
+    on integer cents. With s = sum(cents), ss = sum(cents^2), n = count
+    over the frame — all exact BIGINTs — the z-score reduces to
+
+        z = A / sqrt(B * n / (n - 1)),  A = cents*n - s,  B = n*ss - s^2
+
+    (dev = A/n, var_samp = B / (n*(n-1))). A and B are exact integers, so
+    the one float expression evaluates bit-identically in any IEEE-754
+    engine — the DuckDB oracle hash-matches without tolerance.
+
+    Scale: one window partitioned by key (shuffles on key once, no global
+    sort); frames are row-bounded so state per key is O(window). Skewed
+    keys are bounded by per-user event counts, not corpus size.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(-window, -1)
+    )
+    df = events.withColumn("_c", cents).select(
+        "event_id",
+        key_col,
+        F.col("_c").alias("cents"),
+        F.count("_c").over(w).alias("n"),
+        F.sum("_c").over(w).alias("s"),
+        F.sum(F.col("_c") * F.col("_c")).over(w).alias("ss"),
+    )
+    A = F.col("cents") * F.col("n") - F.col("s")
+    B = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    z = A.cast("double") / F.sqrt(
+        B.cast("double") * F.col("n").cast("double") / (F.col("n") - F.lit(1)).cast("double")
+    )
+    return (
+        df.filter((F.col("n") >= min_periods) & (B > 0))
+        .withColumn("z", F.round(z, 4))
+        .select("event_id", key_col, "n", "z")
+    )
+
+
+def anomalies(
+    events: DataFrame,
+    z_threshold: float = 3.0,
+    **kwargs,
+) -> DataFrame:
+    """Rows whose rolling z-score exceeds the threshold in magnitude."""
+    scored = rolling_zscore(events, **kwargs)
+    return scored.filter(F.abs(F.col("z")) > z_threshold)
+
+
+def count_min_estimates(
+    df: DataFrame,
+    key_col: str,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Count-min-sketch frequency estimates per distinct key:
+    (key, est, exact, overcount).
+
+    The sketch is `depth` rows of `width` counters; row j hashes a key to
+    bucket conv(md5(j || ':' || key)[:15], 16, 10) % width and the
+    estimate is the MIN over rows of the bucket totals. Deterministic
+    integer arithmetic end-to-end, so the DuckDB oracle rebuilds the
+    sketch bit-for-bit; est >= exact always (CMS never undercounts).
+
+    Scale shape: ONE map-side-combinable groupBy(key) produces exact
+    per-key counts (at 100 TB the sketch exists precisely so you do NOT
+    need this — here it doubles as the oracle's `exact` column); cell
+    totals are a second tiny aggregate over depth*width cells, broadcast
+    back onto the key table. For a pure-sketch pipeline, drop the exact
+    column: cells are built directly by groupBy(j, bucket) on the raw
+    stream — identical estimates, no per-key state at all.
+    """
+    keys = df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("exact"))
+
+    def bucket(j: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("key"))), 1, 15), 16, 10
+            ).cast("bigint")
+            % width
+        )
+
+    hashed = keys.select(
+        "key",
+        "exact",
+        *[bucket(j).alias(f"b{j}") for j in range(depth)],
+    )
+    # cell totals per sketch row: sum of counts of every key in the bucket
+    est = None
+    for j in range(depth):
+        cells = hashed.groupBy(F.col(f"b{j}").alias("cell")).agg(
+            F.sum("exact").alias(f"cell_total_{j}")
+        )
+        hashed = hashed.join(F.broadcast(cells), hashed[f"b{j}"] == cells["cell"]).drop(
+            "cell"
+        )
+        e = F.col(f"cell_total_{j}")
+        est = e if est is None else F.least(est, e)
+    return hashed.select(
+        F.col("key").alias(key_col),
+        est.alias("est"),
+        "exact",
+        (est - F.col("exact")).alias("overcount"),
+    )
+
+
+def approx_distinct_check(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    rsd: float = 0.05,
+    bound: float = 0.15,
+) -> DataFrame:
+    """Mergeable approximate distinct counts (HyperLogLog++ via
+    approx_count_distinct) validated against the exact count:
+    (group, exact_distinct, within_bound).
+
+    `within_bound` is the value-checkable invariant — HLL++ at rsd=0.05
+    must land within `bound` relative error (3x the target rsd); the
+    oracle asserts TRUE per group, so a sketch regression flips the hash.
+    The approximate value itself is implementation-defined and therefore
+    not part of the hashed output.
+
+    Scale: approx_count_distinct is a mergeable sketch — map-side partial
+    aggregation ships one ~1.5 KB HLL register set per partition per
+    group instead of the distinct values; the exact count here exists
+    only to ground the invariant (it is the thing you could NOT afford at
+    100 TB).
+    """
+    agg = df.groupBy(F.col(group_col)).agg(
+        F.approx_count_distinct(distinct_col, rsd).alias("approx"),
+        F.countDistinct(distinct_col).alias("exact_distinct"),
+    )
+    rel_err = F.abs(F.col("approx") - F.col("exact_distinct")).cast("double") / F.col(
+        "exact_distinct"
+    )
+    return agg.select(
+        group_col,
+        "exact_distinct",
+        (rel_err <= bound).alias("within_bound"),
+    )

@@ -178,6 +178,58 @@ def distinct_token_ratio(text: Column) -> Column:
     )
 
 
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style quality rule table: one boolean column per rule plus a
+    conjunction `passes` flag — the standard pre-training document filter
+    set (Rae et al., Gopher appendix A; C4 uses a similar family), with
+    thresholds adapted to the synthetic corpus' short documents:
+
+    - ``r_word_count``    10 <= tokens <= 100000
+    - ``r_mean_word_len`` mean non-ws chars per token in [2, 12]
+    - ``r_alpha_ratio``   >= 0.8 of tokens contain an alphabetic char
+    - ``r_symbol_ratio``  non-alnum-non-ws chars / chars < 0.1
+    - ``r_stopwords``     >= 2 DISTINCT English stopwords present
+
+    Every rule is a pure Spark expression over one lowered token split —
+    zero shuffle, scan speed at 100 TB; the ratios are exact integer
+    ratios so the oracle hash-matches without tolerance.
+    """
+    t = F.col(text_col)
+    toks = tokens(F.lower(t))
+    n_tok = F.size(toks)
+    nonws = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_len = F.when(n_tok > 0, nonws.cast("double") / n_tok).otherwise(F.lit(0.0))
+    alpha_toks = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    alpha_ratio = F.when(n_tok > 0, alpha_toks.cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    n_chars = F.length(t)
+    punct = F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), 0))
+    symbol_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    sw = LANG_STOPWORDS["en"]
+    distinct_sw = F.size(F.array_distinct(F.filter(toks, lambda x: x.isin(*sw))))
+    rules = {
+        "r_word_count": (n_tok >= 10) & (n_tok <= 100000),
+        "r_mean_word_len": (mean_len >= 2.0) & (mean_len <= 12.0),
+        "r_alpha_ratio": alpha_ratio >= 0.8,
+        "r_symbol_ratio": symbol_ratio < 0.1,
+        "r_stopwords": distinct_sw >= 2,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes"),
+    )
+
+
 def unigram_nll(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

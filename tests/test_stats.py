@@ -1,0 +1,148 @@
+"""Unit tests for datapipe.stats (rolling z-score, count-min sketch,
+approx-distinct bound) and the round-3 dedup/quality additions
+(semantic_dedup, contamination_score, gopher_rules)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+from imposm3_spark.datapipe import stats as st
+from imposm3_spark.datapipe.dedup import contamination_score
+from imposm3_spark.datapipe.similarity import semantic_dedup
+from imposm3_spark.datapipe.text import gopher_rules
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, datetime.datetime(2001, 1, 1) + datetime.timedelta(minutes=i), u, v)
+            for i, (u, v) in enumerate(rows)
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, value double",
+    )
+
+
+class TestRollingZscore:
+    def test_matches_hand_computation(self, spark):
+        # user 1: eight 10.00s then one 50.00 — the spike must flag
+        rows = [(1, 10.0)] * 8 + [(1, 50.0)]
+        out = st.rolling_zscore(
+            _events(spark, rows), min_periods=8
+        ).collect()
+        # constant history has zero variance -> B == 0 -> no row for the
+        # spike; perturb instead
+        assert out == []
+
+    def test_spike_flags(self, spark):
+        base = [(1, 10.0 + 0.1 * (i % 2)) for i in range(8)]
+        rows = base + [(1, 50.0)]
+        out = st.anomalies(_events(spark, rows), min_periods=8).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.event_id == 8 and r.n == 8
+        # hand-compute: cents history alternates 1000/1010, spike 5000
+        cents = [1000, 1010] * 4
+        n, s, ss = 8, sum(cents), sum(c * c for c in cents)
+        A = 5000 * n - s
+        B = n * ss - s * s
+        z = A / math.sqrt(B * n / (n - 1))
+        assert abs(r.z - round(z, 4)) < 1e-9
+
+    def test_window_is_per_user(self, spark):
+        # user 2's events must not contribute to user 1's window
+        rows = [(1, 10.0), (2, 99.0)] * 8 + [(1, 10.1)]
+        out = st.rolling_zscore(_events(spark, rows), min_periods=8).collect()
+        for r in out:
+            assert r.user_id in (1, 2)
+        # user 1's window at its 9th event has 8 rows all ~10
+        u1 = [r for r in out if r.user_id == 1]
+        assert all(r.n <= 8 for r in u1)
+
+
+class TestCountMin:
+    def test_never_undercounts(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"k{i % 7}") for i in range(1000)], "id bigint, key string"
+        )
+        out = st.count_min_estimates(df, "key", width=4, depth=2).collect()
+        assert len(out) == 7
+        for r in out:
+            assert r.est >= r.exact
+            assert r.overcount == r.est - r.exact
+            assert r.overcount >= 0
+
+    def test_exact_when_no_collisions(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id bigint, key string")
+        out = {r.key: r for r in st.count_min_estimates(df, "key", width=4096, depth=3).collect()}
+        assert out["a"].est == out["a"].exact == 2
+        assert out["b"].est == out["b"].exact == 1
+
+
+class TestApproxDistinct:
+    def test_within_bound(self, spark):
+        df = spark.createDataFrame(
+            [(f"t{i % 3}", i % 500) for i in range(5000)], "grp string, uid bigint"
+        )
+        out = st.approx_distinct_check(df, "grp", "uid").collect()
+        assert len(out) == 3
+        for r in out:
+            assert r.within_bound
+            assert r.exact_distinct > 0
+
+
+class TestSemanticDedup:
+    def test_identical_vectors_dedup_to_min_id(self, spark):
+        v = [1.0] + [0.0] * 63
+        w = [0.0, 1.0] + [0.0] * 62
+        df = spark.createDataFrame(
+            [(1, v), (2, v), (3, w)], "vec_id bigint, embedding array<float>"
+        )
+        kept = {r.vec_id for r in semantic_dedup(df, threshold=0.99).collect()}
+        # 1 and 2 are identical -> same bucket, cosine 1 -> 2 dropped
+        assert 1 in kept and 2 not in kept and 3 in kept
+
+    def test_threshold_respected(self, spark):
+        v = [1.0] + [0.0] * 63
+        u = [1.0, 1.0] + [0.0] * 62  # cosine ~0.707 to v
+        df = spark.createDataFrame(
+            [(1, v), (2, u)], "vec_id bigint, embedding array<float>"
+        )
+        kept_loose = {r.vec_id for r in semantic_dedup(df, threshold=0.9).collect()}
+        assert kept_loose == {1, 2}
+
+    def test_cluster_column_is_bucket(self, spark):
+        v = [0.5] * 64
+        df = spark.createDataFrame([(7, v)], "vec_id bigint, embedding array<float>")
+        rows = semantic_dedup(df).collect()
+        assert len(rows) == 1 and 0 <= rows[0].cluster < 64
+
+
+class TestContaminationScore:
+    def test_exact_fraction(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "a b c d"), (2, "x y z w")], "doc_id bigint, text string"
+        )
+        bench = spark.createDataFrame([(9, "a b c")], "doc_id bigint, text string")
+        out = {r.doc_id: r for r in contamination_score(corpus, bench).collect()}
+        # doc 1 shingles: {a b c, b c d}; bench: {a b c} -> 1/2
+        assert out[1].n_shingles == 2 and out[1].n_shared == 1
+        assert abs(out[1].overlap_frac - 0.5) < 1e-12
+        assert out[2].n_shared == 0 and out[2].overlap_frac == 0.0
+
+
+class TestGopherRules:
+    def test_rules(self, spark):
+        good = "the cat and the dog of a house in that is town " * 2  # 24 toks
+        short = "the and"
+        symbols = "the ?? !! ## $$ %% ^^ && ** (( )) and of to a in is that x y"
+        df = spark.createDataFrame(
+            [(1, good), (2, short), (3, symbols)], "doc_id bigint, text string"
+        )
+        out = {r.doc_id: r for r in gopher_rules(df).collect()}
+        assert out[1].passes
+        assert not out[2].r_word_count and not out[2].passes
+        assert not out[3].r_symbol_ratio and not out[3].passes
+        assert out[3].r_stopwords  # plenty of distinct stopwords present
