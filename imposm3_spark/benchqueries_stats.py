@@ -226,6 +226,97 @@ def doc_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_rag_retrieve",
+    # retrieval composition: exact cosine top-3 per query vector, hydrated
+    # with the matching document row and its Gopher quality gate — the
+    # retrieve-then-filter shape of a RAG / dedup-aware data loader.
+    r"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6) AS sim
+      FROM q CROSS JOIN embeddings e WHERE q.query_id != e.vec_id
+    ), topk AS (
+      SELECT query_id, cand_id, sim, rank FROM (
+        SELECT query_id, cand_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+        FROM scored
+      ) WHERE rank <= 3
+    ), toks AS (
+      SELECT doc_id, lang, n_chars, text,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    ), gate AS (
+      SELECT doc_id, lang, n_chars,
+             (len(tokens) >= 10 AND len(tokens) <= 100000)
+             AND (CASE WHEN len(tokens) > 0
+                       THEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(tokens)
+                       ELSE 0.0 END BETWEEN 2.0 AND 12.0)
+             AND (CASE WHEN len(tokens) > 0
+                       THEN CAST(len(list_filter(tokens, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(tokens)
+                       ELSE 0.0 END >= 0.8)
+             AND (CASE WHEN length(text) > 0
+                       THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / length(text)
+                       ELSE 0.0 END < 0.1)
+             AND len(list_distinct(list_filter(tokens,
+                     t -> t IN ('the','and','of','to','a','in','is','that')))) >= 2 AS passes
+      FROM toks
+    )
+    SELECT t.query_id, g.doc_id, t.rank, t.sim, g.lang, g.n_chars, g.passes
+    FROM topk t JOIN gate g ON g.doc_id = t.cand_id
+    """,
+)
+def doc_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-filter: exact top-3 ANN per query vector joined back
+    to the document table with the Gopher quality gate attached — the
+    composed read path of a retrieval/data-loader pipeline (ANN machinery
+    + doc hydration + quality filtering in one plan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    topk = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    gate = tx.gopher_rules(docs).select("doc_id", "passes")
+    hydrated = docs.select("doc_id", "lang", "n_chars").join(
+        F.broadcast(gate), "doc_id"
+    )
+    return topk.join(
+        hydrated, topk["vec_id"] == hydrated["doc_id"]
+    ).select("query_id", "doc_id", "rank", "sim", "lang", "n_chars", "passes")
+
+
+@register(
+    "lineitem_approx_quantiles",
+    # invariant oracle: the GK sketch value is implementation-defined, so
+    # the hashed columns are the group key and the bound flags — each
+    # approximate quantile must land inside the exact [p-2%, p+2%] value
+    # envelope guaranteed by accuracy=100.
+    """
+    SELECT l_returnflag, TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate group quantiles (percentile_approx, the GK
+    sketch — map-side combinable, the 100 TB path lineitem_quantiles
+    documents) validated against exact rank-error envelopes."""
+    li = _t(spark, sf_dir, "lineitem")
+    approx = F.expr(
+        "percentile_approx(l_quantity, array(0.25D, 0.5D, 0.75D), 100)"
+    )
+    exact = F.expr(
+        "percentile(l_quantity, array(0.23D, 0.27D, 0.48D, 0.52D, 0.73D, 0.77D))"
+    )
+    agg = li.groupBy("l_returnflag").agg(approx.alias("a"), exact.alias("e"))
+    return agg.select(
+        "l_returnflag",
+        ((F.col("a")[0] >= F.col("e")[0]) & (F.col("a")[0] <= F.col("e")[1])).alias("ok25"),
+        ((F.col("a")[1] >= F.col("e")[2]) & (F.col("a")[1] <= F.col("e")[3])).alias("ok50"),
+        ((F.col("a")[2] >= F.col("e")[4]) & (F.col("a")[2] <= F.col("e")[5])).alias("ok75"),
+    )
+
+
 _SEMDEDUP_ORACLE = """
     WITH RECURSIVE lcg(seed, step, state) AS (
       SELECT seed, 0,

@@ -109,7 +109,14 @@ def count_min_estimates(
     column: cells are built directly by groupBy(j, bucket) on the raw
     stream — identical estimates, no per-key state at all.
     """
-    keys = df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("exact"))
+    # checkpoint the per-key counts: the depth cell aggregates and the
+    # final join all reuse this table — without the pin, every sketch row
+    # re-derives it and the source is scanned depth+1 times
+    keys = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count("*").alias("exact"))
+        .localCheckpoint(eager=False)
+    )
 
     def bucket(j: int):
         return (
