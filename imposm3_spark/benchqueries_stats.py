@@ -317,6 +317,67 @@ def lineitem_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_bpe(num_merges: int = 8) -> str:
+    """Unrolled BPE oracle: each merge iteration is a (pair-count, argmax,
+    replace) CTE triple — the exact greedy algorithm, with DuckDB's
+    left-to-right non-overlapping `replace` matching Spark's (verified
+    incl. the overlap case ' a a a ')."""
+    steps = []
+    for i in range(num_merges):
+        steps.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT p, CAST(sum(cnt) AS BIGINT) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(sym)),
+                      j -> sym[j] || ' ' || sym[j+1])) AS p, cnt
+        FROM (SELECT regexp_split_to_array(trim(spelled), ' ') AS sym, cnt FROM w{i})
+      ) GROUP BY p
+    ), b{i} AS MATERIALIZED (
+      SELECT p, c FROM p{i} ORDER BY c DESC, p LIMIT 1
+    ), w{i + 1} AS MATERIALIZED (
+      -- two passes: back-to-back occurrences share the boundary space
+      -- (see datapipe.bpe._merge_pair)
+      SELECT replace(replace(spelled,
+                             ' ' || (SELECT p FROM b{i}) || ' ',
+                             ' ' || (SELECT replace(p, ' ', '') FROM b{i}) || ' '),
+                     ' ' || (SELECT p FROM b{i}) || ' ',
+                     ' ' || (SELECT replace(p, ' ', '') FROM b{i}) || ' ') AS spelled,
+             cnt
+      FROM w{i}
+    )"""
+        )
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS step, split_part(p, ' ', 1) AS \"left\", "
+        f"split_part(p, ' ', 2) AS \"right\", replace(p, ' ', '') AS merged, "
+        f"c AS pair_count FROM b{i}"
+        for i in range(num_merges)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    ), wf AS (
+      SELECT w, count(*) AS cnt FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY w
+    ), w0 AS (
+      SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS spelled,
+             cnt
+      FROM wf
+    ), {", ".join(steps)}
+    {finals}
+    """
+
+
+@register("doc_bpe_merges", _sql_bpe())
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer induction: 8 learned merges over the
+    corpus vocabulary (datapipe.bpe.bpe_learn). One corpus scan; every
+    iteration runs on the vocab-sized table with a LIMIT-1 argmax as the
+    only driver crossing."""
+    from imposm3_spark.datapipe.bpe import bpe_learn
+
+    return bpe_learn(_t(spark, sf_dir, "documents"), num_merges=8)
+
+
 _SEMDEDUP_ORACLE = """
     WITH RECURSIVE lcg(seed, step, state) AS (
       SELECT seed, 0,
