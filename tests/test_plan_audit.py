@@ -442,3 +442,61 @@ def test_perplexity_bins_broadcasts_logprobs(spark):
 def test_ivfpq_no_cartesian(spark):
     plan = _executed_plan(bq.QUERIES["emb_ivfpq_topk"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_zscore_single_keyed_exchange(spark):
+    """Rolling z-score: ONE hash exchange on user_id (the window key) and
+    never a global (partitionBy-less) sort — the whole computation rides
+    one per-key partitioning."""
+    plan = _executed_plan(bq.QUERIES["events_zscore_anomaly"](spark, SF_DIR))
+    # AQE prints Final + Initial sections; audit the final one
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in final
+    assert "SinglePartition" not in final
+
+
+def test_cms_scans_source_once(spark):
+    """Count-min sketch: the checkpointed per-key count table feeds the
+    depth cell aggregates and the final join — the events parquet must be
+    scanned exactly once (inside the checkpoint job), not depth+1 times."""
+    df = bq.QUERIES["events_cms_heavy"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan  # everything reads the checkpoint
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_no_corpus_broadcast_no_cartesian(spark):
+    """SemDeDup at scale is a cell equi-join; with broadcast disabled the
+    plan must stay a shuffle join (no corpus-sized broadcast, no cross
+    join) — the non-broadcast regime is the 100 TB shape."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _executed_plan(bq.QUERIES["emb_semdedup"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_score_broadcasts_eval_side(spark):
+    """Graded contamination: eval shingles broadcast; the corpus stream
+    joins without a corpus-wide shuffle (only the per-doc agg exchanges)."""
+    plan = _executed_plan(bq.QUERIES["doc_contamination_score"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bpe_iterations_read_checkpoint_not_corpus(spark):
+    """BPE learning scans the corpus once: the vocab table is
+    checkpointed, so the final (post-iteration) job must contain no
+    parquet scan at all."""
+    from imposm3_spark.datapipe.bpe import bpe_learn, word_freqs
+
+    docs = bq._t(spark, SF_DIR, "documents")
+    vocab_plan = _executed_plan(word_freqs(docs)).split("== Initial Plan ==")[0]
+    assert vocab_plan.count("Scan parquet") == 1  # the one corpus scan
+    merges = bpe_learn(docs, num_merges=3)
+    assert merges.count() == 3  # iterations ran entirely on checkpoints
