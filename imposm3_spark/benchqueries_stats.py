@@ -317,6 +317,49 @@ def lineitem_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_bigram_nll",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    ), nz AS (
+      SELECT doc_id, tokens FROM toks WHERE len(tokens) > 0
+    ), uni AS (
+      SELECT w, count(*) AS c1 FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY w
+    ), tot AS (
+      SELECT count(*) AS n FROM (SELECT unnest(tokens) AS w FROM toks)
+    ), big AS (
+      SELECT prev, w, count(*) AS c2 FROM (
+        SELECT tokens[i] AS prev, tokens[i+1] AS w
+        FROM nz, unnest(range(1, len(tokens))) AS u(i)
+      ) GROUP BY prev, w
+    ), contrib AS (
+      SELECT doc_id, -ln(CAST(u.c1 AS DOUBLE) / (SELECT n FROM tot)) AS nll_tok
+      FROM (SELECT doc_id, tokens[1] AS w FROM nz) f JOIN uni u USING (w)
+      UNION ALL
+      SELECT s.doc_id,
+             -ln(0.75 * (CAST(b.c2 AS DOUBLE) / up.c1)
+                 + 0.25 * (CAST(uw.c1 AS DOUBLE) / (SELECT n FROM tot))) AS nll_tok
+      FROM (SELECT doc_id, tokens[i] AS prev, tokens[i+1] AS w
+            FROM nz, unnest(range(1, len(tokens))) AS u(i)) s
+      JOIN big b ON b.prev = s.prev AND b.w = s.w
+      JOIN uni up ON up.w = s.prev
+      JOIN uni uw ON uw.w = s.w
+    )
+    SELECT doc_id, count(*) AS n_tokens, round(avg(nll_tok), 4) AS nll
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity proxy (text.bigram_nll): sharper
+    than the unigram self-model for quality binning; first token scores
+    unigram-only, the rest 0.75·p(w|prev)+0.25·p(w)."""
+    return tx.bigram_nll(_t(spark, sf_dir, "documents"))
+
+
 def _sql_bpe(num_merges: int = 8) -> str:
     """Unrolled BPE oracle: each merge iteration is a (pair-count, argmax,
     replace) CTE triple — the exact greedy algorithm, with DuckDB's

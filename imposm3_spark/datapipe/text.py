@@ -178,6 +178,71 @@ def distinct_token_ratio(text: Column) -> Column:
     )
 
 
+def bigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document NLL under an interpolated bigram LM trained on the
+    corpus itself (0.75·p(w|prev) + 0.25·p(w); the first token of each
+    doc scores with the unigram alone) — a sharper perplexity proxy than
+    `unigram_nll` for quality binning. Returns (id_col, n_tokens, nll)
+    with nll = mean -ln p rounded to 4; empty docs drop out.
+
+    Scale: corpus text scanned once into a first-token stream + a bigram
+    stream (zip_with of shifted slices — no window, no lag); the unigram
+    table is vocab-sized and broadcasts; the bigram table is
+    vocab²-bounded and broadcasts here (at web scale it outgrows the
+    broadcast and the join degrades gracefully to a shuffle on the bigram
+    key — still linear). One per-doc aggregate at the end."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("tk")).filter(F.size("tk") > 0)
+    n = F.size(F.col("tk"))
+    pairs = F.zip_with(
+        F.slice(F.col("tk"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("tk"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("w")),
+    )
+    first = base.select(id_col, F.col("tk")[0].alias("w"))
+    big_stream = base.select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, "p.prev", "p.w")
+
+    all_toks = df.select(F.explode(toks).alias("w"))
+    uni = all_toks.groupBy("w").agg(F.count("*").alias("c1"))
+    total = all_toks.count()  # scalar N (one count job)
+    big = (
+        base.select(F.explode(pairs).alias("p"))
+        .select("p.prev", "p.w")
+        .groupBy("prev", "w")
+        .agg(F.count("*").alias("c2"))
+    )
+
+    p_uni = F.col("c1").cast("double") / F.lit(float(total))
+    first_nll = (
+        first.join(F.broadcast(uni), "w")
+        .select(id_col, (-F.log(p_uni)).alias("nll_tok"))
+    )
+    uni_prev = uni.select(F.col("w").alias("prev"), F.col("c1").alias("c1_prev"))
+    uni_w = uni.select("w", "c1")
+    p_interp = (
+        F.lit(0.75) * (F.col("c2").cast("double") / F.col("c1_prev"))
+        + F.lit(0.25) * (F.col("c1").cast("double") / F.lit(float(total)))
+    )
+    big_nll = (
+        big_stream.join(F.broadcast(big), ["prev", "w"])
+        .join(F.broadcast(uni_prev), "prev")
+        .join(F.broadcast(uni_w), "w")
+        .select(id_col, (-F.log(p_interp)).alias("nll_tok"))
+    )
+    return (
+        first_nll.unionByName(big_nll)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("nll_tok"), 4).alias("nll"),
+        )
+    )
+
+
 def gopher_rules(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

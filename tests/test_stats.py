@@ -146,3 +146,21 @@ class TestGopherRules:
         assert not out[2].r_word_count and not out[2].passes
         assert not out[3].r_symbol_ratio and not out[3].passes
         assert out[3].r_stopwords  # plenty of distinct stopwords present
+
+
+class TestBigramNLL:
+    def test_predictable_text_scores_lower(self, spark):
+        from imposm3_spark.datapipe.text import bigram_nll
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b a b a b a b a b a b"),  # perfectly predictable bigrams
+                (2, "q w e r t y u i o p z x"),  # every bigram unique
+                (3, ""),  # empty doc drops out
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: r for r in bigram_nll(df).collect()}
+        assert set(out) == {1, 2}
+        assert out[1].n_tokens == 12 and out[2].n_tokens == 12
+        assert out[1].nll < out[2].nll
