@@ -116,6 +116,26 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hll_rollup",
+    # invariant oracle: sketch bytes are implementation-defined; the
+    # day-count and exact distinct ground the merge, the flag must hold.
+    """
+    SELECT event_type,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           count(DISTINCT user_id) AS exact_distinct,
+           TRUE AS merged_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical HLL rollup: per-(type, day) sketches unioned to
+    per-type estimates — the mergeability property that lets daily shards
+    sketch independently at ingest and combine without re-reading raw
+    data (stats.hll_merge_check)."""
+    return st.hll_merge_check(_t(spark, sf_dir, "events"), "event_type", "ts", "user_id")
+
+
+@register(
     "doc_gopher_rules",
     r"""
     WITH toks AS (

@@ -150,6 +150,46 @@ def count_min_estimates(
     )
 
 
+def hll_merge_check(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    distinct_col: str,
+    bound: float = 0.15,
+) -> DataFrame:
+    """Hierarchical sketch rollup: per-(group, day) HLL sketches
+    (hll_sketch_agg) UNIONED up to per-group estimates (hll_union_agg),
+    validated against the exact distinct count: (group, n_days,
+    exact_distinct, merged_within_bound).
+
+    This pins the property that makes sketches work on a cluster —
+    MERGEABILITY: daily shards can be sketched independently (e.g. one
+    partition per day at ingest) and combined later without re-reading
+    the raw data; the merged estimate must still land within `bound` of
+    exact. The sketch bytes are implementation-defined and excluded from
+    the hashed output; the oracle asserts the invariant flag."""
+    daily = df.groupBy(
+        F.col(group_col), F.to_date(F.col(time_col)).alias("_day")
+    ).agg(F.hll_sketch_agg(distinct_col).alias("sk"))
+    rolled = daily.groupBy(group_col).agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"),
+    )
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(distinct_col).alias("exact_distinct")
+    )
+    joined = rolled.join(F.broadcast(exact), group_col)
+    rel_err = F.abs(F.col("approx") - F.col("exact_distinct")).cast(
+        "double"
+    ) / F.col("exact_distinct")
+    return joined.select(
+        group_col,
+        "n_days",
+        "exact_distinct",
+        (rel_err <= bound).alias("merged_within_bound"),
+    )
+
+
 def approx_distinct_check(
     df: DataFrame,
     group_col: str,

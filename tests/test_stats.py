@@ -164,3 +164,26 @@ class TestBigramNLL:
         assert set(out) == {1, 2}
         assert out[1].n_tokens == 12 and out[2].n_tokens == 12
         assert out[1].nll < out[2].nll
+
+
+class TestHLLMerge:
+    def test_merged_estimate_within_bound(self, spark):
+        import datetime
+
+        rows = [
+            (
+                i,
+                datetime.datetime(2001, 1, 1 + i % 5),
+                f"g{i % 2}",
+                i % 300,
+            )
+            for i in range(3000)
+        ]
+        df = spark.createDataFrame(
+            rows, "id bigint, ts timestamp, grp string, uid bigint"
+        )
+        out = st.hll_merge_check(df, "grp", "ts", "uid").collect()
+        assert len(out) == 2
+        for r in out:
+            assert r.merged_within_bound and r.n_days == 5
+            assert r.exact_distinct == 150
