@@ -194,7 +194,15 @@ def bigram_nll(
     broadcast and the join degrades gracefully to a shuffle on the bigram
     key — still linear). One per-doc aggregate at the end."""
     toks = tokens(F.lower(F.col(text_col)))
-    base = df.select(F.col(id_col), toks.alias("tk")).filter(F.size("tk") > 0)
+    # checkpoint the tokenized projection: five derivations read it (the
+    # unigram/bigram count tables, the total, and the two scoring
+    # streams) — without the pin each one re-scans and re-tokenizes the
+    # corpus
+    base = (
+        df.select(F.col(id_col), toks.alias("tk"))
+        .filter(F.size("tk") > 0)
+        .localCheckpoint(eager=False)
+    )
     n = F.size(F.col("tk"))
     pairs = F.zip_with(
         F.slice(F.col("tk"), 1, F.greatest(n - 1, F.lit(0))),
@@ -206,7 +214,7 @@ def bigram_nll(
         F.col(id_col), F.explode(pairs).alias("p")
     ).select(id_col, "p.prev", "p.w")
 
-    all_toks = df.select(F.explode(toks).alias("w"))
+    all_toks = base.select(F.explode("tk").alias("w"))
     uni = all_toks.groupBy("w").agg(F.count("*").alias("c1"))
     total = all_toks.count()  # scalar N (one count job)
     big = (
