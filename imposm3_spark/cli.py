@@ -298,6 +298,17 @@ def cmd_curate(args) -> int:
             "quality": tx.quality_score(F.col(text_col)),
         }
     ).filter(F.col("quality") >= args.min_quality)
+    if getattr(args, "gopher", False):
+        gate = tx.gopher_rules(docs, text_col=text_col, id_col=id_col).select(
+            id_col, "passes"
+        )
+        q = q.join(F.broadcast(gate.filter(F.col("passes")).select(id_col)), id_col, "leftsemi")
+    if getattr(args, "benchmark", ""):
+        bench = spark.read.parquet(args.benchmark)
+        contaminated = dd.decontaminate(
+            q, bench, text_col=text_col, id_col=id_col
+        ).select(id_col)
+        q = q.join(F.broadcast(contaminated), id_col, "left_anti")
     keep = (
         q.groupBy(F.md5(text_col).alias("_h"))
         .agg(F.min(id_col).alias(id_col))
@@ -308,6 +319,8 @@ def cmd_curate(args) -> int:
     curated = cl.dedup_representatives(
         q2, pairs, id_col, pair_a="id_a", pair_b="id_b"
     )
+    if getattr(args, "scrub", False):
+        curated = curated.withColumn(text_col, tx.scrub_pii(F.col(text_col)))
     _swap_write(curated, args.out)
     n_in = docs.count()
     n_out = spark.read.parquet(args.out).count()
@@ -378,6 +391,21 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("-id-column", dest="id_column", default="doc_id")
         p.add_argument("-text-column", dest="text_column", default="text")
         p.add_argument("-min-quality", dest="min_quality", type=float, default=0.75)
+        p.add_argument(
+            "-gopher",
+            action="store_true",
+            help="also require the Gopher rule table's `passes` flag",
+        )
+        p.add_argument(
+            "-scrub",
+            action="store_true",
+            help="redact emails/URLs/long digit runs before writing",
+        )
+        p.add_argument(
+            "-benchmark",
+            default="",
+            help="eval-set parquet; drop docs sharing any word 3-gram with it",
+        )
         return cmd_curate(p.parse_args(rest))
     if cmd == "run":
         p = argparse.ArgumentParser(prog="imposm3_spark run")

@@ -233,3 +233,44 @@ def test_config_replication_interval_floor(tmp_path):
     assert args.url == "https://example.org/replication/minute"
     assert args.poll_interval == 60.0
     assert args.expiretiles_zoom == 14
+
+
+def test_cli_curate_gopher_scrub_benchmark(spark, tmp_path):
+    """The extended curate flags: -gopher adds the rule-table gate,
+    -benchmark drops eval-contaminated docs, -scrub redacts PII in the
+    surviving text."""
+    from imposm3_spark.cli import main
+
+    good = "the cat sat on the mat and that is that again today " * 3
+    leaky = "the benchmark answer is exactly this secret phrase here ok now"
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, leaky),  # shares 3-grams with the benchmark -> dropped
+            (3, "contact me at someone@example.com about the cat and the dog in a house that is here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "the benchmark answer is exactly this secret phrase")],
+        "doc_id long, text string",
+    )
+    src, bsrc, out = tmp_path / "d.parquet", tmp_path / "b.parquet", tmp_path / "o"
+    docs.write.parquet(str(src))
+    bench.write.parquet(str(bsrc))
+    rc = main(
+        [
+            "curate",
+            "-read", str(src),
+            "-out", str(out),
+            "-min-quality", "0.5",
+            "-gopher",
+            "-scrub",
+            "-benchmark", str(bsrc),
+        ]
+    )
+    assert rc == 0
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(str(out)).collect()}
+    assert 2 not in got  # decontaminated
+    assert 1 in got and 3 in got
+    assert "<EMAIL>" in got[3] and "@" not in got[3]  # scrubbed
