@@ -116,6 +116,29 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                 / 1152921504606846976.0)) / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(k, 6) AS skey
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (sampling.weighted_sample): 50 docs with inclusion probability
+    proportional to n_chars; md5-derived uniforms make the draw
+    reproducible in the oracle."""
+    from imposm3_spark.datapipe.sampling import weighted_sample
+
+    return weighted_sample(_t(spark, sf_dir, "documents"), "n_chars", 50)
+
+
+@register(
     "events_hll_rollup",
     # invariant oracle: sketch bytes are implementation-defined; the
     # day-count and exact distinct ground the merge, the flag must hold.

@@ -34,6 +34,36 @@ def det_hash(id_col: Column) -> Column:
     return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("bigint")
 
 
+def weighted_sample(
+    df: DataFrame, weight_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    each row draws key = ln(u)/w with u uniform in (0,1], and the k
+    LARGEST keys form the sample — inclusion probability proportional to
+    weight, exactly one pass, no per-stratum state.
+
+    u is deterministic (md5 of the id: 15 hex chars +1 over 2^60), so the
+    sample is reproducible anywhere — the DuckDB oracle draws the same
+    keys. Returns (id, weight, skey) with skey rounded for display; the
+    selection itself uses the unrounded key with id tie-break.
+
+    Scale: key generation is a scan-speed expression; the top-k is
+    orderBy+limit, which Spark executes as TakeOrdered (per-partition
+    heaps + a k-row driver merge), NOT a global sort — the canonical
+    distributed weighted-sampling shape. Weights must be positive."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    u = (h + 1).cast("double") / F.lit(1152921504606846976.0)  # 2^60
+    skey = F.log(u) / F.col(weight_col)
+    return (
+        df.select(F.col(id_col), F.col(weight_col), skey.alias("_k"))
+        .orderBy(F.desc("_k"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, weight_col, F.round("_k", 6).alias("skey"))
+    )
+
+
 def hash_sample(df: DataFrame, id_col: str, pct: int) -> DataFrame:
     """Keep ~pct% of rows, deterministically, by id hash. Pure filter.
     Nested property: the pct=5 sample is a subset of the pct=20 sample."""

@@ -187,3 +187,29 @@ class TestHLLMerge:
         for r in out:
             assert r.merged_within_bound and r.n_days == 5
             assert r.exact_distinct == 150
+
+
+class TestWeightedSample:
+    def test_weight_proportional_and_deterministic(self, spark):
+        from imposm3_spark.datapipe.sampling import weighted_sample
+
+        # 200 light rows (w=1) + 200 heavy rows (w=50): the heavy half
+        # must dominate a k=40 sample
+        df = spark.createDataFrame(
+            [(i, 1 if i < 200 else 50) for i in range(400)], "doc_id bigint, w bigint"
+        )
+        s1 = weighted_sample(df, "w", 40, id_col="doc_id").collect()
+        s2 = weighted_sample(df, "w", 40, id_col="doc_id").collect()
+        assert [r.doc_id for r in s1] == [r.doc_id for r in s2]  # deterministic
+        heavy = sum(1 for r in s1 if r.doc_id >= 200)
+        assert heavy >= 35  # inclusion ∝ weight
+
+    def test_subset_nesting(self, spark):
+        from imposm3_spark.datapipe.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(100)], "doc_id bigint, w bigint"
+        )
+        top10 = {r.doc_id for r in weighted_sample(df, "w", 10).collect()}
+        top30 = {r.doc_id for r in weighted_sample(df, "w", 30).collect()}
+        assert top10 <= top30  # A-Res keys are fixed; top-k nests
