@@ -27,15 +27,20 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_MERGEABLE = {"count", "sum"}
+_MERGEABLE = {"count", "sum", "hll"}
 
 
 class RollupStore:
     """Versioned parquet rollup keyed by ``key_cols``.
 
-    ``agg_spec`` maps output column -> ("count", None) or
-    ("sum", source_col). Both are mergeable, so batch partials combine
-    with the stored rollup by summation.
+    ``agg_spec`` maps output column -> ("count", None), ("sum",
+    source_col), or ("hll", source_col). All are MERGEABLE: count/sum
+    partials combine by summation, hll partials (HyperLogLog++ register
+    sets from ``hll_sketch_agg``, ~KB binary per key) combine with
+    ``hll_union_agg`` — so the store maintains approximate distinct
+    counts over the full stream history while only ever shuffling
+    rollup-sized state. ``estimates()`` exposes hll columns as bigint
+    estimates.
     """
 
     def __init__(
@@ -98,6 +103,8 @@ class RollupStore:
         for name, (kind, src) in self.agg_spec.items():
             if kind == "count":
                 aggs.append(F.count("*").alias(name))
+            elif kind == "hll":
+                aggs.append(F.hll_sketch_agg(src).alias(name))
             else:
                 aggs.append(F.sum(src).alias(name))
         return batch_df.groupBy(*self.key_cols).agg(*aggs)
@@ -115,7 +122,14 @@ class RollupStore:
             if cur is None
             else cur.unionByName(partial)
             .groupBy(*self.key_cols)
-            .agg(*[F.sum(name).alias(name) for name in self.agg_spec])
+            .agg(
+                *[
+                    (
+                        F.hll_union_agg(name) if kind == "hll" else F.sum(name)
+                    ).alias(name)
+                    for name, (kind, _src) in self.agg_spec.items()
+                ]
+            )
         )
         new_dir = self._table_dir(version + 1)
         merged.write.mode("overwrite").parquet(new_dir)
@@ -140,6 +154,22 @@ class RollupStore:
                 continue
             if k < floor:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+    def estimates(self) -> DataFrame | None:
+        """Current rollup with hll sketch columns replaced by their
+        bigint estimates (count/sum columns pass through unchanged)."""
+        cur = self.current()
+        if cur is None:
+            return None
+        cols = [F.col(c) for c in self.key_cols]
+        for name, (kind, _src) in self.agg_spec.items():
+            if kind == "hll":
+                cols.append(
+                    F.hll_sketch_estimate(F.col(name)).alias(name)
+                )
+            else:
+                cols.append(F.col(name))
+        return cur.select(*cols)
 
     # ---- streaming sink ---------------------------------------------
 

@@ -132,3 +132,35 @@ def test_version_retention_gc(spark, tmp_path):
     assert (tmp_path / "roll" / "v999_bogus").is_dir()  # untouched
     assert store.current().count() == 2
     assert [r["n"] for r in store.current().collect()] == [4, 4]
+
+
+def test_hll_rollup_merges_registers_across_batches(spark, tmp_path):
+    """The 'hll' agg kind: per-batch HyperLogLog register sets union into
+    the stored rollup, so the maintained approximate distinct count spans
+    the FULL stream history — while each merge touches only rollup-sized
+    state. Distinct values split across batches must still be counted
+    once (registers merge; counts would double)."""
+    store = RollupStore(
+        spark,
+        str(tmp_path / "hll"),
+        key_cols=["event_type"],
+        agg_spec={"n": ("count", None), "users": ("hll", "eid")},
+    )
+    b1 = spark.createDataFrame(
+        [("a", 1.0, v) for v in range(100)], SCHEMA
+    )
+    # batch 2 repeats 50 of batch 1's ids and adds 100 new ones
+    b2 = spark.createDataFrame(
+        [("a", 1.0, v) for v in range(50, 200, 1)], SCHEMA
+    )
+    store.apply_batch(b1, 0)
+    store.apply_batch(b2, 1)
+    est = {r["event_type"]: r for r in store.estimates().collect()}
+    assert est["a"]["n"] == 100 + 150  # counts sum
+    # distinct ids 0..199 -> estimate within HLL error of 200, and far
+    # below the 250 a count-sum would give
+    assert 180 <= est["a"]["users"] <= 220
+    # replay of batch 1 is a no-op (exactly-once)
+    store.apply_batch(b1, 1)
+    est2 = {r["event_type"]: r for r in store.estimates().collect()}
+    assert est2["a"]["n"] == 250
