@@ -95,8 +95,13 @@ _DRIVER_FIRST = [
     "lineitem_unpivot",
     "orders_price_deciles",
     # round-3 session additions (slots 49-50 of the driver's 50-entry
-    # window; the other five new queries are local-gate green and rotate
-    # into the window next round)
+    # window). ROUND-4 NOTE: rotate the remaining round-3 queries without
+    # a driver row into this window next round — doc_bpe_merges,
+    # doc_bigram_nll, doc_rag_retrieve, doc_weighted_sample,
+    # lineitem_approx_quantiles, events_cms_heavy, events_approx_distinct,
+    # events_hll_rollup, events_user_trend, doc_gopher_rules,
+    # doc_contamination_score, doc_minhash_clusters (all local-gate green
+    # at sf0.001/0.01/0.1).
     "emb_semdedup",
     "events_zscore_anomaly",
 ]

@@ -64,6 +64,43 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.anomalies(_t(spark, sf_dir, "events"), z_threshold=3.0)
 
 
+@register(
+    "events_user_trend",
+    # same integer-exact design as events_zscore_anomaly: exact BIGINT
+    # sufficient statistics, per-term double casts in a fixed order.
+    """
+    WITH c AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS y,
+             date_diff('second', TIMESTAMP '2001-01-01 00:00:00', ts) AS x
+      FROM events
+    ), shifted AS (
+      SELECT user_id, y, x - min(x) OVER (PARTITION BY user_id) AS xs FROM c
+    ), a AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(xs) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(xs * y) AS BIGINT) AS sxy,
+             CAST(sum(xs * xs) AS BIGINT) AS sxx
+      FROM shifted GROUP BY user_id
+    )
+    SELECT user_id, n, trend_per_day FROM (
+      SELECT user_id, n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 86400.0,
+                   6) AS trend_per_day
+      FROM a
+    ) WHERE den > 0
+    """,
+)
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend (cents/day) from one pass of exact integer
+    sufficient statistics (stats.group_ols_trend)."""
+    return st.group_ols_trend(_t(spark, sf_dir, "events"))
+
+
 def _sql_cms(width: int = 16, depth: int = 3) -> str:
     buckets = ",\n             ".join(
         f"(('0x' || substr(md5('{j}:' || key), 1, 15))::BIGINT) % {width} AS b{j}"

@@ -86,6 +86,58 @@ def anomalies(
     return scored.filter(F.abs(F.col("z")) > z_threshold)
 
 
+def group_ols_trend(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key closed-form OLS trend: slope of value (cents) over time
+    (seconds), reported as cents/day — the distributed trend-detection
+    primitive (one pass, no iterative solver). Returns (key, n,
+    trend_per_day); keys with <2 points or zero time-variance drop out.
+
+    Exactness: x is seconds shifted by the per-key minimum (keeps the
+    sufficient statistics inside BIGINT), y is integer cents; the five
+    sums n, Σx, Σy, Σxy, Σx² are exact integers, and the closed form
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) evaluates with per-term double
+    casts in a fixed order — bit-identical across engines (the cast of
+    an exact integer rounds identically everywhere).
+
+    Scale: ONE hash exchange on the key — the min-x window and the
+    aggregate ride the same partitioning; everything else is scan-speed
+    expressions."""
+    epoch0 = F.unix_timestamp(F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    x = F.unix_timestamp(F.col(time_col).cast("timestamp")) - epoch0
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    w = Window.partitionBy(key_col)
+    shifted = df.select(
+        F.col(key_col), cents.alias("y"), x.alias("_x")
+    ).withColumn("xs", F.col("_x") - F.min("_x").over(w))
+    a = shifted.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum("xs").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("xs") * F.col("y")).alias("sxy"),
+        F.sum(F.col("xs") * F.col("xs")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = n_d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    return (
+        a.filter(den > 0)
+        .select(
+            key_col,
+            "n",
+            F.round(num / den * F.lit(86400.0), 6).alias("trend_per_day"),
+        )
+    )
+
+
 def count_min_estimates(
     df: DataFrame,
     key_col: str,

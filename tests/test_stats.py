@@ -213,3 +213,27 @@ class TestWeightedSample:
         top10 = {r.doc_id for r in weighted_sample(df, "w", 10).collect()}
         top30 = {r.doc_id for r in weighted_sample(df, "w", 30).collect()}
         assert top10 <= top30  # A-Res keys are fixed; top-k nests
+
+
+class TestOLSTrend:
+    def test_exact_slope(self, spark):
+        import datetime
+
+        # user 1: value rises exactly 1.00/minute -> 144000 cents/day
+        rows = [
+            (i, datetime.datetime(2001, 1, 1) + datetime.timedelta(minutes=i), 1, 10.0 + i)
+            for i in range(10)
+        ]
+        # user 2: constant -> zero slope; user 3: single point -> dropped
+        rows += [
+            (100 + i, datetime.datetime(2001, 1, 1) + datetime.timedelta(minutes=i), 2, 5.0)
+            for i in range(5)
+        ]
+        rows += [(999, datetime.datetime(2001, 1, 1), 3, 7.0)]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+        )
+        out = {r.user_id: r for r in st.group_ols_trend(df).collect()}
+        assert set(out) == {1, 2}
+        assert abs(out[1].trend_per_day - 144000.0) < 1e-6  # 100 cents/min
+        assert out[2].trend_per_day == 0.0
