@@ -99,9 +99,9 @@ _DRIVER_FIRST = [
     # a driver row into this window next round — doc_bpe_merges,
     # doc_bigram_nll, doc_rag_retrieve, doc_weighted_sample,
     # lineitem_approx_quantiles, events_cms_heavy, events_approx_distinct,
-    # events_hll_rollup, events_user_trend, doc_gopher_rules,
-    # doc_contamination_score, doc_minhash_clusters (all local-gate green
-    # at sf0.001/0.01/0.1).
+    # events_hll_rollup, events_user_trend, events_value_hour_corr,
+    # events_value_histogram, doc_gopher_rules, doc_contamination_score,
+    # doc_minhash_clusters (all local-gate green at sf0.001/0.01/0.1).
     "emb_semdedup",
     "events_zscore_anomaly",
 ]

@@ -101,6 +101,88 @@ def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.group_ols_trend(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "events_value_hour_corr",
+    # Pearson r from exact integer sufficient statistics (cents x hour),
+    # per-term double casts in a fixed order — bit-identical doubles.
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y,
+             CAST(hour(ts) AS BIGINT) AS x
+      FROM events
+    ), a AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, n, r FROM (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                   6) AS r
+      FROM a
+    ) WHERE vx > 0 AND vy > 0
+    """,
+)
+def events_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Pearson correlation between event value (cents) and hour
+    of day — the same exact-integer-sufficient-statistics design as
+    events_user_trend, extended to the bivariate second moments."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+        F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("x"),
+    )
+    a = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    vx = d("n") * d("sxx") - d("sx") * d("sx")
+    vy = d("n") * d("syy") - d("sy") * d("sy")
+    r = F.round((d("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(vx * vy), 6)
+    return a.filter((vx > 0) & (vy > 0)).select("event_type", "n", r.alias("r"))
+
+
+@register(
+    "events_value_histogram",
+    # exact integer binning (cents // 5000) — counts hash-match.
+    """
+    SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) // 5000 AS bucket,
+           count(*) AS n
+    FROM events GROUP BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (integer division over
+    cents — exact, map-side combinable, one shuffle on the tiny
+    (type, bucket) key space)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.expr("CAST(round(value * 100) AS BIGINT) div 5000")
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _sql_cms(width: int = 16, depth: int = 3) -> str:
     buckets = ",\n             ".join(
         f"(('0x' || substr(md5('{j}:' || key), 1, 15))::BIGINT) % {width} AS b{j}"
