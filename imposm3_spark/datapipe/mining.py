@@ -1,0 +1,93 @@
+"""Market-basket co-occurrence mining: frequent item pairs over an
+order/basket table (the candidate-pair generation step of Apriori / the
+pair special-case of FP-growth).
+
+Reference parity note: imposm3 has no mining surface; this is part of the
+analytics-engine extension set for large-scale pipelines (co-purchase
+graphs, co-occurrence statistics for feature engineering).
+
+Scale design (100 TB):
+
+* Pair generation is done per basket AFTER a distinct projection, so the
+  blow-up per basket is C(b, 2) with b = basket size — bounded by the
+  schema (TPC-H orders hold at most 7 lines), never by corpus size.
+* The self-join runs on the SAME deduplicated DataFrame on the basket
+  key, so Catalyst/AQE reuses one shuffle exchange for both sides and
+  the join is co-partitioned — one shuffle for the join, one for the
+  final pair aggregation (map-side partial combine applies).
+* Support filtering happens in the aggregation (HAVING), so nothing
+  rarer than `min_support` survives the shuffle boundary to the driver.
+* Lift/confidence are computed from exact BIGINT counts with per-term
+  double casts in a fixed order, so the DuckDB oracle hash-matches
+  bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_item_pairs(
+    baskets: DataFrame,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent unordered item pairs: items co-occurring in at least
+    `min_support` distinct baskets, with support counts, per-item counts,
+    and lift relative to independent occurrence.
+
+    Output columns: item_a, item_b (item_a < item_b), pair_count,
+    count_a, count_b, lift — where lift = (pair_count * n_baskets) /
+    (count_a * count_b), computed as one fixed-order float expression
+    over exact integers.
+    """
+    items = baskets.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+
+    # Both join sides come from the same `items` plan → one exchange,
+    # reused; the equi-join on `basket` is co-partitioned.
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, on="basket")
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_support)
+    )
+
+    item_counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    n_baskets = items.select("basket").distinct().count()
+
+    # Per-item counts are a small dimension relative to the pair table —
+    # broadcast them onto the pairs.
+    out = (
+        pairs.join(
+            F.broadcast(item_counts.withColumnRenamed("item", "item_a")
+                        .withColumnRenamed("cnt", "count_a")),
+            on="item_a",
+        )
+        .join(
+            F.broadcast(item_counts.withColumnRenamed("item", "item_b")
+                        .withColumnRenamed("cnt", "count_b")),
+            on="item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            "count_a",
+            "count_b",
+            F.round(
+                (F.col("pair_count").cast("double") * F.lit(float(n_baskets)))
+                / (F.col("count_a").cast("double") * F.col("count_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out

@@ -1,0 +1,62 @@
+"""Market-basket pair mining: exact reference check + pair-dedup
+semantics (duplicate lines of the same part in one order count once)."""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from imposm3_spark.datapipe.mining import frequent_item_pairs
+
+
+def _reference(baskets, min_support):
+    """Pure-python Apriori pair step over (basket, item) tuples."""
+    by_basket: dict[int, set[int]] = {}
+    for b, i in baskets:
+        by_basket.setdefault(b, set()).add(i)
+    pair_counts: Counter = Counter()
+    item_counts: Counter = Counter()
+    for items in by_basket.values():
+        for i in items:
+            item_counts[i] += 1
+        for a, b in combinations(sorted(items), 2):
+            pair_counts[(a, b)] += 1
+    n = len(by_basket)
+    out = {}
+    for (a, b), c in pair_counts.items():
+        if c >= min_support:
+            lift = round(
+                (float(c) * float(n)) / (float(item_counts[a]) * float(item_counts[b])),
+                6,
+            )
+            out[(a, b)] = (c, item_counts[a], item_counts[b], lift)
+    return out
+
+
+def test_pairs_match_reference(spark):
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10), (3, 20), (3, 40),
+        (4, 30), (4, 40),
+        (5, 10), (5, 10),  # duplicate line: counts once
+        (5, 20),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r.item_a, r.item_b): (r.pair_count, r.count_a, r.count_b, r.lift)
+        for r in frequent_item_pairs(df, min_support=2).collect()
+    }
+    assert got == _reference(rows, 2)
+
+
+def test_min_support_filters(spark):
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 5), (3, 6)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = frequent_item_pairs(df, min_support=2).collect()
+    assert len(got) == 1 and (got[0].item_a, got[0].item_b) == (1, 2)
+    # support-1 pair (5,6) appears when the threshold drops
+    all_pairs = frequent_item_pairs(df, min_support=1)
+    assert all_pairs.where((F.col("item_a") == 5) & (F.col("item_b") == 6)).count() == 1

@@ -500,3 +500,12 @@ def test_bpe_iterations_read_checkpoint_not_corpus(spark):
     assert vocab_plan.count("Scan parquet") == 1  # the one corpus scan
     merges = bpe_learn(docs, num_merges=3)
     assert merges.count() == 3  # iterations ran entirely on checkpoints
+
+
+def test_basket_pairs_broadcast_counts_no_cartesian(spark):
+    """Basket pair mining: the per-item count dimension joins broadcast
+    onto the pair table; nothing degenerates to a cartesian product."""
+    plan = _executed_plan(bq.QUERIES["lineitem_basket_pairs"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert final.count("BroadcastHashJoin") >= 2
