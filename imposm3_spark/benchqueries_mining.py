@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from imposm3_spark.benchqueries import _t, register
+from imposm3_spark.datapipe import kmeans as km
 from imposm3_spark.datapipe import mining as mn
 
 _BASKET_PAIRS_ORACLE = """
@@ -58,3 +59,13 @@ def lineitem_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         item_col="l_partkey",
         min_support=2,
     )
+
+
+@register("emb_kmeans", km.oracle_sql(k=8, iterations=3, dim=64))
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 3 iterations) over the embedding
+    table. Bit-identical to the unrolled SQL oracle: integer-quantized
+    exact centroid state, one fixed-order float fold per distance, lowest-
+    cluster tie-break, deterministic lowest-id seeding (see
+    datapipe/kmeans.py module docstring)."""
+    return km.lloyd_kmeans(_t(spark, sf_dir, "embeddings"), k=8, iterations=3)

@@ -1,0 +1,85 @@
+"""Lloyd k-means: exact match against a pure-python reference that uses
+the same integer-quantized arithmetic, plus clustering-quality sanity on
+well-separated synthetic blobs."""
+
+from __future__ import annotations
+
+from imposm3_spark.datapipe.kmeans import SCALE, lloyd_kmeans
+
+
+def _ref_kmeans(points, k, iterations):
+    """Pure-python mirror: quantize, seed with k lowest ids, iterate."""
+    q = {i: [round(v * SCALE) for v in vec] for i, vec in points}
+    ids = sorted(q)
+    cents = [(list(q[i]), 1) for i in ids[:k]]
+
+    def assign():
+        out = {}
+        for i in ids:
+            best = None
+            for j, (s, n) in enumerate(cents):
+                d = sum(float(n * x - si) ** 2 for x, si in zip(q[i], s)) / (
+                    float(n) * float(n)
+                )
+                if best is None or (d, j) < best:
+                    best = (d, j)
+                    out[i] = j
+        return out
+
+    for _ in range(iterations):
+        a = assign()
+        new = {}
+        for i, j in a.items():
+            s, n = new.get(j, ([0] * len(q[i]), 0))
+            new[j] = ([a_ + b_ for a_, b_ in zip(s, q[i])], n + 1)
+        cents = [new.get(j, cents[j]) for j in range(k)]
+    return assign()
+
+
+def test_matches_pure_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in pts],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.cluster for r in lloyd_kmeans(df, k=4, iterations=3).collect()}
+    # reference quantizes from the FLOAT-rounded values the DF stored
+    stored = [(r.vec_id, r.embedding) for r in df.collect()]
+    assert got == _ref_kmeans(stored, 4, 3)
+
+
+def test_separated_blobs_recovered(spark):
+    """Three tight, well-separated blobs must land in three distinct
+    clusters with no blob split across clusters."""
+    import random
+
+    rng = random.Random(3)
+    pts = []
+    for b, center in enumerate([(-5.0, -5.0), (0.0, 5.0), (5.0, -5.0)]):
+        for i in range(20):
+            pts.append(
+                (
+                    b * 100 + i,
+                    [center[0] + rng.uniform(-0.1, 0.1), center[1] + rng.uniform(-0.1, 0.1)],
+                )
+            )
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    rows = lloyd_kmeans(df, k=3, iterations=4).collect()
+    blob_clusters = {}
+    for r in rows:
+        blob_clusters.setdefault(r.vec_id // 100, set()).add(r.cluster)
+    assert all(len(c) == 1 for c in blob_clusters.values())
+    assert len({next(iter(c)) for c in blob_clusters.values()}) == 3
+
+
+def test_empty_cluster_keeps_seed(spark):
+    """k larger than the number of distinct locations: surplus clusters
+    stay on their seed centroid and the run still terminates."""
+    pts = [(i, [float(i % 2), 0.0]) for i in range(10)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    rows = lloyd_kmeans(df, k=4, iterations=3).collect()
+    assert len(rows) == 10
+    assert {r.cluster for r in rows} <= {0, 1, 2, 3}

@@ -509,3 +509,16 @@ def test_basket_pairs_broadcast_counts_no_cartesian(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert final.count("BroadcastHashJoin") >= 2
+
+
+def test_kmeans_assignment_is_pure_projection(spark):
+    """k-means final assignment: centroids are literal-inlined (driver
+    state bounded by k), so the returned plan is a zero-exchange
+    projection over the checkpointed quantized cache — no join, no
+    shuffle, no cartesian."""
+    plan = _executed_plan(bq.QUERIES["emb_kmeans"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "Join" not in final
+    assert "Exchange" not in final
+    assert "Scan parquet" not in final  # reads the quantized checkpoint
