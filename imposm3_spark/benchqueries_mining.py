@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from imposm3_spark.benchqueries import _t, register
 from imposm3_spark.datapipe import kmeans as km
 from imposm3_spark.datapipe import mining as mn
+from imposm3_spark.datapipe import timeseries as ts_
 
 _BASKET_PAIRS_ORACLE = """
 WITH items AS MATERIALIZED (
@@ -69,3 +70,52 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster tie-break, deterministic lowest-id seeding (see
     datapipe/kmeans.py module docstring)."""
     return km.lloyd_kmeans(_t(spark, sf_dir, "embeddings"), k=8, iterations=3)
+
+
+_GAPFILL_ORACLE = """
+WITH src AS (
+  SELECT user_id, ts, value FROM events WHERE user_id % 10 = 0
+), hourly AS MATERIALIZED (
+  SELECT user_id AS key,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+           + EXTRACT(hour FROM ts) AS hr,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM src GROUP BY 1, 2
+), bounds AS (
+  SELECT key, min(hr) AS mn, max(hr) AS mx FROM hourly GROUP BY 1
+), dense AS (
+  SELECT key, unnest(generate_series(mn, mx)) AS hr FROM bounds
+), series AS (
+  SELECT d.key, d.hr, h.c
+  FROM dense d LEFT JOIN hourly h ON d.key = h.key AND d.hr = h.hr
+), w AS (
+  SELECT key, hr, c,
+    last_value(c IGNORE NULLS) OVER bw AS prev_c,
+    last_value(CASE WHEN c IS NOT NULL THEN hr END IGNORE NULLS) OVER bw AS prev_h,
+    first_value(c IGNORE NULLS) OVER fw AS next_c,
+    first_value(CASE WHEN c IS NOT NULL THEN hr END IGNORE NULLS) OVER fw AS next_h
+  FROM series
+  WINDOW bw AS (PARTITION BY key ORDER BY hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fw AS (PARTITION BY key ORDER BY hr
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT key AS user_id,
+       TIMESTAMP '1970-01-01 00:00:00' + to_hours(hr) AS hour_ts,
+       round(CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE) / 100.0
+             ELSE CAST(prev_c * (next_h - hr) + next_c * (hr - prev_h) AS DOUBLE)
+                  / CAST((next_h - prev_h) * 100 AS DOUBLE) END, 6) AS value,
+       c IS NULL AS filled
+FROM w
+"""
+
+
+@register("events_gapfill", _GAPFILL_ORACLE)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly per-user series (every 10th user: pushed-down scan
+    filter) with exact bucket sums and fixed-order linear interpolation
+    over gaps (see datapipe/timeseries.py)."""
+    from pyspark.sql import functions as F
+
+    src = _t(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    return ts_.gapfill_hourly(src)

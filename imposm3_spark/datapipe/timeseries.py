@@ -1,0 +1,96 @@
+"""Time-series densification: gap-fill a per-key hourly series and
+linearly interpolate missing buckets (the timescaledb `time_bucket_gapfill
++ interpolate` shape, built from Spark primitives).
+
+Reference parity note: imposm3 has no time-series surface; this is part
+of the analytics-engine extension set for event pipelines.
+
+Exactness: bucket sums run on integer cents; the interpolated value is
+ONE fixed-order float expression over exact BIGINTs,
+
+    value = double(prev_c*(next_h-h) + next_c*(h-prev_h))
+          / double((next_h-prev_h) * 100)
+
+so the DuckDB oracle hash-matches bit-for-bit. Hour indexing is pure
+calendar-field math (days-since-epoch * 24 + hour) — no timezone or
+epoch-conversion dependence, robust to how the driver session reads
+parquet timestamps (the round-2 q12 lesson).
+
+Scale design (100 TB):
+
+* One shuffle to the (key, hour) aggregation (map-side combine), one
+  shuffle for the dense-grid join, and key-partitioned windows — no
+  global sort, no driver loop.
+* The dense grid is generated per key with `sequence` + explode: grid
+  size is bounded by the key's own time span, never by corpus size.
+* Gap lookups are `last/first IGNORE NULLS` running windows — O(1) state
+  per row, no self-join of the series against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+
+
+def gapfill_hourly(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense hourly series per key over each key's own [min, max] hour
+    range: observed hours carry the exact bucket sum, missing hours the
+    linear interpolation between the neighbouring observed hours.
+
+    Output: (key, hour_ts, value, filled).
+    """
+    hr = (
+        F.unix_date(F.to_date(ts_col)) * F.lit(24) + F.hour(ts_col)
+    ).cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    hourly = (
+        events.select(F.col(key_col).alias("key"), hr.alias("hr"), cents.alias("c"))
+        .groupBy("key", "hr")
+        .agg(F.sum("c").alias("c"))
+    )
+
+    bounds = hourly.groupBy("key").agg(
+        F.min("hr").alias("mn"), F.max("hr").alias("mx")
+    )
+    dense = bounds.select(
+        "key", F.explode(F.sequence("mn", "mx")).alias("hr")
+    )
+    series = dense.join(hourly, on=["key", "hr"], how="left")
+
+    back = (
+        Window.partitionBy("key")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("key")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_c = F.last(F.col("c"), ignorenulls=True).over(back)
+    prev_h = F.last(F.when(F.col("c").isNotNull(), F.col("hr")), ignorenulls=True).over(back)
+    next_c = F.first(F.col("c"), ignorenulls=True).over(fwd)
+    next_h = F.first(F.when(F.col("c").isNotNull(), F.col("hr")), ignorenulls=True).over(fwd)
+
+    num = prev_c * (next_h - F.col("hr")) + next_c * (F.col("hr") - prev_h)
+    den = (next_h - prev_h) * F.lit(100)
+    interp = num.cast("double") / den.cast("double")
+    observed = F.col("c").cast("double") / F.lit(100.0)
+
+    out = series.select(
+        F.col("key").alias(key_col),
+        F.expr(f"timestampadd(HOUR, hr, {_EPOCH_NTZ})").alias("hour_ts"),
+        F.round(
+            F.when(F.col("c").isNotNull(), observed).otherwise(interp), 6
+        ).alias("value"),
+        F.col("c").isNull().alias("filled"),
+    )
+    return out

@@ -522,3 +522,15 @@ def test_kmeans_assignment_is_pure_projection(spark):
     assert "Join" not in final
     assert "Exchange" not in final
     assert "Scan parquet" not in final  # reads the quantized checkpoint
+
+
+def test_gapfill_pushdown_and_keyed_windows(spark):
+    """Gap-fill: the user sampling predicate reaches the parquet scan,
+    and both running windows ride key partitionings — no global
+    (partitionBy-less) sort anywhere."""
+    plan = _executed_plan(bq.QUERIES["events_gapfill"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "PushedFilters" in plan and "user_id" in plan.split("PushedFilters")[1][:200]
+    assert "Exchange rangepartitioning" not in final
+    assert "SinglePartition" not in final
+    assert "CartesianProduct" not in plan

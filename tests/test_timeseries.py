@@ -1,0 +1,62 @@
+"""Gap-fill + linear interpolation: hand-computed expectations on a tiny
+series, multi-key independence, and the no-gap fast path."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from imposm3_spark.datapipe.timeseries import gapfill_hourly
+
+
+def _ev(user, hour, value, eid=0):
+    return (
+        eid,
+        dt.datetime(2024, 1, 1) + dt.timedelta(hours=hour),
+        user,
+        "t",
+        value,
+        "{}",
+    )
+
+
+SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+
+
+def test_linear_interpolation_exact(spark):
+    # user 1: hours 0, 3 observed (10.00, 40.00) -> hours 1,2 filled with
+    # 20.00 and 30.00; hour 4+ out of range.
+    rows = [_ev(1, 0, 10.0, 1), _ev(1, 3, 40.0, 2)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r.hour_ts.hour: (r.value, r.filled)
+        for r in gapfill_hourly(df).collect()
+    }
+    assert got == {
+        0: (10.0, False),
+        1: (20.0, True),
+        2: (30.0, True),
+        3: (40.0, False),
+    }
+
+
+def test_bucket_sums_and_multi_key(spark):
+    # user 1 has two events in hour 0 (summed); user 2 an independent range.
+    rows = [
+        _ev(1, 0, 1.25, 1),
+        _ev(1, 0, 2.25, 2),
+        _ev(1, 2, 7.5, 3),
+        _ev(2, 5, 5.0, 4),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = gapfill_hourly(df).collect()
+    u1 = {r.hour_ts.hour: r.value for r in out if r.user_id == 1}
+    u2 = {r.hour_ts.hour: r.value for r in out if r.user_id == 2}
+    assert u1 == {0: 3.5, 1: 5.5, 2: 7.5}  # 3.5 -> 7.5 interpolated at h1
+    assert u2 == {5: 5.0}  # single-bucket key: no gaps generated
+
+
+def test_no_gaps_passthrough(spark):
+    rows = [_ev(1, h, float(h), h) for h in range(4)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = gapfill_hourly(df).collect()
+    assert all(not r.filled for r in out) and len(out) == 4
