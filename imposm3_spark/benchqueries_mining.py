@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from imposm3_spark.benchqueries import _t, register
+from imposm3_spark.datapipe import graph as gr
 from imposm3_spark.datapipe import kmeans as km
 from imposm3_spark.datapipe import mining as mn
 from imposm3_spark.datapipe import timeseries as ts_
@@ -119,3 +120,17 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _t(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
     return ts_.gapfill_hourly(src)
+
+
+@register("events_pagerank", gr.oracle_sql(iterations=3))
+def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (damping 0.85, 3 iterations) over the
+    event-type transition graph — bit-identical across engines because
+    every update is exact integer multiply + floor division and integer
+    sums are order-free (see datapipe/graph.py)."""
+    from pyspark.sql import functions as F
+
+    events = _t(spark, sf_dir, "events")
+    edges = gr.transition_edges(events)
+    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    return gr.pagerank_fixed_point(edges, nodes, iterations=3)

@@ -1,0 +1,152 @@
+"""Graph analytics over event streams: transition-graph extraction and
+fixed-point integer PageRank.
+
+Reference parity note: imposm3 has no graph surface beyond relation
+membership; this is part of the analytics-engine extension set
+(click-path analysis, markov transition ranking).
+
+Why fixed-point integers: distributed float PageRank is not reproducible
+— the per-node contribution sum depends on reduction order, which differs
+between engines and even between runs of the same engine. Here every
+rank is a BIGINT in units of 1/SCALE, every update uses exact integer
+multiply + floor division,
+
+    contrib(s->d) = (85 * r_s * cnt) div (100 * out_s)
+    r'_d          = (15 * SCALE) div (100 * N) + sum(contribs into d)
+
+and integer sums are order-free, so the result is bit-identical across
+engines and cluster sizes. (All operands are positive, so Spark's `div`
+truncation == DuckDB's `//` floor.) Dangling-node mass is dropped — the
+standard simplification; ranks then sum to <= SCALE.
+
+Scale design (100 TB):
+
+* Edge extraction is one keyed window (lead over the per-key ordering) +
+  one (src,dst) aggregation with map-side combine — shuffles on the key
+  and on the edge pair, never a global sort.
+* The iteration joins edges against the rank table on src — both
+  key-partitioned joins; AQE broadcasts the rank side automatically when
+  the node set is small (here: event types), and degrades to a
+  co-partitioned shuffle join when it is not.
+* Per-iteration driver state is ONE scalar (the node count); ranks stay
+  distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000
+
+
+def transition_edges(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    node_col: str = "event_type",
+) -> DataFrame:
+    """(src, dst, cnt): counts of consecutive node transitions within each
+    key's ordered event sequence."""
+    w = Window.partitionBy(key_col).orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        events.select(
+            F.col(node_col).alias("src"),
+            F.lead(node_col).over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame, nodes: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """PageRank (damping 0.85) in SCALE-fixed-point integer arithmetic.
+
+    `edges` carries (src, dst, cnt); `nodes` one `node` row per vertex
+    (so isolated vertices keep the base rank). Returns (node, r BIGINT
+    fixed-point, rank DOUBLE = r/SCALE rounded to 6).
+    """
+    n = nodes.count()  # one bounded scalar on the driver
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0).alias("r"), F.lit(0.0).alias("rank")
+        )
+    outs = edges.groupBy("src").agg(F.sum("cnt").alias("out_cnt"))
+    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("r"))
+    base = (15 * SCALE) // (100 * n)
+
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outs, on="src")
+            .select(
+                F.col("dst"),
+                F.expr("(85 * r * cnt) div (100 * out_cnt)").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, nodes["node"] == summed["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+
+    return ranks.select(
+        "node",
+        "r",
+        F.round(F.col("r").cast("double") / F.lit(float(SCALE)), 6).alias("rank"),
+    )
+
+
+def oracle_sql(iterations: int = 3) -> str:
+    """DuckDB oracle: the identical fixed-point iteration unrolled."""
+    parts = [
+        f"""
+WITH ordered AS MATERIALIZED (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+), edges AS MATERIALIZED (
+  SELECT src, dst, count(*) AS cnt FROM ordered
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+), outs AS MATERIALIZED (
+  SELECT src, sum(cnt) AS out_cnt FROM edges GROUP BY 1
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT event_type AS node FROM events
+), nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node, CAST({SCALE} AS BIGINT) // nn.n AS r FROM nodes CROSS JOIN nn
+)"""
+    ]
+    prev = "r0"
+    for it in range(1, iterations + 1):
+        parts.append(
+            f""", r{it} AS MATERIALIZED (
+  SELECT n.node,
+         CAST((15 * CAST({SCALE} AS BIGINT)) // (100 * nn.n)
+              + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum((85 * r.r * e.cnt) // (100 * o.out_cnt)) AS s
+    FROM edges e
+    JOIN {prev} r ON r.node = e.src
+    JOIN outs o ON o.src = e.src
+    GROUP BY 1
+  ) c ON c.node = n.node
+)"""
+        )
+        prev = f"r{it}"
+    parts.append(
+        f"""
+SELECT node, r, round(CAST(r AS DOUBLE) / {float(SCALE)}, 6) AS rank
+FROM {prev}"""
+    )
+    return "".join(parts)

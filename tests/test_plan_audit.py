@@ -534,3 +534,12 @@ def test_gapfill_pushdown_and_keyed_windows(spark):
     assert "Exchange rangepartitioning" not in final
     assert "SinglePartition" not in final
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_no_cartesian_keyed_window(spark):
+    """PageRank: edge extraction rides one keyed window (no global sort);
+    the rank iteration never degenerates to a cartesian product."""
+    plan = _executed_plan(bq.QUERIES["events_pagerank"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in final
