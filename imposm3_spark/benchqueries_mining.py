@@ -134,3 +134,84 @@ def events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = gr.transition_edges(events)
     nodes = events.select(F.col("event_type").alias("node")).distinct()
     return gr.pagerank_fixed_point(edges, nodes, iterations=3)
+
+
+def _sql_bpe_encode(num_merges: int = 8) -> str:
+    r"""Unrolled tokenizer-APPLICATION oracle: re-learn the merge list
+    (same CTE triples as doc_bpe_merges' _sql_bpe), then push every
+    distinct word through the ordered merge chain (same two-pass
+    replace), and join the per-word piece counts back onto the corpus.
+    """
+    steps = []
+    for i in range(num_merges):
+        steps.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT p, CAST(sum(cnt) AS BIGINT) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(sym)),
+                      j -> sym[j] || ' ' || sym[j+1])) AS p, cnt
+        FROM (SELECT regexp_split_to_array(trim(spelled), ' ') AS sym, cnt FROM w{i})
+      ) GROUP BY p
+    ), b{i} AS MATERIALIZED (
+      SELECT p, c FROM p{i} ORDER BY c DESC, p LIMIT 1
+    ), w{i + 1} AS MATERIALIZED (
+      SELECT replace(replace(spelled,
+                             ' ' || (SELECT p FROM b{i}) || ' ',
+                             ' ' || (SELECT replace(p, ' ', '') FROM b{i}) || ' '),
+                     ' ' || (SELECT p FROM b{i}) || ' ',
+                     ' ' || (SELECT replace(p, ' ', '') FROM b{i}) || ' ') AS spelled,
+             cnt
+      FROM w{i}
+    ), e{i + 1} AS MATERIALIZED (
+      SELECT w, replace(replace(s,
+                             ' ' || (SELECT p FROM b{i}) || ' ',
+                             ' ' || (SELECT replace(p, ' ', '') FROM b{i}) || ' '),
+                     ' ' || (SELECT p FROM b{i}) || ' ',
+                     ' ' || (SELECT replace(p, ' ', '') FROM b{i}) || ' ') AS s
+      FROM e{i}
+    )"""
+        )
+    return rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    ), wf AS MATERIALIZED (
+      SELECT w, count(*) AS cnt
+      FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY w
+    ), w0 AS (
+      SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS spelled,
+             cnt
+      FROM wf
+    ), e0 AS (
+      SELECT w, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s
+      FROM wf
+    ), {", ".join(steps)}, wmap AS MATERIALIZED (
+      SELECT w, len(regexp_split_to_array(trim(s), ' ')) AS pieces
+      FROM e{num_merges}
+    ), enc AS (
+      SELECT o.doc_id, sum(m.pieces) AS n_pieces
+      FROM (SELECT doc_id, unnest(tokens) AS w FROM toks) o
+      JOIN wmap m USING (w)
+      GROUP BY o.doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.tokens) AS INTEGER) AS n_tokens,
+           CAST(coalesce(e.n_pieces, 0) AS INTEGER) AS n_pieces
+    FROM toks t LEFT JOIN enc e USING (doc_id)
+    """
+
+
+@register("doc_bpe_encode", _sql_bpe_encode())
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: learn 8 BPE merges (datapipe.bpe.bpe_learn),
+    then encode every document through the ordered merge chain as a pure
+    replace-expression pipeline (bpe_segment) — (doc_id, n_tokens,
+    n_pieces). The merge list crossing the driver is bounded (8 rows)."""
+    from imposm3_spark.datapipe.bpe import bpe_learn, bpe_segment
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn(docs, num_merges=8).orderBy("step").collect()
+    ]
+    return bpe_segment(docs, merges)

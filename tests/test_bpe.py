@@ -52,3 +52,19 @@ def test_segment_counts(spark):
     # 'abab' -> after (a,b) and (ab,ab): 1 piece; 'cd' stays 2 chars
     assert seg.n_tokens == 2
     assert seg.n_pieces == 1 + 2
+
+
+def test_encode_piece_count_monotone_in_merges(spark):
+    """Every applied merge can only reduce (or keep) the piece count of
+    every document — encode with k merges dominates k+1 merges."""
+    rows = [(i, "low lower lowest low low newer new") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r["left"], r["right"]) for r in bpe_learn(df, num_merges=6).orderBy("step").collect()
+    ]
+    prev = None
+    for k in range(len(merges) + 1):
+        out = {r.doc_id: r.n_pieces for r in bpe_segment(df, merges[:k]).collect()}
+        if prev is not None:
+            assert all(out[d] <= prev[d] for d in out)
+        prev = out
