@@ -101,7 +101,9 @@ _DRIVER_FIRST = [
     # lineitem_approx_quantiles, events_cms_heavy, events_approx_distinct,
     # events_hll_rollup, events_user_trend, events_value_hour_corr,
     # events_value_histogram, doc_gopher_rules, doc_contamination_score,
-    # doc_minhash_clusters (all local-gate green at sf0.001/0.01/0.1).
+    # doc_minhash_clusters, lineitem_basket_pairs, emb_kmeans,
+    # events_gapfill, events_pagerank, doc_bpe_encode (all local-gate
+    # green at sf0.001/0.01/0.1 — batch-6 additions included).
     "emb_semdedup",
     "events_zscore_anomaly",
 ]

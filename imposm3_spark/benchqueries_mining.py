@@ -215,3 +215,28 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in bpe_learn(docs, num_merges=8).orderBy("step").collect()
     ]
     return bpe_segment(docs, merges)
+
+
+_EWMA_ORACLE = """
+WITH RECURSIVE c AS MATERIALIZED (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), r(user_id, rn, event_id, e) AS (
+  SELECT user_id, rn, event_id, cents FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.rn, c.event_id, (3 * r.e + c.cents) // 4
+  FROM r JOIN c ON c.user_id = r.user_id AND c.rn = r.rn + 1
+)
+SELECT event_id AS id, user_id AS key,
+       round(CAST(e AS DOUBLE) / 100.0, 4) AS ewma
+FROM r
+"""
+
+
+@register("events_ewma", _EWMA_ORACLE)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user fixed-point EWMA (alpha=1/4): exact integer recursion in
+    an Arrow-batched per-key scan, bit-identical to the recursive-CTE
+    oracle (see datapipe/timeseries.py ewma_fixed_point)."""
+    return ts_.ewma_fixed_point(_t(spark, sf_dir, "events"))

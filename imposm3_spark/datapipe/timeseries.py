@@ -94,3 +94,59 @@ def gapfill_hourly(
         F.col("c").isNull().alias("filled"),
     )
     return out
+
+
+def ewma_fixed_point(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (alpha = 1/4) as an
+    exact integer recursion:
+
+        e_1 = c_1,   e_t = (3*e_{t-1} + c_t) div 4      (cents BIGINT)
+
+    EWMA is inherently sequential per key — the one operator family where
+    a per-key imperative scan is the right tool. It runs as an Arrow-
+    batched applyInPandas over key groups (state O(1), group size bounded
+    by the key's own history, never corpus size); everything before it is
+    one keyed exchange. The integer recursion makes the result
+    bit-identical to the oracle's recursive CTE: every step is exact
+    multiply-add + integer division (values are non-negative, so
+    truncating and flooring division agree — asserted).
+
+    Output: (id, key, ewma) with ewma = e/100 as ONE fixed division.
+    """
+    import pandas as pd
+
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    src = events.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        F.col(order_cols[0]).alias("_o1"),
+        F.col(order_cols[1]).alias("_o2"),
+        cents.alias("c"),
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_o1", "_o2"], kind="mergesort")
+        e = 0
+        out = []
+        first = True
+        for c in pdf["c"].tolist():
+            c = int(c)
+            assert c >= 0, "ewma_fixed_point requires non-negative values"
+            e = c if first else (3 * e + c) // 4
+            first = False
+            out.append(e)
+        pdf = pdf.assign(e=out)
+        return pdf[["id", "key", "e"]]
+
+    scanned = src.groupBy("key").applyInPandas(scan, "id long, key long, e long")
+    return scanned.select(
+        "id",
+        "key",
+        F.round(F.col("e").cast("double") / F.lit(100.0), 4).alias("ewma"),
+    )

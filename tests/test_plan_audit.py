@@ -543,3 +543,13 @@ def test_pagerank_no_cartesian_keyed_window(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in final
+
+
+def test_ewma_single_keyed_exchange(spark):
+    """EWMA: one hash exchange on the key into the Arrow-batched scan —
+    no global sort, no extra shuffle after the per-key recursion."""
+    plan = _executed_plan(bq.QUERIES["events_ewma"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in final
+    assert "SinglePartition" not in final

@@ -60,3 +60,25 @@ def test_no_gaps_passthrough(spark):
     df = spark.createDataFrame(rows, SCHEMA)
     out = gapfill_hourly(df).collect()
     assert all(not r.filled for r in out) and len(out) == 4
+
+
+def test_ewma_recursion_exact(spark):
+    from imposm3_spark.datapipe.timeseries import ewma_fixed_point
+
+    # user 1: cents 400, 800, 100 -> e = 400, (1200+800)//4=500, (1500+100)//4=400
+    rows = [_ev(1, 0, 4.0, 1), _ev(1, 1, 8.0, 2), _ev(1, 2, 1.0, 3), _ev(2, 0, 2.0, 4)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.id: r.ewma for r in ewma_fixed_point(df).collect()}
+    assert got == {1: 4.0, 2: 5.0, 3: 4.0, 4: 2.0}
+
+
+def test_ewma_order_is_ts_then_id(spark):
+    from imposm3_spark.datapipe.timeseries import ewma_fixed_point
+
+    t = dt.datetime(2024, 1, 1)
+    # same ts: event_id breaks the tie (2 before 3)
+    rows = [(2, t, 1, "t", 8.0, "{}"), (3, t, 1, "t", 0.0, "{}"), (1, t - dt.timedelta(hours=1), 1, "t", 4.0, "{}")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.id: r.ewma for r in ewma_fixed_point(df).collect()}
+    # e1=400, e2=(1200+800)//4=500, e3=(1500+0)//4=375
+    assert got == {1: 4.0, 2: 5.0, 3: 3.75}
