@@ -240,3 +240,28 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     an Arrow-batched per-key scan, bit-identical to the recursive-CTE
     oracle (see datapipe/timeseries.py ewma_fixed_point)."""
     return ts_.ewma_fixed_point(_t(spark, sf_dir, "events"))
+
+
+_KNN_ORACLE = """
+WITH pairs AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT src, dst, sim, rk FROM (
+  SELECT src, dst, sim,
+         row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rk
+  FROM pairs
+) WHERE rk <= 5
+"""
+
+
+@register("emb_knn_graph", _KNN_ORACLE)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact symmetric 5-NN graph via the distributed block-pair matmul
+    (each unordered pair scored once, bounded task memory) + one per-src
+    top-k window (see datapipe/similarity.py knn_graph)."""
+    from imposm3_spark.datapipe import similarity as sim
+
+    return sim.knn_graph(_t(spark, sf_dir, "embeddings"), k=5)

@@ -640,3 +640,44 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("cand_id").alias("vec_id"), "rank", "adc")
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """Exact symmetric k-NN graph: for EVERY point, its k nearest
+    neighbours by cosine — (src, dst, sim, rk). The building block for
+    kNN-graph clustering / label propagation / graph-based dedup.
+
+    Built on the same distributed block-pair matmul as
+    cosine_neardup_pairs (threshold -1 = keep all pairs): each unordered
+    pair scored exactly once, task memory bounded by two blocks, then a
+    symmetric expansion and one per-src top-k window (keyed exchange, no
+    global sort). Exact all-pairs is the O(n^2) BASELINE — at true corpus
+    scale the sub-quadratic path is lsh_topk / ivf_topk; this operator is
+    their recall oracle.
+    """
+    pairs = cosine_neardup_pairs(
+        embeddings,
+        threshold=-1.0,
+        id_col=id_col,
+        vec_col=vec_col,
+        rows_per_block=rows_per_block,
+    )
+    sym = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "sim"
+    ).unionByName(
+        pairs.select(
+            F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "sim"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("src", "dst", "sim", "rk")
+    )

@@ -269,3 +269,43 @@ def test_ivfpq_pruned_is_deterministic_subset_machinery(spark):
         for r in ivfpq_topk(e, q, k=10**6, ncentroids=16, nprobe=16).collect()
     }
     assert all(full[(r["query_id"], r["vec_id"])] == r["adc"] for r in pruned)
+
+
+def test_knn_graph_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(20, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    from imposm3_spark.datapipe.similarity import knn_graph
+
+    got = {}
+    for r in knn_graph(df, k=3).collect():
+        got.setdefault(r.src, []).append((r.rk, r.dst))
+    V = vecs.astype("float64")
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    sims = np.round(V @ V.T, 6)
+    for i in range(20):
+        order = sorted(
+            ((-(sims[i, j]), j) for j in range(20) if j != i)
+        )[:3]
+        expect = [(rk + 1, j) for rk, (_, j) in enumerate(order)]
+        assert sorted(got[i]) == expect, i
+
+
+def test_knn_graph_every_node_has_k(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    from imposm3_spark.datapipe.similarity import knn_graph
+
+    rows = knn_graph(df, k=4).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.src, set()).add(r.rk)
+    assert set(per) == set(range(10))
+    assert all(v == {1, 2, 3, 4} for v in per.values())
