@@ -265,3 +265,55 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imposm3_spark.datapipe import similarity as sim
 
     return sim.knn_graph(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def _sql_auc() -> str:
+    from imposm3_spark.benchqueries import _SQL_TOKENS
+
+    return rf"""
+    WITH toks AS (
+      SELECT lang,
+             CASE WHEN trim(text) = '' THEN [] ELSE {_SQL_TOKENS} END AS tokens
+      FROM documents
+    ), scored AS (
+      SELECT CASE WHEN len(tokens) > 0
+                  THEN CAST(len(list_filter(list_transform(tokens, t -> lower(t)),
+                       t -> t IN ('the','and','of','to','a','in','is','that'))) AS DOUBLE)
+                       / len(tokens)
+                  ELSE 0.0 END AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM toks
+    ), s AS (
+      SELECT score, sum(pos) AS p, count(*) AS t FROM scored GROUP BY score
+    ), c AS (
+      SELECT p, t,
+             sum(t) OVER (ORDER BY score
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS less
+      FROM s
+    ), a AS (
+      SELECT sum(p * (2 * less + t + 1)) AS s2, sum(p) AS pc, sum(t - p) AS nc FROM c
+    )
+    SELECT pc AS pos_cnt, nc AS neg_cnt,
+           CASE WHEN pc > 0 AND nc > 0
+                THEN round(CAST(s2 - pc * (pc + 1) AS DOUBLE)
+                           / CAST(2 * pc * nc AS DOUBLE), 6)
+           END AS auc
+    FROM a
+    """
+
+
+@register("doc_score_auc", _sql_auc())
+def doc_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC of the English-stopword ratio as a
+    predictor of lang='en' — rank statistics via the two-phase prefix-sum
+    pattern, no global sort (see datapipe/evaluation.py)."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.evaluation import roc_auc
+    from imposm3_spark.datapipe.text import stopword_ratio
+
+    d = _t(spark, sf_dir, "documents").select(
+        stopword_ratio(F.col("text")).alias("score"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    return roc_auc(d, "score", "pos")

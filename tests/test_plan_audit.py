@@ -553,3 +553,13 @@ def test_ewma_single_keyed_exchange(spark):
     assert final.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in final
     assert "SinglePartition" not in final
+
+
+def test_auc_no_global_sort_single_partition_only_for_final_row(spark):
+    """ROC AUC: the corpus collapses to the distinct-score table before
+    any ordering; the only SinglePartition exchange is the one-row final
+    aggregate, and there is no global (partitionBy-less) window sort."""
+    plan = _executed_plan(bq.QUERIES["doc_score_auc"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert final.count("Exchange SinglePartition") <= 1
