@@ -317,3 +317,42 @@ def doc_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("long").alias("pos"),
     )
     return roc_auc(d, "score", "pos")
+
+
+_RFM_ORACLE = """
+WITH per_cust AS MATERIALIZED (
+  SELECT o_custkey AS cust,
+         date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '1999-01-01') AS recency,
+         count(*) AS frequency,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
+  FROM orders GROUP BY 1
+), qs AS (
+  SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS rq,
+         quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+         quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+  FROM per_cust
+), scored AS (
+  SELECT monetary,
+         5 - (1 + CAST(CAST(recency AS DOUBLE) > rq[1] AS INTEGER)
+                + CAST(CAST(recency AS DOUBLE) > rq[2] AS INTEGER)
+                + CAST(CAST(recency AS DOUBLE) > rq[3] AS INTEGER)) AS r_score,
+         1 + CAST(CAST(frequency AS DOUBLE) > fq[1] AS INTEGER)
+           + CAST(CAST(frequency AS DOUBLE) > fq[2] AS INTEGER)
+           + CAST(CAST(frequency AS DOUBLE) > fq[3] AS INTEGER) AS f_score,
+         1 + CAST(CAST(monetary AS DOUBLE) > mq[1] AS INTEGER)
+           + CAST(CAST(monetary AS DOUBLE) > mq[2] AS INTEGER)
+           + CAST(CAST(monetary AS DOUBLE) > mq[3] AS INTEGER) AS m_score
+  FROM per_cust CROSS JOIN qs
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers,
+       round(CAST(sum(monetary) AS DOUBLE) / 100.0, 2) AS total_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@register("orders_rfm", _RFM_ORACLE)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: exact quartile thresholds broadcast onto the
+    per-customer table (no global-sort ntile), segment-cell rollup with
+    exact cents (see datapipe/mining.py rfm_segments)."""
+    return mn.rfm_segments(_t(spark, sf_dir, "orders"))

@@ -91,3 +91,70 @@ def frequent_item_pairs(
         )
     )
     return out
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    price_col: str = "o_totalprice",
+    ref_date: str = "1999-01-01",
+) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days from last
+    order to `ref_date`), Frequency (order count), Monetary (exact cents),
+    each scored 1-4 against the population's exact quartile thresholds,
+    aggregated to segment cells.
+
+    Scale design: ONE shuffle builds the per-customer table (map-side
+    combinable agg); quartile thresholds are a 1-row aggregate broadcast
+    back onto it (never a global sort / single-task ntile — threshold
+    scoring replaces rank binning, the standard trade at corpus scale);
+    the final segment rollup is a k<=64-group aggregate. Recency uses
+    calendar-field day arithmetic (timezone-proof); Monetary stays in
+    BIGINT cents so threshold comparisons are exact.
+    """
+    per_cust = (
+        orders.select(
+            F.col(cust_col).alias("cust"),
+            F.to_date(date_col).alias("d"),
+            F.round(F.col(price_col) * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("cust")
+        .agg(
+            F.datediff(F.lit(ref_date).cast("date"), F.max("d")).alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("cents").alias("monetary"),
+        )
+    )
+    qs = per_cust.agg(
+        F.expr("percentile(recency, array(0.25D, 0.5D, 0.75D))").alias("rq"),
+        F.expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").alias("fq"),
+        F.expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").alias("mq"),
+    )
+
+    def score(col: str, arr: str) -> F.Column:
+        v = F.col(col).cast("double")
+        return (
+            F.lit(1)
+            + (v > F.element_at(F.col(arr), 1)).cast("int")
+            + (v > F.element_at(F.col(arr), 2)).cast("int")
+            + (v > F.element_at(F.col(arr), 3)).cast("int")
+        )
+
+    scored = per_cust.join(F.broadcast(qs)).select(
+        "cust",
+        "monetary",
+        # low recency is GOOD: invert so 4 = most recent quartile
+        (F.lit(5) - score("recency", "rq")).alias("r_score"),
+        score("frequency", "fq").alias("f_score"),
+        score("monetary", "mq").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum("monetary").cast("double") / F.lit(100.0), 2
+            ).alias("total_monetary"),
+        )
+    )

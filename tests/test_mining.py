@@ -60,3 +60,41 @@ def test_min_support_filters(spark):
     # support-1 pair (5,6) appears when the threshold drops
     all_pairs = frequent_item_pairs(df, min_support=1)
     assert all_pairs.where((F.col("item_a") == 5) & (F.col("item_b") == 6)).count() == 1
+
+
+def test_rfm_scores_and_rollup(spark):
+    import datetime as dt
+
+    from imposm3_spark.datapipe.mining import rfm_segments
+
+    # 4 customers with strictly ordered R, F, M so quartile scores are
+    # fully determined: cust i has (i+1) orders, last order i days before
+    # ref, each order worth 100*(i+1) dollars.
+    rows = []
+    ok = 0
+    for i in range(4):
+        for j in range(i + 1):
+            ok += 1
+            rows.append(
+                (
+                    ok,
+                    i + 1,
+                    "O",
+                    100.0 * (i + 1),
+                    dt.datetime(1998, 12, 31 - i) - dt.timedelta(days=30 * j),
+                    "1-URGENT",
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    out = {
+        (r.r_score, r.f_score, r.m_score): (r.n_customers, r.total_monetary)
+        for r in rfm_segments(df, ref_date="1999-01-01").collect()
+    }
+    # cust 0: most recent (r=4), fewest orders (f=1), least money (m=1)
+    assert out[(4, 1, 1)] == (1, 100.0)
+    # cust 3: least recent (r=1), most orders (f=4), most money (m=4)
+    assert out[(1, 4, 4)] == (1, 1600.0)
+    assert sum(n for n, _ in out.values()) == 4
