@@ -86,16 +86,15 @@ def lloyd_kmeans(
     deterministic seed, then return the final assignment against the last
     centroids: (vec_id, cluster).
     """
-    dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).head()
-    if dim_row is None:
-        return emb.sparkSession.createDataFrame([], "vec_id long, cluster int")
-    dim = dim_row["d"]
-
     # One source scan; iterations re-read the quantized columnar cache.
     qp = _quantize(emb, vec_col, id_col).localCheckpoint(eager=True)
 
     # Deterministic seed: k lowest-id points, cluster = rank in id order.
+    # The seed rows also carry the dimensionality — one driver job, not two.
     seed = qp.orderBy("vec_id").limit(k).collect()
+    if not seed:
+        return emb.sparkSession.createDataFrame([], "vec_id long, cluster int")
+    dim = len(seed[0]["q"])
     centroids: list[tuple[list[int], int]] = [(list(r["q"]), 1) for r in seed]
 
     def assign(df: DataFrame) -> DataFrame:

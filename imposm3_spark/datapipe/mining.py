@@ -62,7 +62,10 @@ def frequent_item_pairs(
     )
 
     item_counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
-    n_baskets = items.select("basket").distinct().count()
+    # Basket total as a 1-row aggregate folded into the same plan (no
+    # separate driver count() job); Catalyst reuses the `items` exchange
+    # for every consumer.
+    nb = items.agg(F.count_distinct("basket").alias("_nb"))
 
     # Per-item counts are a small dimension relative to the pair table —
     # broadcast them onto the pairs.
@@ -77,6 +80,7 @@ def frequent_item_pairs(
                         .withColumnRenamed("cnt", "count_b")),
             on="item_b",
         )
+        .join(F.broadcast(nb))
         .select(
             "item_a",
             "item_b",
@@ -84,7 +88,7 @@ def frequent_item_pairs(
             "count_a",
             "count_b",
             F.round(
-                (F.col("pair_count").cast("double") * F.lit(float(n_baskets)))
+                (F.col("pair_count").cast("double") * F.col("_nb").cast("double"))
                 / (F.col("count_a").cast("double") * F.col("count_b").cast("double")),
                 6,
             ).alias("lift"),
