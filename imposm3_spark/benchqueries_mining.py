@@ -356,3 +356,65 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer table (no global-sort ntile), segment-cell rollup with
     exact cents (see datapipe/mining.py rfm_segments)."""
     return mn.rfm_segments(_t(spark, sf_dir, "orders"))
+
+
+def _sql_lang_confusion() -> str:
+    from imposm3_spark.datapipe import text as tx
+
+    hit_cols = []
+    for code, sw in tx.LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in sw)
+        hit_cols.append(
+            f"len(list_filter(tokens, t -> t IN ({lst}))) AS hits_{code}"
+        )
+    codes = sorted(tx.LANG_STOPWORDS)
+    best = "CASE"
+    for code in codes:
+        others_ge = " AND ".join(
+            f"hits_{code} >= hits_{other}" for other in codes if other != code
+        )
+        best += f" WHEN hits_{code} > 0 AND {others_ge} THEN '{code}'"
+    best += " ELSE 'und' END"
+    return rf"""
+    WITH toks AS (
+      SELECT lang,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    ), hits AS (
+      SELECT lang, {", ".join(hit_cols)} FROM toks
+    ), pred AS (
+      SELECT lang, {best} AS guess FROM hits
+    ), g AS (
+      SELECT lang, guess, count(*) AS n FROM pred GROUP BY 1, 2
+    )
+    SELECT lang, guess, n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS recall_share
+    FROM g
+    """
+
+
+@register("doc_lang_confusion", _sql_lang_confusion())
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the n-gram/stopword
+    heuristic (text.langid) against the labelled lang column, with
+    per-actual-language recall shares — a keyed window over the confusion
+    cells (never a global sort)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe import text as tx
+
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select("lang", tx.langid(F.col("text")).alias("guess"))
+    g = pred.groupBy("lang", "guess").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "guess",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("recall_share"),
+    )
