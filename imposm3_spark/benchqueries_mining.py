@@ -418,3 +418,14 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
         ).alias("recall_share"),
     )
+
+
+@register("emb_pca_top", __import__("imposm3_spark.datapipe.pca", fromlist=["oracle_sql"]).oracle_sql(iterations=3, dim=64))
+def emb_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding table: exact integer Gram
+    (one corpus pass, map-side numpy matmul) + 3 integer power-iteration
+    steps with L-infinity fixed-point normalization — bit-identical to
+    the unrolled oracle (see datapipe/pca.py)."""
+    from imposm3_spark.datapipe.pca import top_component
+
+    return top_component(_t(spark, sf_dir, "embeddings"), iterations=3, dim=64)

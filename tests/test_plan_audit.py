@@ -563,3 +563,14 @@ def test_auc_no_global_sort_single_partition_only_for_final_row(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Window" not in final
     assert final.count("Exchange SinglePartition") <= 1
+
+
+def test_pca_one_corpus_pass_broadcast_iterations(spark):
+    """PCA: the parquet source is scanned once (the Gram pass); every
+    power-iteration join broadcasts the dim-row vector side — no
+    sort-merge join, no cartesian."""
+    plan = _executed_plan(bq.QUERIES["emb_pca_top"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") <= 1
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in plan
