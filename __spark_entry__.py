@@ -102,8 +102,10 @@ _DRIVER_FIRST = [
     # events_hll_rollup, events_user_trend, events_value_hour_corr,
     # events_value_histogram, doc_gopher_rules, doc_contamination_score,
     # doc_minhash_clusters, lineitem_basket_pairs, emb_kmeans,
-    # events_gapfill, events_pagerank, doc_bpe_encode (all local-gate
-    # green at sf0.001/0.01/0.1 — batch-6 additions included).
+    # events_gapfill, events_pagerank, doc_bpe_encode, events_ewma,
+    # emb_knn_graph, doc_score_auc, orders_rfm, doc_lang_confusion,
+    # emb_pca_top (all local-gate green at sf0.001/0.01/0.1 — batch-6/7
+    # additions included).
     "emb_semdedup",
     "events_zscore_anomaly",
 ]
