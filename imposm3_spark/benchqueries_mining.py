@@ -429,3 +429,24 @@ def emb_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imposm3_spark.datapipe.pca import top_component
 
     return top_component(_t(spark, sf_dir, "embeddings"), iterations=3, dim=64)
+
+
+_FUZZY_ORACLE = """
+SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+       a.c_name AS a_name, b.c_name AS b_name,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@register("cust_fuzzy_pairs", _FUZZY_ORACLE)
+def cust_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution pairs within edit distance 1 over customer
+    names: deletion-neighbourhood blocking (O(n*L) shuffle, hash
+    equi-join on deletion variants, exact levenshtein verify on block
+    collisions only) — the oracle states the naive quadratic truth
+    (see datapipe/mining.py fuzzy_pairs_edit1)."""
+    return mn.fuzzy_pairs_edit1(
+        _t(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )

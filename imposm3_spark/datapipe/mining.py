@@ -162,3 +162,74 @@ def rfm_segments(
             ).alias("total_monetary"),
         )
     )
+
+
+def fuzzy_pairs_edit1(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+) -> DataFrame:
+    """Entity-resolution candidate pairs within edit distance 1, via
+    deletion-neighbourhood blocking: two strings are within one
+    substitution/insertion/deletion iff SOME single-character deletion
+    (or the identity for the shorter side) makes them collide, so each
+    row emits its L+1 deletion variants (plus the identity) and only rows
+    sharing a variant are compared: a substitution pair collides on the
+    same-position deletions, an insert/delete pair collides on
+    longer-side-deletion == shorter-side-identity, an exact dupe on the
+    identities — so recall is 1 for dist <= 1 by construction.
+
+    Scale design (the point vs a naive cross join): replication is
+    L+1 per row (bounded by string length), the join is a hash equi-join
+    on the variant key, and the exact `levenshtein` verify runs ONLY on
+    block collisions — O(n * L) shuffle instead of O(n^2) comparisons.
+    Block-skew (a hot variant) is bounded by how many strings share a
+    deletion image; duplicate candidate pairs from multiple shared
+    blocks are collapsed with one distinct before the verify.
+
+    Output: (a_id, b_id, a_name, b_name, dist<=1), a_id < b_id.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    n = F.length("name")
+    # position 0 = identity (catches exact dupes and pure insert/delete),
+    # position p>=1 = name with character p removed
+    variants = base.select(
+        "id",
+        "name",
+        F.explode(
+            F.concat(
+                F.array(F.struct(F.lit(0).alias("p"), F.col("name").alias("v"))),
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda p: F.struct(
+                        p.cast("int").alias("p"),
+                        F.concat(
+                            F.substring(F.col("name"), 1, (p - 1).cast("int")),
+                            F.col("name").substr(p + 1, n),
+                        ).alias("v"),
+                    ),
+                ),
+            )
+        ).alias("blk"),
+    ).select("id", "name", F.col("blk.v").alias("v"))
+
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cands = (
+        a.join(b, on="v")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.name").alias("a_name"),
+            F.col("b.name").alias("b_name"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "a_id",
+        "b_id",
+        "a_name",
+        "b_name",
+        F.levenshtein("a_name", "b_name").alias("dist"),
+    ).where(F.col("dist") <= 1)

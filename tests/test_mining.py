@@ -98,3 +98,35 @@ def test_rfm_scores_and_rollup(spark):
     # cust 3: least recent (r=1), most orders (f=4), most money (m=4)
     assert out[(1, 4, 4)] == (1, 1600.0)
     assert sum(n for n, _ in out.values()) == 4
+
+
+def test_fuzzy_pairs_full_recall_all_edit_types(spark):
+    from imposm3_spark.datapipe.mining import fuzzy_pairs_edit1
+
+    names = [
+        (1, "abcdef"),
+        (2, "abcdxf"),   # substitution of 1
+        (3, "abcde"),    # deletion from 1
+        (4, "abcdeff"),  # insertion into 1
+        (5, "abcdef"),   # exact duplicate of 1
+        (6, "zzzzzz"),   # unrelated
+        (7, "abXdXf"),   # distance 2 from 1: must NOT match 1
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {(r.a_id, r.b_id): r.dist for r in fuzzy_pairs_edit1(df, "id", "name").collect()}
+    # brute-force reference
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    expect = {
+        (i, j): lev(a, b)
+        for (i, a) in names
+        for (j, b) in names
+        if i < j and lev(a, b) <= 1
+    }
+    assert got == expect

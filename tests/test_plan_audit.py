@@ -574,3 +574,11 @@ def test_pca_one_corpus_pass_broadcast_iterations(spark):
     assert plan.count("Scan parquet") <= 1
     assert "SortMergeJoin" not in final
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_no_cartesian_hash_join_on_variants(spark):
+    """Fuzzy join: the deletion-variant equi-join replaces the naive
+    cross join — no CartesianProduct / BroadcastNestedLoop anywhere."""
+    plan = _executed_plan(bq.QUERIES["cust_fuzzy_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
