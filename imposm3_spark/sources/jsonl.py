@@ -1,0 +1,115 @@
+"""JSONL corpus source: the de-facto interchange format for LLM
+training-data pipelines (one JSON document per line — Dolma, C4, The
+Pile, RedPajama all ship this shape).
+
+No imposm3 counterpart (the reference reads OSM PBF/XML only); this is
+the document-side source the datapipe operators (`datapipe/*`) ingest
+from outside parquet.
+
+Spark-first design:
+
+* `spark.read.json` with an EXPLICIT schema — never schema inference,
+  which at corpus scale costs a full extra pass and silently widens
+  types per-file. The schema matches the `documents` table so every
+  datapipe operator runs unchanged on a JSONL drop-in.
+* PERMISSIVE mode with a `_corrupt` capture column: malformed lines
+  land in a quarantine DataFrame instead of failing the job (the
+  standard bad-record contract for multi-TB crawls). `mode="FAILFAST"`
+  is available when the corpus is trusted.
+* Text normalization/id-assignment are column expressions; missing
+  doc_ids are backfilled deterministically from a content fingerprint
+  (xxhash64), NOT monotonically_increasing_id (which is
+  partitioning-dependent and breaks reproducibility).
+* Compression (.gz/.zst) is handled by the line reader transparently;
+  gzip files are non-splittable — at scale, prefer many medium files
+  over few huge ones (noted for operators, enforced by the writer
+  below, which targets `target_file_rows` per output file).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    mode: str = "PERMISSIVE",
+) -> tuple[DataFrame, DataFrame]:
+    """Read a JSONL corpus into the canonical documents shape.
+
+    Returns (docs, quarantine): `docs` has (doc_id, text, lang, source,
+    n_chars) with doc_id backfilled from xxhash64(text) when absent and
+    empty-text rows dropped; `quarantine` carries the raw malformed
+    lines (empty under FAILFAST).
+    """
+    schema = StructType(
+        list(DOC_SCHEMA.fields) + [StructField("_corrupt", StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    # Spark refuses file-source queries whose pruned projection is ONLY
+    # the corrupt-record column, so the quarantine view parses a line
+    # read with from_json instead (same schema, same PERMISSIVE
+    # semantics). It is lazy — the second pass over the files runs only
+    # if the caller actually inspects the quarantine.
+    txt = spark.read.text(path)
+    reparsed = txt.select(
+        "value",
+        F.from_json(
+            "value",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j"),
+    )
+    quarantine = reparsed.where(F.col("j._corrupt").isNotNull()).select(
+        F.col("value").alias("raw_line")
+    )
+    docs = (
+        raw.where(F.col("_corrupt").isNull())
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            F.coalesce(
+                F.col("doc_id"), F.abs(F.xxhash64(F.col("text")))
+            ).alias("doc_id"),
+            "text",
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+    )
+    return docs, quarantine
+
+
+def write_jsonl(
+    docs: DataFrame,
+    path: str,
+    target_file_rows: int = 500_000,
+) -> None:
+    """Write documents as JSONL with bounded file sizes: repartition to
+    ceil(n / target_file_rows) output files so downstream non-splittable
+    readers (gzip consumers) parallelize. One count job sizes the write —
+    acceptable for a terminal sink."""
+    n = docs.count()
+    parts = max(1, -(-n // target_file_rows))
+    docs.repartition(parts).write.mode("overwrite").json(path)
