@@ -450,3 +450,53 @@ def cust_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mn.fuzzy_pairs_edit1(
         _t(spark, sf_dir, "customer"), "c_custkey", "c_name"
     )
+
+
+_BM25_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+  FROM documents
+), tc AS MATERIALIZED (
+  SELECT doc_id, w AS term, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(tokens) AS w FROM toks) GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, sum(cnt) AS dl FROM tc GROUP BY 1
+), nn AS (SELECT count(*) AS n FROM documents),
+tot AS (SELECT sum(cnt) AS t FROM tc),
+qt(term) AS (VALUES ('join'), ('spark'), ('window')),
+dfq AS (
+  SELECT term, count(*) AS df FROM tc JOIN qt USING (term) GROUP BY 1
+), m AS (
+  SELECT tc.doc_id, tc.term, tc.cnt, dl.dl, dfq.df
+  FROM tc JOIN qt USING (term) JOIN dl USING (doc_id) JOIN dfq USING (term)
+), contrib AS (
+  SELECT doc_id, term,
+    ln(1.0 + (CAST((SELECT n FROM nn) AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+             / (CAST(df AS DOUBLE) + 0.5))
+    * ((CAST(cnt AS DOUBLE) * 2.2)
+       / (CAST(cnt AS DOUBLE)
+          + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                                  / (CAST((SELECT t FROM tot) AS DOUBLE)
+                                     / CAST((SELECT n FROM nn) AS DOUBLE)))))) AS c
+  FROM m
+), scored AS (
+  SELECT doc_id, list_reduce(list(c ORDER BY term), (a, b) -> a + b) AS score
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@register("doc_bm25_topk", _BM25_ORACLE)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval for the query {join, spark, window}: one
+    corpus collapse to term counts, broadcast query side, term-order
+    score fold, TakeOrdered top-k (see datapipe/chunking.py bm25_topk)."""
+    from imposm3_spark.datapipe.chunking import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["join", "spark", "window"], k=10
+    )

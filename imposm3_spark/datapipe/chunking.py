@@ -230,3 +230,79 @@ def inverted_index(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval: top-`k` documents for a bag-of-words query.
+
+    score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+    with the Lucene idf = ln(1 + (N-df+0.5)/(df+0.5)) — always positive,
+    avoiding the Robertson-form pathology where df > N/2 makes idf
+    negative and ranks barely-matching documents highest.
+
+    Exactness: every per-(doc,term) contribution is one deterministic
+    float expression mirrored operation-for-operation in the oracle; the
+    per-document sum folds contributions in TERM order (sort_array +
+    aggregate == list ORDER BY term + list_reduce), so scores are
+    bit-identical across engines.
+
+    Scale design: the corpus collapses once to (doc, term, cnt) counts
+    (map-side combine); the query-term table broadcasts (|q| rows); df
+    and dl derive from the counts table — the TEXT never shuffles; the
+    top-k is orderBy+limit = TakeOrdered (per-partition heaps + k-row
+    driver merge), not a global sort.
+    """
+    spark = docs.sparkSession
+    tc = doc_term_counts(docs, id_col, text_col)
+    # tc feeds dl, df and the match join: materialize once so the text
+    # pass runs a single time across the three consumers
+    tc = tc.localCheckpoint(eager=True)
+    n_docs = docs.count()
+    total_tokens = tc.agg(F.sum("cnt")).collect()[0][0] or 0
+    avgdl = float(total_tokens) / float(n_docs) if n_docs else 1.0
+
+    qt = spark.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], "term string"
+    )
+    dfq = (
+        tc.join(F.broadcast(qt), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    m = (
+        tc.join(F.broadcast(qt), "term")
+        .join(
+            tc.groupBy(id_col).agg(F.sum("cnt").alias("dl")), id_col
+        )
+        .join(F.broadcast(dfq), "term")
+    )
+    nd = F.lit(float(n_docs))
+    dfd = F.col("df").cast("double")
+    cntd = F.col("cnt").cast("double")
+    dld = F.col("dl").cast("double")
+    idf = F.log(F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+    part = (cntd * F.lit(k1 + 1.0)) / (
+        cntd
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / F.lit(avgdl)))
+    )
+    contrib = m.select(id_col, "term", (idf * part).alias("c"))
+    g = contrib.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("term", "c"))).alias("cs")
+    )
+    scored = g.select(
+        id_col,
+        F.aggregate("cs", F.lit(0.0), lambda a, x: a + x["c"]).alias("score"),
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("score", 6).alias("score"))
+    )

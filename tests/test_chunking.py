@@ -238,3 +238,40 @@ def test_unigram_nll_properties(spark):
         for r in unigram_nll(df.repartition(5)).collect()
     }
     assert again == got
+
+
+def test_bm25_ranking_semantics(spark):
+    from imposm3_spark.datapipe.chunking import bm25_topk
+
+    # doc 1 mentions the query term often and is short -> highest score;
+    # doc 2 mentions it once in a long doc; doc 3 not at all.
+    rows = [
+        (1, "cat cat cat dog"),
+        (2, "cat " + "filler " * 50),
+        (3, "unrelated words only here"),
+        (4, "cat cat bird"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["cat"], k=10).collect()
+    got = [r.doc_id for r in out]
+    assert 3 not in got  # no query term -> not retrieved
+    assert got[0] in (1, 4) and set(got) == {1, 2, 4}
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[1] > scores[2] and scores[4] > scores[2]
+
+
+def test_bm25_multi_term_sum(spark):
+    from imposm3_spark.datapipe.chunking import bm25_topk
+
+    rows = [
+        (1, "alpha beta"),
+        (2, "alpha alpha"),
+        (3, "beta beta"),
+        (4, "gamma gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.score for r in bm25_topk(df, ["alpha", "beta"], k=10).collect()}
+    # doc 1 matches both terms; idf symmetric (df=2 each), dl equal
+    # across docs -> doc1 score is strictly highest
+    assert set(out) == {1, 2, 3}
+    assert out[1] > out[2] and abs(out[2] - out[3]) < 1e-9
