@@ -23,6 +23,7 @@ from imposm3_spark.benchqueries import _t, register
 from imposm3_spark.datapipe import graph as gr
 from imposm3_spark.datapipe import kmeans as km
 from imposm3_spark.datapipe import mining as mn
+from imposm3_spark.datapipe import stats as st
 from imposm3_spark.datapipe import timeseries as ts_
 
 _BASKET_PAIRS_ORACLE = """
@@ -499,4 +500,27 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bm25_topk(
         _t(spark, sf_dir, "documents"), ["join", "spark", "window"], k=10
+    )
+
+
+_HLL_INTERSECT_ORACLE = """
+SELECT count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS exact_a,
+       count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS exact_b,
+       count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+       + count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+       - count(DISTINCT CASE WHEN event_type IN ('click', 'view') THEN user_id END)
+         AS exact_both,
+       TRUE AS approx_both_ok
+FROM events
+"""
+
+
+@register("events_hll_intersect", _HLL_INTERSECT_ORACLE)
+def events_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch algebra: |click-users ∩ view-users| via
+    inclusion-exclusion over mergeable sketches, validated against the
+    exact intersection (invariant oracle — the sketch estimate itself is
+    implementation-defined; see datapipe/stats.py)."""
+    return st.hll_intersect_estimate(
+        _t(spark, sf_dir, "events"), "event_type", "click", "view", "user_id"
     )

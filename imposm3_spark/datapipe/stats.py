@@ -277,3 +277,70 @@ def approx_distinct_check(
         "exact_distinct",
         (rel_err <= bound).alias("within_bound"),
     )
+
+
+def hll_intersect_estimate(
+    df: DataFrame,
+    set_col: str,
+    member_a,
+    member_b,
+    distinct_col: str,
+    bound: float = 0.2,
+) -> DataFrame:
+    """Sketch ALGEBRA: estimate |A ∩ B| for two cohorts via
+    inclusion-exclusion over mergeable HLL sketches,
+
+        |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B)
+
+    where est(A ∪ B) merges the two sketches WITHOUT re-reading raw data
+    — the set-operation layer on top of hll_merge_check's mergeability.
+    Intersection error compounds (three estimates), so the validated
+    bound is looser and checked against the exact intersection on
+    absolute-relative terms vs |A ∪ B| (the stable denominator: the
+    intersection itself can be near zero).
+
+    Output: one row (exact_a, exact_b, exact_both, approx_both_ok).
+    """
+    a = df.where(F.col(set_col) == member_a)
+    b = df.where(F.col(set_col) == member_b)
+    ska = a.agg(F.hll_sketch_agg(distinct_col).alias("sk")).select(
+        F.lit("a").alias("side"), "sk"
+    )
+    skb = b.agg(F.hll_sketch_agg(distinct_col).alias("sk")).select(
+        F.lit("b").alias("side"), "sk"
+    )
+    union_est = (
+        ska.unionByName(skb)
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u"),
+        )
+    )
+    each = ska.unionByName(skb).select(
+        "side", F.hll_sketch_estimate("sk").alias("est")
+    )
+    ests = each.groupBy().pivot("side", ["a", "b"]).sum("est")
+    exact = df.agg(
+        F.countDistinct(F.when(F.col(set_col) == member_a, F.col(distinct_col))).alias("exact_a"),
+        F.countDistinct(F.when(F.col(set_col) == member_b, F.col(distinct_col))).alias("exact_b"),
+        F.countDistinct(
+            F.when(F.col(set_col).isin(member_a, member_b), F.col(distinct_col))
+        ).alias("exact_union"),
+    ).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union")).alias(
+            "exact_both"
+        ),
+    )
+    j = exact.join(F.broadcast(ests)).join(F.broadcast(union_est))
+    approx_both = F.col("a") + F.col("b") - F.col("u")
+    err = F.abs(approx_both - F.col("exact_both").cast("double")) / F.col(
+        "exact_union"
+    ).cast("double")
+    return j.select(
+        "exact_a",
+        "exact_b",
+        "exact_both",
+        (err <= bound).alias("approx_both_ok"),
+    )

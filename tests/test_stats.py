@@ -237,3 +237,27 @@ class TestOLSTrend:
         assert set(out) == {1, 2}
         assert abs(out[1].trend_per_day - 144000.0) < 1e-6  # 100 cents/min
         assert out[2].trend_per_day == 0.0
+
+
+def test_hll_intersect_estimate(spark):
+    from imposm3_spark.datapipe.stats import hll_intersect_estimate
+
+    # users 0-99 click, 50-149 view -> intersection 50-99 (50 users)
+    rows = []
+    eid = 0
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    for u in range(100):
+        eid += 1
+        rows.append((eid, t0, u, "click", 1.0, "{}"))
+    for u in range(50, 150):
+        eid += 1
+        rows.append((eid, t0, u, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    row = hll_intersect_estimate(df, "event_type", "click", "view", "user_id").collect()[0]
+    assert (row.exact_a, row.exact_b, row.exact_both) == (100, 100, 50)
+    assert row.approx_both_ok
