@@ -71,3 +71,59 @@ def test_cluster_by_zorder_partitions_are_disjoint_ranges(spark):
     assert len(spans) > 1
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, "partition z-ranges overlap — write would not prune"
+
+
+def test_zorder_layout_prunes_parquet_row_groups(spark, tmp_path):
+    """Data-skipping evidence: after a z-ordered write, a small bbox
+    query's min/max check admits far fewer row groups than the same data
+    written in insertion order — the property that turns a full scan
+    into a handful of row groups at 100 TB."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    rng = random.Random(4)
+    rows = [
+        (i, rng.uniform(0, 1000), rng.uniform(0, 1000)) for i in range(40000)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    plain = str(tmp_path / "plain")
+    df.repartition(16).write.parquet(plain)
+    clustered = str(tmp_path / "zorder")
+    cluster_by_zorder(df, "x", "y", (0, 0, 1000, 1000), bits=10, n_files=16).write.parquet(clustered)
+
+    def admitted(path, qx, qy, r=25.0):
+        import glob
+
+        total = hit = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.schema.column(c).name: c for c in range(md.num_columns)
+            }
+            for g in range(md.num_row_groups):
+                total += 1
+                sx = md.row_group(g).column(cols["x"]).statistics
+                sy = md.row_group(g).column(cols["y"]).statistics
+                if (
+                    sx.min <= qx + r
+                    and sx.max >= qx - r
+                    and sy.min <= qy + r
+                    and sy.max >= qy - r
+                ):
+                    hit += 1
+        return hit, total
+
+    worse = better = 0
+    for qx, qy in [(100, 100), (500, 500), (900, 200), (300, 800)]:
+        hp, tp = admitted(plain, qx, qy)
+        hz, tz = admitted(clustered, qx, qy)
+        assert tp > 1 and tz > 1
+        if hz < hp:
+            better += 1
+        elif hz > hp:
+            worse += 1
+    # insertion-order row groups span the whole plane (every group
+    # admits every query); z-ordered groups are compact
+    assert better >= 3 and worse == 0
