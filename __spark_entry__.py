@@ -104,8 +104,9 @@ _DRIVER_FIRST = [
     # doc_minhash_clusters, lineitem_basket_pairs, emb_kmeans,
     # events_gapfill, events_pagerank, doc_bpe_encode, events_ewma,
     # emb_knn_graph, doc_score_auc, orders_rfm, doc_lang_confusion,
-    # emb_pca_top (all local-gate green at sf0.001/0.01/0.1 — batch-6/7
-    # additions included).
+    # emb_pca_top, cust_fuzzy_pairs, doc_bm25_topk, events_hll_intersect
+    # (all local-gate green at sf0.001/0.01/0.1 — batch-6/7/8 additions
+    # included).
     "emb_semdedup",
     "events_zscore_anomaly",
 ]

@@ -582,3 +582,14 @@ def test_fuzzy_pairs_no_cartesian_hash_join_on_variants(spark):
     plan = _executed_plan(bq.QUERIES["cust_fuzzy_pairs"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcast_query_takeordered(spark):
+    """BM25: the query-term side broadcasts; the top-k is TakeOrdered
+    (per-partition heaps), not a global sort exchange."""
+    plan = _executed_plan(bq.QUERIES["doc_bm25_topk"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "TakeOrderedAndProject" in final
+    assert "Exchange rangepartitioning" not in final
+    assert "CartesianProduct" not in plan
