@@ -524,3 +524,42 @@ def events_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.hll_intersect_estimate(
         _t(spark, sf_dir, "events"), "event_type", "click", "view", "user_id"
     )
+
+
+_SCD2_ORACLE = """
+WITH src AS (
+  SELECT user_id, ts, event_id, event_type FROM events WHERE user_id % 20 = 0
+), runs AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM runs
+), iv AS (
+  SELECT user_id, run, min(ts) AS valid_from,
+         arg_min(event_type, ts) AS value
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id, value, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM iv
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+"""
+
+
+@register("events_scd2", _SCD2_ORACLE)
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (every 20th user — pushed-down filter):
+    consecutive same-attribute runs collapse to validity intervals with
+    lead-closed valid_to (see datapipe/timeseries.py scd2_intervals)."""
+    from pyspark.sql import functions as F
+
+    src = _t(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
+    return ts_.scd2_intervals(src)

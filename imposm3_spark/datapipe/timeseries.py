@@ -150,3 +150,58 @@ def ewma_fixed_point(
         "key",
         F.round(F.col("e").cast("double") / F.lit(100.0), 4).alias("ewma"),
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from a change stream:
+    collapse each key's consecutive runs of the same attribute value into
+    validity intervals (key, value, valid_from, valid_to, is_current) —
+    valid_to is the next change's timestamp, NULL while current.
+
+    The standard warehouse pattern from Spark primitives: one keyed
+    window detects change points (lag), a running count assigns run ids
+    (cumulative sum of change flags — still the same keyed window), and
+    one aggregation per (key, run) takes the interval bounds. Two keyed
+    exchanges total (window + group), no global sort.
+
+    Ties at the same timestamp break on `order_tiebreak`, so the build
+    is deterministic under replay.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.asc(ts_col), F.asc(order_tiebreak)
+    )
+    run = (
+        events.select(key_col, ts_col, order_tiebreak, attr_col)
+        .withColumn(
+            "_chg",
+            F.when(
+                F.lag(attr_col).over(w).isNull()
+                | (F.lag(attr_col).over(w) != F.col(attr_col)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_run",
+            F.sum("_chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    iv = run.groupBy(key_col, "_run").agg(
+        F.min_by(attr_col, F.struct(ts_col, order_tiebreak)).alias("value"),
+        F.min(ts_col).alias("valid_from"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_run")
+    return iv.select(
+        key_col,
+        "value",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

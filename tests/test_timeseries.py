@@ -82,3 +82,26 @@ def test_ewma_order_is_ts_then_id(spark):
     got = {r.id: r.ewma for r in ewma_fixed_point(df).collect()}
     # e1=400, e2=(1200+800)//4=500, e3=(1500+0)//4=375
     assert got == {1: 4.0, 2: 5.0, 3: 3.75}
+
+
+def test_scd2_intervals(spark):
+    from imposm3_spark.datapipe.timeseries import scd2_intervals
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: A A B A -> intervals A[0,2) B[2,3) A[3,current)
+        (1, t + dt.timedelta(hours=0), 1, "A", 0.0, "{}"),
+        (2, t + dt.timedelta(hours=1), 1, "A", 0.0, "{}"),
+        (3, t + dt.timedelta(hours=2), 1, "B", 0.0, "{}"),
+        (4, t + dt.timedelta(hours=3), 1, "A", 0.0, "{}"),
+        # user 2: single value -> one open interval
+        (5, t, 2, "X", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sorted(
+        scd2_intervals(df).collect(), key=lambda r: (r.user_id, r.valid_from)
+    )
+    u1 = [(r.value, r.valid_from.hour, r.valid_to.hour if r.valid_to else None, r.is_current) for r in out if r.user_id == 1]
+    assert u1 == [("A", 0, 2, False), ("B", 2, 3, False), ("A", 3, None, True)]
+    u2 = [(r.value, r.is_current) for r in out if r.user_id == 2]
+    assert u2 == [("X", True)]
