@@ -132,3 +132,117 @@ def test_bpe_matches_reference(spark, words):
         for r in bpe_learn(df, num_merges=3).collect()
     ]
     assert got == _ref_bpe(Counter(words), 3)
+
+
+# ---------------------------------------------------------------------------
+# round-3 batch 6-8 exact operators vs pure-python mirrors
+
+
+def _ref_ewma(rows):
+    """rows: list of (user, value) in order; returns {index: ewma}."""
+    state: dict[int, int] = {}
+    out = {}
+    for i, (u, v) in enumerate(rows):
+        c = int(round(v * 100))
+        e = c if u not in state else (3 * state[u] + c) // 4
+        state[u] = e
+        out[i] = round(e / 100.0, 4)
+    return out
+
+
+@given(
+    st_.lists(
+        st_.tuples(
+            st_.integers(min_value=1, max_value=3),
+            st_.floats(min_value=0.0, max_value=999.99, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_ewma_matches_reference(spark, rows):
+    from imposm3_spark.datapipe.timeseries import ewma_fixed_point
+
+    t0 = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, t0 + datetime.timedelta(seconds=i), u, "t", round(v, 2), "{}")
+        for i, (u, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    got = {r.id: r.ewma for r in ewma_fixed_point(df).collect()}
+    expect = _ref_ewma([(u, round(v, 2)) for u, v in rows])
+    assert got == expect
+
+
+def _ref_auc(pairs):
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    return round(wins / (len(pos) * len(neg)), 6)
+
+
+@given(
+    st_.lists(
+        st_.tuples(
+            st_.integers(min_value=0, max_value=8),  # few distinct scores: ties
+            st_.integers(min_value=0, max_value=1),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_auc_matches_reference(spark, pairs):
+    from imposm3_spark.datapipe.evaluation import roc_auc
+
+    df = spark.createDataFrame(
+        [(float(s), y) for s, y in pairs], "score double, pos long"
+    )
+    row = roc_auc(df, "score", "pos").collect()[0]
+    assert row.auc == _ref_auc([(float(s), y) for s, y in pairs])
+
+
+@given(
+    st_.lists(
+        st_.tuples(
+            st_.integers(min_value=0, max_value=4),
+            st_.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_pagerank_matches_reference(spark, raw_edges):
+    from imposm3_spark.datapipe.graph import SCALE, pagerank_fixed_point
+
+    edges = Counter((f"n{a}", f"n{b}") for a, b in raw_edges if a != b)
+    if not edges:
+        return
+    nodes = sorted({x for e in edges for x in e})
+    edf = spark.createDataFrame(
+        [(s, d, c) for (s, d), c in edges.items()], "src string, dst string, cnt long"
+    )
+    ndf = spark.createDataFrame([(x,) for x in nodes], "node string")
+    got = {r.node: r.r for r in pagerank_fixed_point(edf, ndf, 3).collect()}
+
+    outs: dict[str, int] = {}
+    for (s, d), c in edges.items():
+        outs[s] = outs.get(s, 0) + c
+    n = len(nodes)
+    r = {v: SCALE // n for v in nodes}
+    base = (15 * SCALE) // (100 * n)
+    for _ in range(3):
+        inc = {v: 0 for v in nodes}
+        for (s, d), c in edges.items():
+            inc[d] += (85 * r[s] * c) // (100 * outs[s])
+        r = {v: base + inc[v] for v in nodes}
+    assert got == r
