@@ -563,3 +563,16 @@ def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _t(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
     return ts_.scd2_intervals(src)
+
+
+@register(
+    "emb_kmeans_inertia",
+    km.oracle_sql_inertia(k=8, iterations=3, dim=64),
+)
+def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering quality: per-cluster member counts and exact
+    within-cluster sum of squared distances (inertia) for the same
+    k=8/3-iteration Lloyd run — DECIMAL(38,0)-exact sums (the 64-bit-
+    outgrowing analog of integer sufficient statistics; see
+    datapipe/kmeans.py kmeans_inertia)."""
+    return km.kmeans_inertia(_t(spark, sf_dir, "embeddings"), k=8, iterations=3)

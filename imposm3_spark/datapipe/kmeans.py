@@ -75,17 +75,15 @@ def _dist(qcol: Column, s: list[int], n: int, dim: int) -> Column:
     return total / (F.lit(float(n)) * F.lit(float(n)))
 
 
-def lloyd_kmeans(
+def _run_lloyd(
     emb: DataFrame,
-    k: int = 8,
-    iterations: int = 3,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Run `iterations` rounds of (assign, centroid-update) from the
-    deterministic seed, then return the final assignment against the last
-    centroids: (vec_id, cluster).
-    """
+    k: int,
+    iterations: int,
+    vec_col: str,
+    id_col: str,
+):
+    """Shared Lloyd loop: returns (qp, centroids, dim) after `iterations`
+    rounds, or None for an empty input."""
     # One source scan; iterations re-read the quantized columnar cache.
     qp = _quantize(emb, vec_col, id_col).localCheckpoint(eager=True)
 
@@ -93,7 +91,7 @@ def lloyd_kmeans(
     # The seed rows also carry the dimensionality — one driver job, not two.
     seed = qp.orderBy("vec_id").limit(k).collect()
     if not seed:
-        return emb.sparkSession.createDataFrame([], "vec_id long, cluster int")
+        return None
     dim = len(seed[0]["q"])
     centroids: list[tuple[list[int], int]] = [(list(r["q"]), 1) for r in seed]
 
@@ -133,7 +131,94 @@ def lloyd_kmeans(
             by_cluster.get(j, centroids[j]) for j in range(len(centroids))
         ]
 
+    return qp, centroids, dim, assign
+
+
+def lloyd_kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Run `iterations` rounds of (assign, centroid-update) from the
+    deterministic seed, then return the final assignment against the last
+    centroids: (vec_id, cluster)."""
+    run = _run_lloyd(emb, k, iterations, vec_col, id_col)
+    if run is None:
+        return emb.sparkSession.createDataFrame([], "vec_id long, cluster int")
+    qp, _, _, assign = run
     return assign(qp).select("vec_id", "cluster")
+
+
+def kmeans_inertia(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster quality after the Lloyd run: (cluster, n_members,
+    inertia) where inertia = sum of squared distances of members to their
+    (exact rational) centroid, in ORIGINAL units.
+
+    Exactness: the per-point integer fold sum_i (n*q_i - s_i)^2 exceeds
+    BIGINT when summed across members, so the accumulator is
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both exact, both
+    order-free, values equal; ONE final fixed-order division maps to
+    inertia = D / (n_c^2 * SCALE^2). This is the decimal-exact analog of
+    the integer-sufficient-statistics technique for sums that outgrow
+    64 bits."""
+    run = _run_lloyd(emb, k, iterations, vec_col, id_col)
+    if run is None:
+        return emb.sparkSession.createDataFrame(
+            [], "cluster int, n_members long, inertia double"
+        )
+    qp, centroids, dim, assign = run
+    assigned = assign(qp)
+
+    def point_d(s: list[int], n: int):
+        s_arr = F.array(*[F.lit(int(v)) for v in s])
+
+        def step(acc, i):
+            t = (
+                F.lit(int(n)) * F.element_at(F.col("q"), i + 1)
+                - F.element_at(s_arr, i + 1)
+            ).cast("decimal(19,0)")
+            # square in DECIMAL: t can reach n_c * QSCALE-ish magnitudes,
+            # so t^2 outgrows BIGINT for big clusters — the decimal
+            # product is exact with 38 digits of headroom
+            return acc + t * t
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0).cast("decimal(38,0)"),
+            step,
+        )
+
+    d_expr = None
+    for j, (s, n) in enumerate(centroids):
+        branch = point_d(s, n)
+        d_expr = (
+            F.when(F.col("cluster") == j, branch)
+            if d_expr is None
+            else d_expr.when(F.col("cluster") == j, branch)
+        )
+    per_point = assigned.select("cluster", d_expr.alias("d"))
+    agg = per_point.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("d").alias("D")
+    )
+    n_arr = F.array(*[F.lit(float(n)) for _, n in centroids])
+    nc = F.element_at(n_arr, F.col("cluster") + 1)
+    return agg.select(
+        "cluster",
+        "n_members",
+        F.round(
+            F.col("D").cast("double")
+            / (nc * nc * F.lit(float(SCALE) * float(SCALE))),
+            6,
+        ).alias("inertia"),
+    )
 
 
 def oracle_sql(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
@@ -190,3 +275,47 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM (
 ) WHERE rn = 1"""
     )
     return "".join(parts)
+
+
+def oracle_sql_inertia(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
+    """DuckDB oracle for kmeans_inertia: the same Lloyd chain as
+    oracle_sql, then per-point exact HUGEINT fold summed per cluster and
+    ONE fixed division (values equal to Spark's DECIMAL(38,0) path)."""
+    base = oracle_sql(k=k, iterations=iterations, dim=dim)
+    # keep everything up to the final-assign SELECT, which we rebuild to
+    # retain q for the distance-to-centroid fold
+    cut = base.rindex("\nSELECT vec_id, CAST(cluster AS INTEGER)")
+    chain = base[:cut]
+    pd_fold = (
+        "list_reduce(list_transform(range(1, {hi}), i -> "
+        "(CAST(c.n * p.q[i] - c.s[i] AS HUGEINT) * "
+        "CAST(c.n * p.q[i] - c.s[i] AS HUGEINT))), (a, b) -> a + b)"
+    ).format(hi=dim + 1)
+    dist = (
+        "list_reduce(list_transform(range(1, {hi}), i -> "
+        "(CAST(c.n * p.q[i] - c.s[i] AS DOUBLE) * "
+        "CAST(c.n * p.q[i] - c.s[i] AS DOUBLE))), (a, b) -> a + b) "
+        "/ (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE))"
+    ).format(hi=dim + 1)
+    last = f"c{iterations}"
+    return (
+        chain
+        + f""", fin AS MATERIALIZED (
+  SELECT vec_id, q, cluster FROM (
+    SELECT p.vec_id, p.q, c.cluster,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM qp p CROSS JOIN {last} c
+  ) WHERE rn = 1
+), pp AS (
+  SELECT p.cluster, {pd_fold} AS d
+  FROM fin p JOIN {last} c ON c.cluster = p.cluster
+), agg AS (
+  SELECT cluster, count(*) AS n_members, sum(d) AS D FROM pp GROUP BY 1
+)
+SELECT CAST(a.cluster AS INTEGER) AS cluster, a.n_members,
+       round(CAST(a.D AS DOUBLE)
+             / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)
+                * 1000000000000.0), 6) AS inertia
+FROM agg a JOIN {last} c ON c.cluster = a.cluster"""
+    )

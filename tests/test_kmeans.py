@@ -83,3 +83,58 @@ def test_empty_cluster_keeps_seed(spark):
     rows = lloyd_kmeans(df, k=4, iterations=3).collect()
     assert len(rows) == 10
     assert {r.cluster for r in rows} <= {0, 1, 2, 3}
+
+
+def test_inertia_matches_reference(spark):
+    import random
+
+    from imposm3_spark.datapipe.kmeans import SCALE, kmeans_inertia
+
+    rng = random.Random(9)
+    pts = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in pts],
+        "vec_id long, embedding array<float>",
+    )
+    stored = [(r.vec_id, r.embedding) for r in df.collect()]
+    # mirror: run the pure-python loop, then accumulate exact D per cluster
+    q = {i: [round(v * SCALE) for v in vec] for i, vec in stored}
+    ids = sorted(q)
+    cents = [(list(q[i]), 1) for i in ids[:3]]
+
+    def assign():
+        out = {}
+        for i in ids:
+            best = None
+            for j, (s, n) in enumerate(cents):
+                d = sum(float(n * x - si) ** 2 for x, si in zip(q[i], s)) / (
+                    float(n) * float(n)
+                )
+                if best is None or (d, j) < best:
+                    best = (d, j)
+                    out[i] = j
+        return out
+
+    for _ in range(2):
+        a = assign()
+        new = {}
+        for i, j in a.items():
+            s, n = new.get(j, ([0] * 4, 0))
+            new[j] = ([x + y for x, y in zip(s, q[i])], n + 1)
+        cents = [new.get(j, cents[j]) for j in range(3)]
+    a = assign()
+    expect = {}
+    for i, j in a.items():
+        s, n = cents[j]
+        D = sum((n * x - si) ** 2 for x, si in zip(q[i], s))  # exact int
+        cnt, acc = expect.get(j, (0, 0))
+        expect[j] = (cnt + 1, acc + D)
+    expect = {
+        j: (cnt, round(D / (cents[j][1] ** 2 * SCALE * SCALE), 6))
+        for j, (cnt, D) in expect.items()
+    }
+    got = {
+        r.cluster: (r.n_members, r.inertia)
+        for r in kmeans_inertia(df, k=3, iterations=2).collect()
+    }
+    assert got == expect
