@@ -433,10 +433,11 @@ def emb_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUZZY_ORACLE = """
+WITH c AS (SELECT * FROM customer WHERE c_custkey % 4 = 0)
 SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
        a.c_name AS a_name, b.c_name AS b_name,
        levenshtein(a.c_name, b.c_name) AS dist
-FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+FROM c a JOIN c b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
@@ -448,9 +449,10 @@ def cust_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on deletion variants, exact levenshtein verify on block
     collisions only) — the oracle states the naive quadratic truth
     (see datapipe/mining.py fuzzy_pairs_edit1)."""
-    return mn.fuzzy_pairs_edit1(
-        _t(spark, sf_dir, "customer"), "c_custkey", "c_name"
-    )
+    from pyspark.sql import functions as F
+
+    src = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 4 == 0)
+    return mn.fuzzy_pairs_edit1(src, "c_custkey", "c_name")
 
 
 _BM25_ORACLE = r"""

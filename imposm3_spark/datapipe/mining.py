@@ -181,11 +181,14 @@ def fuzzy_pairs_edit1(
 
     Scale design (the point vs a naive cross join): replication is
     L+1 per row (bounded by string length), the join is a hash equi-join
-    on the variant key, and the exact `levenshtein` verify runs ONLY on
-    block collisions — O(n * L) shuffle instead of O(n^2) comparisons.
-    Block-skew (a hot variant) is bounded by how many strings share a
-    deletion image; duplicate candidate pairs from multiple shared
-    blocks are collapsed with one distinct before the verify.
+    on xxhash64 of the variant (8 bytes per shuffle key instead of the
+    L-char string; a hash collision can only ADD a candidate, and the
+    exact verify removes it — recall unaffected, precision restored),
+    and the exact `levenshtein` verify runs ONLY on block collisions —
+    O(n * L) shuffle instead of O(n^2) comparisons. Block-skew (a hot
+    variant) is bounded by how many strings share a deletion image;
+    duplicate candidate pairs from multiple shared blocks are collapsed
+    with one distinct before the verify.
 
     Output: (a_id, b_id, a_name, b_name, dist<=1), a_id < b_id.
     """
@@ -211,11 +214,14 @@ def fuzzy_pairs_edit1(
                 ),
             )
         ).alias("blk"),
-    ).select("id", "name", F.col("blk.v").alias("v"))
+    ).select("id", "name", F.xxhash64(F.col("blk.v")).alias("v"))
 
     a = variants.alias("a")
     b = variants.alias("b")
-    cands = (
+    # verify BEFORE the dedup: the levenshtein filter is a cheap JVM
+    # expression on the join output, so the expensive distinct runs on
+    # true pairs (x block multiplicity) instead of every block collision
+    return (
         a.join(b, on="v")
         .where(F.col("a.id") < F.col("b.id"))
         .select(
@@ -223,13 +229,8 @@ def fuzzy_pairs_edit1(
             F.col("b.id").alias("b_id"),
             F.col("a.name").alias("a_name"),
             F.col("b.name").alias("b_name"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
         )
+        .where(F.col("dist") <= 1)
         .distinct()
     )
-    return cands.select(
-        "a_id",
-        "b_id",
-        "a_name",
-        "b_name",
-        F.levenshtein("a_name", "b_name").alias("dist"),
-    ).where(F.col("dist") <= 1)
