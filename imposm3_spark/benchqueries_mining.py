@@ -578,3 +578,51 @@ def emb_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     outgrowing analog of integer sufficient statistics; see
     datapipe/kmeans.py kmeans_inertia)."""
     return km.kmeans_inertia(_t(spark, sf_dir, "embeddings"), k=8, iterations=3)
+
+
+_ROLLUP_SETS_ORACLE = """
+SELECT n_name,
+       EXTRACT(year FROM o_orderdate) AS yr,
+       grouping(n_name) AS g_nation,
+       grouping(EXTRACT(year FROM o_orderdate)) AS g_year,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY GROUPING SETS ((n_name, EXTRACT(year FROM o_orderdate)),
+                        (n_name), (EXTRACT(year FROM o_orderdate)), ())
+"""
+
+
+@register("orders_rollup_sets", _ROLLUP_SETS_ORACLE)
+def orders_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP grouping sets over orders x customer x nation: (nation,
+    year) cells plus both one-dimensional margins and the grand total,
+    with grouping() flags — Spark expands the sets once and aggregates
+    with map-side combine; both dimension joins broadcast."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "n_name",
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_c"),
+        )
+    )
+    g = j.groupingSets(
+        [["n_name", "yr"], ["n_name"], ["yr"], []], "n_name", "yr"
+    ).agg(
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.grouping("yr").cast("int").alias("g_year"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("_c").alias("cents"),
+    )
+    return g.select(
+        "n_name", "yr", "g_nation", "g_year", "n_orders", "cents"
+    )
