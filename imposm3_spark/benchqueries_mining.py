@@ -626,3 +626,67 @@ def orders_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "n_name", "yr", "g_nation", "g_year", "n_orders", "cents"
     )
+
+
+_SEASONAL_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS hod,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), mx AS (SELECT max(d) AS last_d FROM e),
+daily AS MATERIALIZED (
+  SELECT event_type, d, hod, sum(c) AS dc FROM e GROUP BY 1, 2, 3
+), hist AS (
+  SELECT event_type, hod, sum(dc) AS s, count(*) AS n
+  FROM daily CROSS JOIN mx WHERE d < last_d GROUP BY 1, 2
+), actual AS (
+  SELECT event_type, hod, dc AS a FROM daily CROSS JOIN mx WHERE d = last_d
+)
+SELECT a.event_type, a.hod,
+       round(CAST(a.a AS DOUBLE) / 100.0, 4) AS actual,
+       round(CAST(h.s AS DOUBLE) / (CAST(h.n AS DOUBLE) * 100.0), 4) AS forecast,
+       round(CAST(abs(a.a * h.n - h.s) AS DOUBLE)
+             / (CAST(h.n AS DOUBLE) * 100.0), 4) AS abs_err
+FROM actual a JOIN hist h USING (event_type, hod)
+"""
+
+
+@register("events_seasonal_naive", _SEASONAL_ORACLE)
+def events_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: the last observed day's hourly
+    sums per event type vs the mean of the same hour over all prior days,
+    with per-cell absolute error — every value ONE fixed-order float
+    expression over exact cents (no cross-row float sums: the backtest
+    emits per-cell rows, not a float-summed aggregate)."""
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    daily = e.groupBy("event_type", "d", "hod").agg(F.sum("c").alias("dc"))
+    mx = daily.agg(F.max("d").alias("last_d"))
+    withmx = daily.join(F.broadcast(mx))
+    hist = (
+        withmx.where(F.col("d") < F.col("last_d"))
+        .groupBy("event_type", "hod")
+        .agg(F.sum("dc").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    actual = withmx.where(F.col("d") == F.col("last_d")).select(
+        "event_type", "hod", F.col("dc").alias("a")
+    )
+    j = actual.join(hist, on=["event_type", "hod"])
+    nd = F.col("n").cast("double")
+    return j.select(
+        "event_type",
+        "hod",
+        F.round(F.col("a").cast("double") / F.lit(100.0), 4).alias("actual"),
+        F.round(F.col("s").cast("double") / (nd * F.lit(100.0)), 4).alias("forecast"),
+        F.round(
+            F.abs(F.col("a") * F.col("n") - F.col("s")).cast("double")
+            / (nd * F.lit(100.0)),
+            4,
+        ).alias("abs_err"),
+    )
