@@ -690,3 +690,86 @@ def events_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("abs_err"),
     )
+
+
+def _sql_minhash_accuracy() -> str:
+    from imposm3_spark.benchqueries import _SQL_SHINGLES, _sql_minhash_bands
+
+    matches = " + ".join(
+        f"CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    return (
+        _sql_minhash_bands()
+        + rf""", pairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    ), shs AS MATERIALIZED (
+      SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS ss FROM toks
+    ), est AS (
+      SELECT p.id_a, p.id_b, ({matches}) AS matches
+      FROM pairs p
+      JOIN sigs sa ON sa.doc_id = p.id_a
+      JOIN sigs sb ON sb.doc_id = p.id_b
+    ), ex AS (
+      SELECT p.id_a, p.id_b,
+             len(list_intersect(a.ss, b.ss)) AS inter,
+             len(list_distinct(list_concat(a.ss, b.ss))) AS uni
+      FROM pairs p JOIN shs a ON a.doc_id = p.id_a JOIN shs b ON b.doc_id = p.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           round(CAST(e.matches AS DOUBLE) / 8.0, 6) AS est,
+           round(CAST(x.inter AS DOUBLE) / CAST(x.uni AS DOUBLE), 6) AS exact,
+           round(abs(CAST(e.matches AS DOUBLE) / 8.0
+                     - CAST(x.inter AS DOUBLE) / CAST(x.uni AS DOUBLE)), 6) AS abs_err
+    FROM est e JOIN ex x ON x.id_a = e.id_a AND x.id_b = e.id_b
+    """
+    )
+
+
+@register("doc_minhash_accuracy", _sql_minhash_accuracy())
+def doc_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation: per LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (matching signature rows / 8) against the EXACT
+    shingle-set Jaccard — both exactly reproducible (md5 minhash, one
+    distinct-shingle intersect/union per pair), every value a fixed
+    division over integers."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    sigs = dd.minhash_signatures_relational(docs)
+    shs = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.array_distinct(dd.shingles(F.col("text"))).alias("ss"),
+    )
+    matches = None
+    for i in range(8):
+        t = F.when(F.col(f"sa.s{i}") == F.col(f"sb.s{i}"), 1).otherwise(0)
+        matches = t if matches is None else matches + t
+    est = (
+        pairs.join(sigs.alias("sa"), F.col("id_a") == F.col("sa.doc"))
+        .join(sigs.alias("sb"), F.col("id_b") == F.col("sb.doc"))
+        .select("id_a", "id_b", matches.alias("matches"))
+    )
+    ex = (
+        pairs.join(shs.alias("xa"), F.col("id_a") == F.col("xa.doc"))
+        .join(shs.alias("xb"), F.col("id_b") == F.col("xb.doc"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("xa.ss", "xb.ss")).alias("inter"),
+            F.size(F.array_distinct(F.concat("xa.ss", "xb.ss"))).alias("uni"),
+        )
+    )
+    estd = F.col("matches").cast("double") / F.lit(8.0)
+    exd = F.col("inter").cast("double") / F.col("uni").cast("double")
+    return est.join(ex, on=["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        F.round(estd, 6).alias("est"),
+        F.round(exd, 6).alias("exact"),
+        F.round(F.abs(estd - exd), 6).alias("abs_err"),
+    )
