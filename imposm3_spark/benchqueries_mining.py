@@ -773,3 +773,58 @@ def doc_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exd, 6).alias("exact"),
         F.round(F.abs(estd - exd), 6).alias("abs_err"),
     )
+
+
+_SLIDING_TOPK_ORACLE = """
+WITH e AS (
+  SELECT event_type,
+         date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS hr
+  FROM events
+), windows AS (
+  -- 6h sliding windows, 3h step: an event at hour h lands in the windows
+  -- starting at floor division boundaries covering (h-6, h]
+  SELECT event_type, hr, unnest(generate_series((hr - 5) // 3, hr // 3)) AS w
+  FROM e
+), counts AS (
+  SELECT w * 3 AS win_start_hr, event_type, count(*) AS n
+  FROM windows
+  WHERE w * 3 <= hr AND hr < w * 3 + 6
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT win_start_hr, event_type, n,
+         row_number() OVER (PARTITION BY win_start_hr
+                            ORDER BY n DESC, event_type) AS rk
+  FROM counts
+)
+SELECT TIMESTAMP '1970-01-01 00:00:00' + to_hours(win_start_hr) AS win_start,
+       event_type, n, rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register("events_sliding_topk", _SLIDING_TOPK_ORACLE)
+def events_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 6-hour sliding window (3h step) — Spark's
+    F.window(slide) multi-assigns each row to its covering windows (the
+    same explode the oracle spells out); counts aggregate with map-side
+    combine and the rank is a window-keyed row_number. Hour indexing is
+    calendar-field math via the NTZ-safe window function itself."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    rk = Window.partitionBy("win_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") <= 3)
+        .select("win_start", "event_type", "n", "rk")
+    )
