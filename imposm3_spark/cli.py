@@ -342,10 +342,36 @@ def _base_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-dbschema-backup", dest="dbschema_backup", default="backup")
 
 
+def cmd_analyze(args) -> int:
+    """Run a registered analytics query by name against a testdata-shaped
+    parquet directory and write/print the result — the ad-hoc execution
+    surface for every operator in the registry (benchqueries QUERIES)."""
+    from imposm3_spark import benchqueries as bq
+    from imposm3_spark.session import get_spark
+
+    if args.list:
+        for name in sorted(bq.QUERIES):
+            print(name)
+        return 0
+    if args.name not in bq.QUERIES:
+        print(f"unknown query: '{args.name}' (use -list)", file=sys.stderr)
+        return 2
+    spark = get_spark("analyze")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = bq.QUERIES[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        for row in df.limit(args.limit).collect():
+            print("\t".join("" if v is None else str(v) for v in row))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
-        print("usage: imposm3_spark import|diff|run|query|curate|version [args]", file=sys.stderr)
+        print("usage: imposm3_spark import|diff|run|query|curate|analyze|version [args]", file=sys.stderr)
         return 2
     cmd, rest = argv[0], argv[1:]
     if cmd == "version":
@@ -421,5 +447,17 @@ def main(argv: list[str] | None = None) -> int:
         if not args.diffdir:
             p.error("missing -diffdir (flag or config diffdir)")
         return cmd_run(args)
+    if cmd == "analyze":
+        p = argparse.ArgumentParser(prog="imposm3_spark analyze")
+        p.add_argument("-name", default="", help="registered query name")
+        p.add_argument("-sf-dir", dest="sf_dir", default="/root/testdata/sf0.01",
+                       help="parquet table dir (testdata layout)")
+        p.add_argument("-out", default="", help="write result parquet here instead of stdout")
+        p.add_argument("-limit", type=int, default=20, help="stdout row cap")
+        p.add_argument("-list", action="store_true", help="list registered queries")
+        args = p.parse_args(rest)
+        if not args.list and not args.name:
+            p.error("missing -name (or -list)")
+        return cmd_analyze(args)
     print(f"invalid command: '{cmd}'", file=sys.stderr)
     return 2

@@ -274,3 +274,36 @@ def test_cli_curate_gopher_scrub_benchmark(spark, tmp_path):
     assert 2 not in got  # decontaminated
     assert 1 in got and 3 in got
     assert "<EMAIL>" in got[3] and "@" not in got[3]  # scrubbed
+
+
+def test_analyze_subcommand(tmp_path, capsys):
+    from imposm3_spark.cli import main
+
+    # -list prints registered names
+    assert main(["analyze", "-list"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "tpch_q1" in out and len(out) > 100
+
+    # unknown name errors
+    assert main(["analyze", "-name", "nope_missing"]) == 2
+
+    # run a real query to parquet
+    dest = str(tmp_path / "q1")
+    assert (
+        main(
+            [
+                "analyze",
+                "-name",
+                "tpch_q1",
+                "-sf-dir",
+                "/root/testdata/sf0.001",
+                "-out",
+                dest,
+            ]
+        )
+        == 0
+    )
+    import duckdb
+
+    n = duckdb.connect().execute(f"SELECT count(*) FROM '{dest}/*.parquet'").fetchone()[0]
+    assert n > 0
