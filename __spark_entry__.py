@@ -104,8 +104,10 @@ _DRIVER_FIRST = [
     # doc_minhash_clusters, lineitem_basket_pairs, emb_kmeans,
     # events_gapfill, events_pagerank, doc_bpe_encode, events_ewma,
     # emb_knn_graph, doc_score_auc, orders_rfm, doc_lang_confusion,
-    # emb_pca_top, cust_fuzzy_pairs, doc_bm25_topk, events_hll_intersect
-    # (all local-gate green at sf0.001/0.01/0.1 — batch-6/7/8 additions
+    # emb_pca_top, cust_fuzzy_pairs, doc_bm25_topk, events_hll_intersect,
+    # events_scd2, emb_kmeans_inertia, orders_rollup_sets,
+    # events_seasonal_naive, doc_minhash_accuracy, events_sliding_topk
+    # (all local-gate green at sf0.001/0.01/0.1 — batch-6..10 additions
     # included).
     "emb_semdedup",
     "events_zscore_anomaly",
