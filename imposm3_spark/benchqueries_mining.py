@@ -828,3 +828,57 @@ def events_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("win_start", "event_type", "n", "rk")
     )
+
+
+_RECONCILE_ORACLE = """
+WITH agg AS (
+  SELECT o_custkey AS k, count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 2000 GROUP BY 1
+), j AS (
+  SELECT c.c_custkey, a.k, a.n_orders, a.cents
+  FROM customer c FULL OUTER JOIN agg a ON a.k = c.c_custkey
+)
+SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+            WHEN k IS NULL THEN 'customer_only'
+            ELSE 'matched' END AS side,
+       count(*) AS n,
+       coalesce(sum(n_orders), 0) AS total_orders,
+       round(CAST(coalesce(sum(cents), 0) AS DOUBLE) / 100.0, 2) AS total_value
+FROM j GROUP BY 1
+"""
+
+
+@register("orders_customer_reconcile", _RECONCILE_ORACLE)
+def orders_customer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential reconciliation via FULL OUTER join: per-side counts of
+    matched customers, customers without year-2000 orders, and orphaned
+    orders —
+    the standard data-quality audit join family (aggregate-then-join so
+    the outer join runs at customer cardinality, not order cardinality).
+    """
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders").where(F.year("o_orderdate") == 2000)
+    c = _t(spark, sf_dir, "customer")
+    agg = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+    )
+    j = c.join(agg, c["c_custkey"] == agg["k"], "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("k").isNull(), "customer_only")
+        .otherwise("matched")
+    )
+    return (
+        j.select(side.alias("side"), "n_orders", "cents")
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_orders"), F.lit(0)).alias("total_orders"),
+            F.round(
+                F.coalesce(F.sum("cents"), F.lit(0)).cast("double") / F.lit(100.0), 2
+            ).alias("total_value"),
+        )
+    )
