@@ -882,3 +882,78 @@ def orders_customer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), pairs AS (
+  SELECT d, src, dst FROM seq WHERE dst IS NOT NULL
+), train AS (
+  SELECT src, dst, count(*) AS c FROM pairs WHERE d < DATE '2024-01-24'
+  GROUP BY 1, 2
+), pred AS (
+  SELECT src, dst AS p FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src
+                                        ORDER BY c DESC, dst) AS rn
+    FROM train
+  ) WHERE rn = 1
+), test AS (
+  SELECT src, dst FROM pairs WHERE d >= DATE '2024-01-24'
+)
+SELECT t.src, count(*) AS n_test,
+       sum(CASE WHEN t.dst = p.p THEN 1 ELSE 0 END) AS n_correct,
+       round(CAST(sum(CASE WHEN t.dst = p.p THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS acc
+FROM test t JOIN pred p USING (src) GROUP BY 1
+"""
+
+
+@register("events_markov_accuracy", _MARKOV_ORACLE)
+def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event prediction, backtested on a date
+    split: train transition counts before 2024-01-24 (calendar-field
+    comparison — timezone-proof), predict argmax-next (count desc, dst
+    asc tie-break), score accuracy per source state on the holdout.
+    The transition/prediction tables are state-cardinality-sized and
+    broadcast onto the test stream."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.select(
+        F.to_date("ts").alias("d"),
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    split = F.lit("2024-01-24").cast("date")
+    train = (
+        seq.where(F.col("d") < split)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("dst"))
+    pred = (
+        train.withColumn("rn", F.row_number().over(rk))
+        .where(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("p"))
+    )
+    test = seq.where(F.col("d") >= split).select("src", "dst")
+    correct = F.sum(
+        F.when(F.col("dst") == F.col("p"), 1).otherwise(0)
+    ).alias("n_correct")
+    g = test.join(F.broadcast(pred), on="src").groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_test"), correct
+    )
+    return g.select(
+        "src",
+        "n_test",
+        "n_correct",
+        F.round(
+            F.col("n_correct").cast("double") / F.col("n_test").cast("double"),
+            6,
+        ).alias("acc"),
+    )
