@@ -106,8 +106,9 @@ _DRIVER_FIRST = [
     # emb_knn_graph, doc_score_auc, orders_rfm, doc_lang_confusion,
     # emb_pca_top, cust_fuzzy_pairs, doc_bm25_topk, events_hll_intersect,
     # events_scd2, emb_kmeans_inertia, orders_rollup_sets,
-    # events_seasonal_naive, doc_minhash_accuracy, events_sliding_topk
-    # (all local-gate green at sf0.001/0.01/0.1 — batch-6..10 additions
+    # events_seasonal_naive, doc_minhash_accuracy, events_sliding_topk,
+    # orders_customer_reconcile, events_markov_accuracy
+    # (all local-gate green at sf0.001/0.01/0.1 — batch-6..11 additions
     # included).
     "emb_semdedup",
     "events_zscore_anomaly",
