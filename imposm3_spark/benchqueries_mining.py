@@ -957,3 +957,52 @@ def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acc"),
     )
+
+
+_VALIDATE_ORACLE = """
+WITH a AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS v_null,
+         sum(CASE WHEN l_quantity IS NOT NULL
+                   AND NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS v_range,
+         sum(CASE WHEN l_returnflag IS NOT NULL
+                   AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS v_member,
+         sum(CASE WHEN l_linestatus IS NOT NULL
+                   AND NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) AS v_regex,
+         count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_unique
+  FROM lineitem
+)
+SELECT 'l_quantity_not_null' AS rule, v_null AS violations, total, v_null = 0 AS ok FROM a
+UNION ALL
+SELECT 'l_quantity_in_range', v_range, total, v_range = 0 FROM a
+UNION ALL
+SELECT 'l_returnflag_member_of', v_member, total, v_member = 0 FROM a
+UNION ALL
+SELECT 'l_linestatus_matches', v_regex, total, v_regex = 0 FROM a
+UNION ALL
+SELECT 'pk_unique', v_unique, total, v_unique = 0 FROM a
+"""
+
+
+@register("lineitem_validate", _VALIDATE_ORACLE)
+def lineitem_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit in ONE scan: null / range / set /
+    regex rules compile to conditional counts in a single aggregate,
+    plus composite-key uniqueness (see datapipe/validate.py)."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe import validate as dv
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_pk", F.concat_ws("|", "l_orderkey", "l_linenumber")
+    )
+    rules = [
+        dv.not_null("l_quantity"),
+        dv.in_range("l_quantity", 1, 50),
+        dv.member_of("l_returnflag", ["A", "N", "R"]),
+        dv.matches("l_linestatus", "^[OF]$"),
+    ]
+    out = dv.validate(li, rules, unique_col="_pk")
+    return out.withColumn(
+        "rule", F.regexp_replace("rule", "^_pk_unique$", "pk_unique")
+    )
