@@ -1006,3 +1006,84 @@ def lineitem_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "rule", F.regexp_replace("rule", "^_pk_unique$", "pk_unique")
     )
+
+
+_LSH_RECALL_ORACLE = """
+    WITH RECURSIVE lcg(seed, step, state) AS (
+      SELECT seed, 0,
+             (CAST(seed AS HUGEINT)*6364136223846793005 + 1442695040888963407)
+               % 18446744073709551616
+      FROM (SELECT unnest(range(1, 9)) AS seed)
+      UNION ALL
+      SELECT seed, step + 1,
+             (state*6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      FROM lcg WHERE step < 64
+    ), planes AS (
+      SELECT seed,
+             list((CAST(state // 2048 AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0
+                  ORDER BY step) AS plane
+      FROM lcg WHERE step >= 1 GROUP BY seed
+    ), buckets AS (
+      SELECT vec_id,
+             sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << (seed - 1)) ELSE 0 END) AS bucket
+      FROM (SELECT e.vec_id, p.seed,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) AS dp
+            FROM embeddings e CROSS JOIN planes p)
+      GROUP BY vec_id
+    ), lsh AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+        FROM buckets qb
+        JOIN embeddings q ON q.vec_id = qb.vec_id AND q.vec_id < 20
+        JOIN buckets cb ON cb.bucket = qb.bucket
+        JOIN embeddings c ON c.vec_id = cb.vec_id AND c.vec_id != q.vec_id
+      ) WHERE rank <= 10
+    ), brute AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id) AS rank
+        FROM embeddings q CROSS JOIN embeddings e
+        WHERE q.vec_id < 20 AND e.vec_id != q.vec_id
+      ) WHERE rank <= 10
+    )
+    SELECT b.query_id, count(l.cand_id) AS hits, 10 AS k,
+           round(CAST(count(l.cand_id) AS DOUBLE) / 10.0, 6) AS recall
+    FROM brute b
+    LEFT JOIN lsh l ON l.query_id = b.query_id AND l.cand_id = b.cand_id
+    GROUP BY b.query_id
+"""
+
+
+@register("emb_lsh_recall", _LSH_RECALL_ORACLE)
+def emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of single-probe LSH against the
+    exact brute-force top-10 for 20 query points — BOTH sides are
+    deterministic (LCG hyperplanes, md5-free exact cosine), so even the
+    recall of the approximate path is value-checked, not a rows-only
+    gesture. The pattern every ANN deployment needs before trusting its
+    index."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe import similarity as sim
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    lsh = sim.lsh_topk(e, q, k=10).select("query_id", "vec_id")
+    brute = sim.brute_force_topk(e, q, k=10).select("query_id", "vec_id")
+    j = brute.join(
+        lsh.withColumnRenamed("vec_id", "lv"),
+        (brute["query_id"] == lsh["query_id"]) & (brute["vec_id"] == F.col("lv")),
+        "left",
+    ).select(brute["query_id"], F.col("lv"))
+    g = j.groupBy("query_id").agg(F.count("lv").alias("hits"))
+    return g.select(
+        "query_id",
+        "hits",
+        F.lit(10).alias("k"),
+        F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
+    )
