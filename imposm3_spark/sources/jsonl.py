@@ -113,3 +113,36 @@ def write_jsonl(
     n = docs.count()
     parts = max(1, -(-n // target_file_rows))
     docs.repartition(parts).write.mode("overwrite").json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_rows: int = 1_000_000,
+    order_col: str | None = None,
+) -> int:
+    """Small-files maintenance (the OPTIMIZE/compaction job every
+    long-running ingest needs): rewrite a parquet directory into
+    ceil(n / target_file_rows) evenly-sized files. With `order_col`, the
+    rewrite range-partitions AND sorts by it, so per-file min/max stats
+    become disjoint and row-group pruning works (see the z-order
+    clustering evidence test) — compaction and clustering in one pass.
+    Returns the output file count.
+
+    Scale notes: one metadata-cheap count sizes the job; the rewrite is
+    one exchange (round-robin repartition, or a range exchange when
+    ordering). Never coalesce() here — coalesce skips the shuffle but
+    chains upstream partitions unevenly and caps parallelism.
+    """
+    df = spark.read.parquet(src)
+    n = df.count()
+    parts = max(1, -(-n // target_file_rows))
+    if order_col is not None:
+        out = df.repartitionByRange(parts, order_col).sortWithinPartitions(
+            order_col
+        )
+    else:
+        out = df.repartition(parts)
+    out.write.mode("overwrite").parquet(dest)
+    return parts

@@ -66,3 +66,44 @@ def test_datapipe_drop_in(spark, tmp_path):
     docs, _ = read_jsonl(spark, _write(tmp_path, lines))
     kept = exact_dedup(docs)
     assert kept.count() == 2  # one of the two identical texts dropped
+
+
+def test_compact_parquet(spark, tmp_path):
+    from imposm3_spark.sources.jsonl import compact_parquet
+
+    src = str(tmp_path / "frag")
+    # fragment: 40 tiny files
+    spark.range(0, 4000).selectExpr("id", "id % 7 AS k").repartition(
+        40
+    ).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/part-*.parquet")) == 40
+
+    dest = str(tmp_path / "compact")
+    parts = compact_parquet(spark, src, dest, target_file_rows=1000)
+    files = glob.glob(dest + "/part-*.parquet")
+    assert parts == 4 and len(files) == 4
+    # same data
+    a = sorted(r.id for r in spark.read.parquet(src).collect())
+    b = sorted(r.id for r in spark.read.parquet(dest).collect())
+    assert a == b
+
+    # ordered compaction: per-file id ranges disjoint
+    dest2 = str(tmp_path / "ordered")
+    compact_parquet(spark, src, dest2, target_file_rows=1000, order_col="id")
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(glob.glob(dest2 + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(c).name: c for c in range(md.num_columns)}
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(cols["id"]).statistics
+            mins.append(st.min); maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+        assert ahi < blo  # disjoint file ranges -> pruning works
