@@ -1087,3 +1087,65 @@ def emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10).alias("k"),
         F.round(F.col("hits").cast("double") / F.lit(10.0), 6).alias("recall"),
     )
+
+
+_MAD_ORACLE = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS m FROM c GROUP BY 1
+), dev AS (
+  SELECT c.event_type, c.event_id, c.cents, med.m,
+         abs(CAST(c.cents AS DOUBLE) - med.m) AS ad
+  FROM c JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_id, d.event_type,
+       round(CAST(d.cents AS DOUBLE) / 100.0, 2) AS value,
+       round((CAST(d.cents AS DOUBLE) - d.m)
+             / (1.4826 * CASE WHEN mad.mad = 0 THEN 1.0 ELSE mad.mad END), 4)
+         AS robust_z
+FROM dev d JOIN mad USING (event_type)
+WHERE abs((CAST(d.cents AS DOUBLE) - d.m)
+          / (1.4826 * CASE WHEN mad.mad = 0 THEN 1.0 ELSE mad.mad END)) > 3.5
+"""
+
+
+@register("events_mad_outliers", _MAD_ORACLE)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD (two exact
+    interpolated percentiles over integer cents — Spark `percentile` ==
+    DuckDB `quantile_cont`, the proven parity pair), flagging
+    |robust z| > 3.5 with the 1.4826 normal-consistency constant. The
+    medians are type-cardinality tables broadcast back onto the stream —
+    two keyed aggregations, no window, no sort."""
+    from pyspark.sql import functions as F
+
+    c = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    med = c.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5D)").alias("m")
+    )
+    dev = c.join(F.broadcast(med), on="event_type").withColumn(
+        "ad", F.abs(F.col("cents").cast("double") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5D)").alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), on="event_type")
+    denom = F.lit(1.4826) * F.when(F.col("mad") == 0, 1.0).otherwise(F.col("mad"))
+    rz = (F.col("cents").cast("double") - F.col("m")) / denom
+    return (
+        j.where(F.abs(rz) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("cents").cast("double") / F.lit(100.0), 2).alias("value"),
+            F.round(rz, 4).alias("robust_z"),
+        )
+    )
