@@ -1149,3 +1149,69 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rz, 4).alias("robust_z"),
         )
     )
+
+
+_NB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+  FROM documents
+), tcnt AS MATERIALIZED (
+  SELECT doc_id, lang, w AS term, count(*) AS cnt
+  FROM (SELECT doc_id, lang, unnest(tokens) AS w FROM toks)
+  GROUP BY 1, 2, 3
+), tc AS MATERIALIZED (
+  SELECT term, lang AS cls, sum(cnt) AS c_tc
+  FROM tcnt WHERE doc_id % 5 != 0 GROUP BY 1, 2
+), totals AS (
+  SELECT cls, sum(c_tc) AS tot FROM tc GROUP BY 1
+), priors AS (
+  SELECT lang AS cls, count(*) AS docs FROM documents WHERE doc_id % 5 != 0
+  GROUP BY 1
+), ntr AS (SELECT count(*) AS n FROM documents WHERE doc_id % 5 != 0),
+voc AS (SELECT count(DISTINCT term) AS v FROM tc),
+consts AS (
+  SELECT p.cls,
+         ln(CAST(p.docs AS DOUBLE) / CAST((SELECT n FROM ntr) AS DOUBLE)) AS lp,
+         ln(CAST(t.tot + (SELECT v FROM voc) AS DOUBLE)) AS ltv
+  FROM priors p JOIN totals t USING (cls)
+), stc AS MATERIALIZED (
+  SELECT doc_id, term, cnt FROM tcnt WHERE doc_id % 5 = 0
+), ndoc AS (
+  SELECT doc_id, sum(cnt) AS n_d FROM stc GROUP BY 1
+), contrib AS (
+  SELECT doc_id, cls, list_reduce(list(x ORDER BY term), (a, b) -> a + b) AS tsum
+  FROM (
+    SELECT s.doc_id, tc.cls, s.term,
+           CAST(s.cnt AS DOUBLE) * ln(CAST(tc.c_tc + 1 AS DOUBLE)) AS x
+    FROM stc s JOIN tc ON tc.term = s.term
+  ) GROUP BY 1, 2
+), grid AS (
+  SELECT n.doc_id, c.cls,
+         c.lp - CAST(n.n_d AS DOUBLE) * c.ltv + coalesce(ct.tsum, 0.0) AS score
+  FROM ndoc n CROSS JOIN consts c
+  LEFT JOIN contrib ct ON ct.doc_id = n.doc_id AND ct.cls = c.cls
+), pred AS (
+  SELECT doc_id, cls AS predicted FROM (
+    SELECT doc_id, cls,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+    FROM grid
+  ) WHERE rn = 1
+)
+SELECT d.lang AS label, p.predicted, count(*) AS n
+FROM documents d JOIN pred p USING (doc_id)
+WHERE d.doc_id % 5 = 0
+GROUP BY 1, 2
+"""
+
+
+@register("doc_nb_confusion", _NB_ORACLE)
+def doc_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised learning end-to-end: multinomial Naive Bayes trained on
+    the 80% doc_id split, holdout confusion matrix — integer sufficient
+    statistics, ln() on integer arguments only, term-order score folds,
+    bit-identical argmax (see datapipe/nb.py)."""
+    from imposm3_spark.datapipe.nb import nb_train_eval
+
+    return nb_train_eval(_t(spark, sf_dir, "documents"))

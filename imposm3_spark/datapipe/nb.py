@@ -1,0 +1,134 @@
+"""Distributed multinomial Naive Bayes: train a text classifier on a
+label column and score a holdout — exactly reproducible across engines.
+
+Reference parity note: imposm3 has no ML surface; with k-means (unsup.),
+PCA (spectral) and PageRank (graph), this adds the supervised-learning
+member of the analytics-engine extension set.
+
+Why it hash-matches a SQL oracle exactly
+----------------------------------------
+
+All sufficient statistics are integers (class doc counts, per-(term,
+class) token counts, class token totals, vocab size). With Laplace
+smoothing the per-document class score
+
+    score(d, c) = ln(prior_c) - n_d * ln(tot_c + V)
+                + sum_{t in d} cnt_dt * ln(c_tc + 1)
+
+needs only terms with c_tc > 0 (absent terms contribute ln(1) = 0), so
+the inner join against the model table is complete. Each ln() argument
+is an integer (or one fixed integer ratio), computed identically in both
+engines (ln parity proven by the tf-idf/bigram operators); the term sum
+folds in TERM ORDER (sort_array + aggregate == list ORDER BY term +
+list_reduce), so scores are bit-identical and the argmax (score desc,
+class asc) picks the same class everywhere.
+
+Scale design
+------------
+
+* Training is two map-side-combinable aggregations over the tokenized
+  train split ((term, class) counts and class totals).
+* The model is vocab-sized — broadcast onto the test term table; the
+  per-document fold state is bounded by the document's distinct terms.
+* Scoring emits a doc x class grid (k rows per doc, k = #classes) and
+  reduces with one keyed window — no cross join of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from imposm3_spark.datapipe.text import tokens
+
+
+def _term_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def nb_train_eval(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_mod: int = 5,
+) -> DataFrame:
+    """Train on docs with id % test_mod != 0, score the rest; returns the
+    confusion matrix (label, predicted, n) over the holdout."""
+    is_test = (F.col(id_col) % test_mod) == 0
+    train = docs.where(~is_test)
+    test = docs.where(is_test)
+
+    ttc = _term_counts(train, id_col, text_col)
+    lab = train.select(F.col(id_col), F.col(label_col).alias("cls"))
+    tc = (
+        ttc.join(lab, id_col)
+        .groupBy("term", "cls")
+        .agg(F.sum("cnt").alias("c_tc"))
+    )
+    totals = tc.groupBy("cls").agg(F.sum("c_tc").alias("tot"))
+    priors = lab.groupBy("cls").agg(F.count(F.lit(1)).alias("docs"))
+    n_train = train.count()
+    vocab = tc.select("term").distinct().count()
+
+    # per-class constants: ln(prior) and ln(tot + V)
+    consts = priors.join(totals, "cls").select(
+        "cls",
+        F.log(F.col("docs").cast("double") / F.lit(float(n_train))).alias("lp"),
+        F.log((F.col("tot") + F.lit(vocab)).cast("double")).alias("ltv"),
+    )
+
+    stc = _term_counts(test, id_col, text_col)
+    nd = stc.groupBy(id_col).agg(F.sum("cnt").alias("n_d"))
+    # term contributions: cnt_dt * ln(c_tc + 1), folded in term order
+    contrib = (
+        stc.join(F.broadcast(tc), "term")
+        .select(
+            id_col,
+            "cls",
+            "term",
+            (
+                F.col("cnt").cast("double")
+                * F.log((F.col("c_tc") + F.lit(1)).cast("double"))
+            ).alias("x"),
+        )
+        .groupBy(id_col, "cls")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "x"))).alias("xs"))
+        .select(
+            id_col,
+            "cls",
+            F.aggregate("xs", F.lit(0.0), lambda a, s: a + s["x"]).alias("tsum"),
+        )
+    )
+    grid = (
+        nd.crossJoin(F.broadcast(consts.select("cls")))
+        .join(contrib, [id_col, "cls"], "left")
+        .join(F.broadcast(consts), "cls")
+        .select(
+            id_col,
+            "cls",
+            (
+                F.col("lp")
+                - F.col("n_d").cast("double") * F.col("ltv")
+                + F.coalesce(F.col("tsum"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cls"))
+    pred = (
+        grid.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, F.col("cls").alias("predicted"))
+    )
+    truth = test.select(F.col(id_col), F.col(label_col).alias("label"))
+    return (
+        truth.join(pred, id_col)
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
