@@ -107,9 +107,11 @@ _DRIVER_FIRST = [
     # emb_pca_top, cust_fuzzy_pairs, doc_bm25_topk, events_hll_intersect,
     # events_scd2, emb_kmeans_inertia, orders_rollup_sets,
     # events_seasonal_naive, doc_minhash_accuracy, events_sliding_topk,
-    # orders_customer_reconcile, events_markov_accuracy
-    # (all local-gate green at sf0.001/0.01/0.1 — batch-6..11 additions
-    # included).
+    # orders_customer_reconcile, events_markov_accuracy,
+    # lineitem_validate, emb_lsh_recall, events_mad_outliers,
+    # doc_nb_confusion (all local-gate green at sf0.001/0.01/0.1 —
+    # batch-6..12 additions included; full 147-query sf0.01 gate re-run
+    # green this session).
     "emb_semdedup",
     "events_zscore_anomaly",
 ]
