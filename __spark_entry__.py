@@ -109,9 +109,10 @@ _DRIVER_FIRST = [
     # events_seasonal_naive, doc_minhash_accuracy, events_sliding_topk,
     # orders_customer_reconcile, events_markov_accuracy,
     # lineitem_validate, emb_lsh_recall, events_mad_outliers,
-    # doc_nb_confusion (all local-gate green at sf0.001/0.01/0.1 —
-    # batch-6..12 additions included; full 147-query sf0.01 gate re-run
-    # green this session).
+    # doc_nb_confusion, doc_ppjoin, doc_substring_dedup,
+    # events_scd2_join, lineitem_skyline, events_cusum (all local-gate
+    # green at sf0.001/0.01/0.1 — batch-6..13 additions included; full
+    # 148-query sf0.01 gate re-run green this session).
     "emb_semdedup",
     "events_zscore_anomaly",
 ]

@@ -1755,3 +1755,4 @@ from imposm3_spark import benchqueries_text as _text  # noqa: E402,F401
 from imposm3_spark import benchqueries_spatial as _spatial  # noqa: E402,F401
 from imposm3_spark import benchqueries_stats as _stats  # noqa: E402,F401
 from imposm3_spark import benchqueries_mining as _mining  # noqa: E402,F401
+from imposm3_spark import benchqueries_exact as _exact  # noqa: E402,F401

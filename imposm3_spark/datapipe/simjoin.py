@@ -1,0 +1,213 @@
+"""Exact similarity-join operators: prefix-filtered set-similarity join
+(the AllPairs/PPJoin family) and exact duplicated-substring span
+detection (the ExactSubstr step of modern training-data dedup).
+
+Both are EXACT — unlike the MinHash/SimHash paths in dedup.py there is
+no probabilistic recall: ppjoin_pairs returns precisely the pairs with
+Jaccard >= threshold, and duplicated_substring_spans returns precisely
+the maximal character spans covered by a gram that occurs >= min_count
+times in the corpus.
+
+Reference parity: the reference engine has no similarity joins at all —
+these belong to the LLM-training-data surface this repo adds on top of
+the imposm3 operator set (see docs/SCALE.md for the 100 TB argument).
+
+Scale notes
+-----------
+ppjoin_pairs: the naive exact join is O(n^2) comparisons. The prefix
+filter (Chaudhuri et al., "A Primitive Operator for Similarity Joins",
+ICDE'06; Xiao et al. PPJoin, WWW'08) makes it an equi-join: order every
+set by one global token order (ascending document frequency, so prefixes
+hold the RAREST tokens), keep only the first |x| - ceil(t*|x|) + 1
+tokens, and join on shared prefix tokens. If J(A,B) >= t the sorted
+prefixes must intersect (pigeonhole on the suffix sizes), so recall is 1
+by construction; an exact intersect verifies every candidate. All stages
+are key-partitioned shuffles (token or doc_id) — no cross join anywhere,
+and the frequency-ascending order keeps the hottest join buckets small.
+
+duplicated_substring_spans: linear in corpus characters — every
+character position emits one fixed-length gram (JVM-side substring, no
+Python), one aggregation counts gram multiplicity, one semi-join marks
+duplicated positions, and a per-document keyed window merges overlapping
+or adjacent gram hits into maximal spans. The shuffle key is the gram
+itself, so grouping is exact (no fingerprint collisions); the payload is
+gram_len bytes per position — the same constant-factor blowup the
+suffix-array construction in the ExactSubstr paper pays on disk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from imposm3_spark.datapipe.dedup import shingles
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard self-join over word ``k``-gram shingle sets via
+    prefix filtering: all pairs (id_a < id_b) with
+    ``|A ∩ B| / |A ∪ B| >= threshold``.
+
+    Returns (id_a, id_b, inter, uni, jaccard) — the set sizes are exact
+    integers; jaccard is their double ratio rounded to 6 decimals.
+    """
+    sets = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+        )
+        .withColumn("n", F.size("sh"))
+        .where(F.col("n") > 0)
+    )
+
+    tok = sets.select("doc", "n", F.explode("sh").alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("f"))
+
+    # One global total order on tokens: (document frequency asc, token
+    # asc). Any total order preserves the prefix guarantee; frequency-
+    # ascending is the standard choice that keeps prefix tokens rare.
+    ordered = (
+        tok.join(freq, "t")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("f", "t"))).alias("ord"))
+    )
+
+    # Prefix length p = n - ceil(t*n) + 1: if J(A,B) >= t then
+    # |A ∩ B| >= t*max(|A|,|B|), and two sets sorted by the same total
+    # order whose prefixes are disjoint can share at most
+    # (|A|-p_A) + ... suffix tokens < the required overlap — so matching
+    # pairs ALWAYS share a prefix token (recall 1).
+    pref = (
+        sets.join(ordered, "doc")
+        .withColumn(
+            "p",
+            F.col("n")
+            - F.ceil(F.lit(threshold) * F.col("n")).cast("int")
+            + F.lit(1),
+        )
+        .select(
+            "doc",
+            "n",
+            F.expr("slice(ord, 1, p)").alias("pref"),
+        )
+    )
+    ex = pref.select(
+        "doc", "n", F.posexplode(F.col("pref")).alias("pos0", "pt")
+    ).select(
+        "doc", "n", (F.col("pos0") + 1).alias("pos"), F.col("pt.t").alias("t")
+    )
+
+    # Positional filter (the "PP" in PPJoin): a shared prefix token at
+    # 1-based positions (pA, pB) bounds the total overlap by
+    # 1 + min(|A|-pA, |B|-pB); J >= t needs overlap
+    # alpha = ceil(t/(1+t) * (|A|+|B|)), so candidates whose shared
+    # token sits too deep in either prefix are pruned before the verify
+    # join. A qualifying pair always qualifies through its FIRST shared
+    # prefix token, so completeness is preserved.
+    # the 1e-9 slack keeps double rounding from ever over-pruning (a
+    # too-large alpha would lose true pairs; a too-small one only admits
+    # candidates the exact verify rejects)
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))
+        - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, "t")
+        .where(
+            (F.col("a.doc") < F.col("b.doc"))
+            # Length filter: J >= t forces t*|A| <= |B| <= |A|/t.
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
+            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n"))
+            & (ubound >= alpha)
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sets.select(
+        F.col("doc").alias("id_a"), F.col("sh").alias("sha"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col("doc").alias("id_b"), F.col("sh").alias("shb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", inter)
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        # Exact verification: small-integer double division is the same
+        # IEEE value on every engine, so the threshold compare is exact.
+        .where(F.col("inter").cast("double") / F.col("uni") >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "uni",
+            F.round(F.col("inter").cast("double") / F.col("uni"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def duplicated_substring_spans(
+    docs: DataFrame,
+    gram_len: int = 40,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated character spans: every position whose
+    ``gram_len``-character gram occurs >= ``min_count`` times anywhere in
+    the corpus is "covered"; overlapping or adjacent covered regions
+    merge into one span per document.
+
+    Returns (doc_id, span_start, span_len, n_grams): 1-based start, span
+    length in characters, and the number of covered gram positions the
+    span absorbed. All integers — exact on any engine.
+    """
+    npos = F.greatest(
+        F.length(text_col) - F.lit(gram_len - 1), F.lit(0)
+    )
+    pos = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.sequence(F.lit(1), npos)).alias("i"),
+        F.expr(f"substring({text_col}, i, {gram_len})").alias("g"),
+    ).select("doc", "i", "g")
+
+    dup = pos.groupBy("g").count().where(F.col("count") >= min_count).select("g")
+    hits = pos.join(dup, "g", "left_semi").select("doc", "i")
+
+    # Island detection per document: grams are all the same length, so
+    # the running max end over earlier hits equals lag(i) + gram_len - 1;
+    # a hit starts a new span iff it begins past that end + 1.
+    w = Window.partitionBy("doc").orderBy("i")
+    flagged = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("i").over(w).isNull()
+            | (F.col("i") > F.lag("i").over(w) + F.lit(gram_len)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_span",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return flagged.groupBy("doc", "_span").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") - F.min("i") + F.lit(gram_len)).alias("span_len"),
+        F.count("*").alias("n_grams"),
+    ).select(
+        F.col("doc").alias(id_col), "span_start", "span_len", "n_grams"
+    )

@@ -205,3 +205,67 @@ def scd2_intervals(
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Exact CUSUM changepoint per key: the position maximizing
+    |S_i| with S_i = sum_{j<=i}(x_j - mean) over the key's series in
+    (ts, id) order — the classic mean-shift detector (Page 1954).
+
+    Exactness: values become integer cents; the rational
+    S_i = cs_i - i*s/n is scaled by n to the integer
+    D_i = n*cs_i - i*s, compared in DECIMAL(38,0) (the oracle uses
+    HUGEINT) — no float enters the argmax. Ties break to the earliest
+    position. The reported statistic converts once at the end:
+    round(D / (n * 100), 6) in value units.
+
+    Scale: one keyed window (cumulative sum + row number + per-key
+    totals share the same exchange) and one max_by aggregation — two
+    key-partitioned shuffles, no global sort.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(key_col)
+    dec = "decimal(38,0)"
+    rows = (
+        events.select(key_col, ts_col, id_col, cents.alias("_c"))
+        .withColumn("_cs", F.sum("_c").over(wcum))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_s", F.sum("_c").over(wall))
+        .withColumn("_n", F.count("*").over(wall))
+        .withColumn(
+            "_d",
+            F.col("_n").cast(dec) * F.col("_cs").cast(dec)
+            - F.col("_i").cast(dec) * F.col("_s").cast(dec),
+        )
+        .withColumn("_score", F.abs(F.col("_d")))
+    )
+    # argmax score, tie -> earliest position: max_by over (score, -i)
+    pick = F.max_by(
+        F.struct(
+            F.col(ts_col).alias("cp_ts"),
+            F.col("_i").alias("cp_index"),
+            F.col("_d").alias("d"),
+            F.col("_n").alias("n"),
+        ),
+        F.struct(F.col("_score"), (-F.col("_i")).alias("_neg")),
+    )
+    out = rows.groupBy(key_col).agg(pick.alias("_p"))
+    return out.select(
+        key_col,
+        F.col("_p.cp_ts").alias("cp_ts"),
+        F.col("_p.cp_index").alias("cp_index"),
+        F.col("_p.n").alias("n"),
+        F.round(
+            F.col("_p.d").cast("double")
+            / (F.col("_p.n").cast("double") * F.lit(100.0)),
+            6,
+        ).alias("cusum"),
+    )

@@ -593,3 +593,55 @@ def test_bm25_broadcast_query_takeordered(spark):
     assert "TakeOrderedAndProject" in final
     assert "Exchange rangepartitioning" not in final
     assert "CartesianProduct" not in plan
+
+
+def test_ppjoin_no_cartesian_equi_join_on_tokens(spark):
+    """PPJoin: the prefix filter turns the quadratic similarity join
+    into token/doc-keyed equi-joins — no CartesianProduct and no
+    BroadcastNestedLoopJoin may appear anywhere in the plan."""
+    plan = _executed_plan(bq.QUERIES["doc_ppjoin"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_dedup_no_cartesian_keyed_windows_only(spark):
+    """ExactSubstr spans: gram multiplicity is a keyed aggregation and
+    the island merge a doc-keyed window — no global sort, no cartesian,
+    no single-partition exchange."""
+    plan = _executed_plan(bq.QUERIES["doc_substring_dedup"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in final
+    assert "Exchange rangepartitioning" not in final
+
+
+def test_scd2_join_binned_equi_join(spark):
+    """Temporal dimension join: the month-binned range join must plan as
+    an equi-join (hash or sort-merge on key+month), never a
+    BroadcastNestedLoopJoin over the raw interval predicate; the one-row
+    month cap is the only nested-loop-free broadcast."""
+    plan = _executed_plan(bq.QUERIES["events_scd2_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    # the fact-to-interval join itself is an equi-join
+    assert ("BroadcastHashJoin" in final) or ("SortMergeJoin" in final)
+
+
+def test_skyline_no_quadratic_stage(spark):
+    """Skyline: the two-phase exclusive cummax replaces the O(n^2)
+    NOT EXISTS — no cartesian/nested-loop join, and the only range
+    exchange is the price-level repartition (level table, not the
+    fact table)."""
+    plan = _executed_plan(bq.QUERIES["lineitem_skyline"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cusum_single_keyed_exchange(spark):
+    """CUSUM: cumulative sum, row number, and per-key totals share ONE
+    hash exchange on event_type; no global sort anywhere."""
+    plan = _executed_plan(bq.QUERIES["events_cusum"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in final
+    assert "CartesianProduct" not in plan

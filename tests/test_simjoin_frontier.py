@@ -1,0 +1,219 @@
+"""Unit tests for the batch-13 exact operators: prefix-filtered
+set-similarity join, duplicated-substring spans, temporal
+point-in-interval join, skyline frontier, and CUSUM changepoint."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from imposm3_spark.datapipe import frontier as fr
+from imposm3_spark.datapipe import simjoin as sj
+from imposm3_spark.datapipe import temporal as tp
+from imposm3_spark.datapipe import timeseries as ts_
+
+
+# ---------------------------------------------------------------- ppjoin
+
+
+def _jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B) if A | B else 0.0
+
+
+def test_ppjoin_matches_naive_all_pairs(spark):
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g x",  # near-dup of 0
+        "q w e r t y u i",
+        "z z z unrelated words here now ok",
+        "a b c d e f g h",  # exact dup of 0
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.uni)
+        for r in sj.ppjoin_pairs(docs, threshold=0.5).collect()
+    }
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            jac = _jaccard(texts[i], texts[j])
+            if jac >= 0.5:
+                want[(i, j)] = jac
+    assert set(got) == set(want)
+    for (i, j), (inter, uni) in got.items():
+        assert inter / uni == want[(i, j)]
+
+
+def test_ppjoin_empty_and_tiny_docs(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=""), Row(doc_id=1, text="one two"),
+         Row(doc_id=2, text="x y z"), Row(doc_id=3, text="x y z")]
+    )
+    pairs = sj.ppjoin_pairs(docs, threshold=0.5).collect()
+    # only the two identical 1-shingle docs can pair
+    assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(2, 3, 1.0)]
+
+
+# ------------------------------------------------------ substring spans
+
+
+def test_substring_spans_merge_and_bounds(spark):
+    # 10-char grams; doc 0 and 1 share a 25-char region -> one merged
+    # span covering the region in both docs.
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXY"  # 25 chars
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="000" + shared + "111zzzz"),
+            Row(doc_id=1, text=shared + "qqqqqq"),
+            Row(doc_id=2, text="totally-different-text!!"),
+        ]
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_len, r.n_grams)
+        for r in sj.duplicated_substring_spans(docs, gram_len=10).collect()
+    }
+    # doc 0: shared starts at char 4 (1-based), 16 gram positions
+    assert spans[0] == (4, 25, 16)
+    assert spans[1] == (1, 25, 16)
+    assert 2 not in spans
+
+
+def test_substring_spans_split_islands(spark):
+    # two duplicated regions separated by unique filler -> two spans
+    a, b = "AAAAAAAAAA", "BBBBBBBBBB"  # 10-char repeated blocks
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=a + "xxyyzzwwvv1234567890" + b),
+            Row(doc_id=1, text=a + "ppqqrrsstt0987654321" + b),
+        ]
+    )
+    out = (
+        sj.duplicated_substring_spans(docs, gram_len=10)
+        .orderBy("doc_id", "span_start")
+        .collect()
+    )
+    assert [(r.doc_id, r.span_start, r.span_len) for r in out] == [
+        (0, 1, 10), (0, 31, 10), (1, 1, 10), (1, 31, 10),
+    ]
+
+
+# ------------------------------------------------- interval point join
+
+
+def _ts(day: int, hour: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, day, hour)
+
+
+def test_interval_point_join_resolves_correct_interval(spark):
+    iv = spark.createDataFrame(
+        [
+            Row(user_id=1, regime=10, valid_from=_ts(1), valid_to=_ts(10)),
+            Row(user_id=1, regime=20, valid_from=_ts(10), valid_to=None),
+            Row(user_id=2, regime=30, valid_from=_ts(5), valid_to=None),
+        ]
+    )
+    pts = spark.createDataFrame(
+        [
+            Row(event_id=100, user_id=1, ts=_ts(3)),     # -> 10
+            Row(event_id=101, user_id=1, ts=_ts(10)),    # boundary -> 20
+            Row(event_id=102, user_id=1, ts=_ts(25)),    # open -> 20
+            Row(event_id=103, user_id=2, ts=_ts(1)),     # before dim -> drop
+            Row(event_id=104, user_id=3, ts=_ts(1)),     # unknown key -> drop
+        ]
+    )
+    out = {
+        r.event_id: r.regime
+        for r in tp.interval_point_join(
+            pts, iv, point_key="user_id", point_ts="ts"
+        ).collect()
+    }
+    assert out == {100: 10, 101: 20, 102: 20}
+
+
+def test_interval_point_join_across_months(spark):
+    # interval spanning several months must match points in every month
+    iv = spark.createDataFrame(
+        [(1, 7, datetime.datetime(2023, 11, 15), None)],
+        "user_id bigint, regime bigint, valid_from timestamp, valid_to timestamp",
+    )
+    pts = spark.createDataFrame(
+        [Row(event_id=i, user_id=1, ts=datetime.datetime(2024, m, 2))
+         for i, m in enumerate([1, 2, 3])]
+    )
+    out = tp.interval_point_join(pts, iv, point_key="user_id", point_ts="ts")
+    assert out.count() == 3
+
+
+# -------------------------------------------------------------- skyline
+
+
+def test_skyline_exact_vs_naive(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(id=i, qty=rng.randrange(0, 50), price=rng.randrange(0, 50))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.id for r in fr.skyline_max_min(df, "id", "qty", "price").collect()}
+    want = set()
+    for a in rows:
+        dominated = any(
+            b.qty >= a.qty and b.price <= a.price
+            and (b.qty > a.qty or b.price < a.price)
+            for b in rows
+        )
+        if not dominated:
+            want.add(a.id)
+    assert got == want
+
+
+def test_skyline_keeps_coordinate_ties(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, q=5, p=1), Row(id=2, q=5, p=1), Row(id=3, q=4, p=2)]
+    )
+    got = {r.id for r in fr.skyline_max_min(df, "id", "q", "p").collect()}
+    assert got == {1, 2}
+
+
+# ---------------------------------------------------------------- cusum
+
+
+def test_cusum_finds_planted_mean_shift(spark):
+    # 20 points at 1.00 then 20 points at 5.00 -> |S| peaks exactly at
+    # the shift boundary (position 20)
+    rows = [
+        Row(event_type="a", ts=_ts(1, 0) + datetime.timedelta(minutes=i),
+            event_id=i, value=1.0 if i < 20 else 5.0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    out = ts_.cusum_changepoint(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.cp_index == 20
+    assert r.n == 40
+    # D_20 = n*cs_20 - 20*s = 40*2000 - 20*12000 = -160000
+    # cusum = -160000 / (40*100) = -40.0
+    assert r.cusum == -40.0
+
+
+def test_cusum_tie_breaks_to_earliest(spark):
+    # constant series: every D_i = 0 -> earliest position wins
+    rows = [
+        Row(event_type="c", ts=_ts(1) + datetime.timedelta(minutes=i),
+            event_id=i, value=2.0)
+        for i in range(5)
+    ]
+    out = ts_.cusum_changepoint(spark.createDataFrame(rows)).collect()
+    assert out[0].cp_index == 1 and out[0].cusum == 0.0
