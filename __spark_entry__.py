@@ -110,8 +110,9 @@ _DRIVER_FIRST = [
     # orders_customer_reconcile, events_markov_accuracy,
     # lineitem_validate, emb_lsh_recall, events_mad_outliers,
     # doc_nb_confusion, doc_ppjoin, doc_substring_dedup,
-    # events_scd2_join, lineitem_skyline, events_cusum (all local-gate
-    # green at sf0.001/0.01/0.1 — batch-6..13 additions included; full
+    # events_scd2_join, lineitem_skyline, events_cusum, doc_cosine_pairs,
+    # doc_winnow_pairs, events_entropy, events_autocorr (all local-gate
+    # green at sf0.001/0.01/0.1 — batch-6..14 additions included; full
     # 148-query sf0.01 gate re-run green this session).
     "emb_semdedup",
     "events_zscore_anomaly",

@@ -232,3 +232,152 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) (HUGEINT in the oracle), earliest-position tie-break
     (datapipe/timeseries.py cusum_changepoint)."""
     return ts_.cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+_COSINE_PAIRS_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+  FROM documents
+), tc AS MATERIALIZED (
+  SELECT doc_id, t, count(*) AS c
+  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS t FROM toks) GROUP BY 1, 2
+), norms AS (
+  SELECT doc_id, sum(c * c) AS nrm FROM tc GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.c * b.c) AS dot
+  FROM tc a JOIN tc b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, dot,
+       round(CAST(dot AS DOUBLE)
+             / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
+         AS cosine
+FROM pairs
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE CAST(dot AS DOUBLE)
+      / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.9
+"""
+
+
+@register("doc_cosine_pairs", _COSINE_PAIRS_ORACLE)
+def doc_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle-count cosine >= 0.9 similarity self-join via
+    the inverted-index term join: BIGINT dot/norm sums, one fixed-order
+    double expression with IEEE sqrt — bit-identical threshold compare.
+    Shingle terms (not unigrams) keep the inverted-index fanout
+    sub-quadratic (datapipe/simjoin.py cosine_pairs)."""
+    return sj.cosine_pairs(_t(spark, sf_dir, "documents"), threshold=0.9, k=3)
+
+
+_WINNOW_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5(substr(text, CAST(i AS INT), 20)), 1, 15))::BIGINT
+           AS h
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, greatest(length(text) - 19, 0) + 1)) AS i)
+), picked AS (
+  SELECT doc_id,
+         min({'h': h, 'pos': i}) OVER (PARTITION BY doc_id ORDER BY i
+                                       ROWS BETWEEN CURRENT ROW
+                                       AND 7 FOLLOWING) AS m
+  FROM pos
+), fps AS (
+  SELECT DISTINCT doc_id, m.h AS fp FROM picked
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+@register("doc_winnow_pairs", _WINNOW_ORACLE)
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint candidate pairs: 20-char gram md5
+    hashes, window-8 struct-min selection (lexicographic (hash, pos) —
+    deterministic tie-break), docs sharing >= 2 distinct fingerprints
+    (datapipe/simjoin.py winnow_pairs). Any shared substring of length
+    >= 27 guarantees a shared fingerprint."""
+    return sj.winnow_pairs(
+        _t(spark, sf_dir, "documents"), k=20, w=8, min_shared=2
+    )
+
+
+_ENTROPY_CATS = ["click", "error", "purchase", "signup", "view"]
+
+_ENTROPY_ORACLE = """
+WITH g AS (
+  SELECT user_id, count(*) AS n,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c3,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c4
+  FROM events GROUP BY 1
+)
+SELECT user_id, n,
+       round(ln(CAST(n AS DOUBLE))
+             - (CASE WHEN c0 > 0 THEN CAST(c0 AS DOUBLE) * ln(CAST(c0 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) * ln(CAST(c1 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c2 > 0 THEN CAST(c2 AS DOUBLE) * ln(CAST(c2 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c3 > 0 THEN CAST(c3 AS DOUBLE) * ln(CAST(c3 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c4 > 0 THEN CAST(c4 AS DOUBLE) * ln(CAST(c4 AS DOUBLE)) ELSE 0.0 END)
+               / CAST(n AS DOUBLE), 6) AS entropy
+FROM g
+"""
+
+
+@register("events_entropy", _ENTROPY_ORACLE)
+def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution: one
+    keyed aggregation with the category dimension pivoted into
+    conditional counts; the entropy is a single fixed-order term fold
+    (datapipe/stats.py categorical_entropy) — bit-identical doubles."""
+    from imposm3_spark.datapipe import stats as st
+
+    return st.categorical_entropy(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", _ENTROPY_CATS
+    )
+
+
+_AUTOCORR_ORACLE = """
+WITH hrs AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS tot
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT a.k, CAST(a.tot AS HUGEINT) AS x, CAST(b.tot AS HUGEINT) AS y
+  FROM hrs a JOIN hrs b ON a.k = b.k AND b.h = a.h + INTERVAL 1 HOUR
+), m AS (
+  SELECT k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM p GROUP BY 1
+)
+SELECT event_type, n, r FROM (
+  SELECT k AS event_type, n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+         round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+  FROM m
+) WHERE vx > 0 AND vy > 0
+"""
+
+
+@register("events_autocorr", _AUTOCORR_ORACLE)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly cent-total series per event
+    type: hour-bucketed BIGINT sums, (key, hour+1) equi-join,
+    DECIMAL(38,0) sufficient statistics, fixed-order Pearson expression
+    (datapipe/timeseries.py hourly_lag_autocorr)."""
+    return ts_.hourly_lag_autocorr(_t(spark, sf_dir, "events"), lag_hours=1)

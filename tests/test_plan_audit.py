@@ -645,3 +645,40 @@ def test_cusum_single_keyed_exchange(spark):
     assert final.count("Exchange hashpartitioning") <= 2
     assert "Exchange rangepartitioning" not in final
     assert "CartesianProduct" not in plan
+
+
+def test_cosine_pairs_inverted_index_join(spark):
+    """BoW cosine join: candidates come from the token equi-join — no
+    cartesian/nested-loop; the pair aggregation is a hash aggregate."""
+    plan = _executed_plan(bq.QUERIES["doc_cosine_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_pairs_keyed_window_equi_join(spark):
+    """Winnowing: fingerprint selection is a doc-keyed window (no global
+    sort) and the pair stage an equi-join on the fingerprint."""
+    plan = _executed_plan(bq.QUERIES["doc_winnow_pairs"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in final
+    assert "SinglePartition" not in final
+
+
+def test_entropy_single_exchange_pivoted(spark):
+    """Entropy: the category dimension is pivoted into conditional
+    counts inside ONE keyed aggregation — a single hash exchange, no
+    second shuffle for the categories."""
+    plan = _executed_plan(bq.QUERIES["events_entropy"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_autocorr_hour_sized_join(spark):
+    """Autocorrelation: the lag join runs on the hour-aggregated table
+    (not raw events) — no cartesian, no global sort."""
+    plan = _executed_plan(bq.QUERIES["events_autocorr"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in final

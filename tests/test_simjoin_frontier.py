@@ -217,3 +217,159 @@ def test_cusum_tie_breaks_to_earliest(spark):
     ]
     out = ts_.cusum_changepoint(spark.createDataFrame(rows)).collect()
     assert out[0].cp_index == 1 and out[0].cusum == 0.0
+
+
+# -------------------------------------------------------- cosine pairs
+
+
+def test_cosine_pairs_exact_vs_naive(spark):
+    import math
+    from collections import Counter
+
+    texts = [
+        "a a b c",
+        "a a b d",        # high cosine with 0
+        "x y z w q",
+        "a a a a b b c",  # same direction-ish as 0
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        (r.id_a, r.id_b): (r.dot, r.cosine)
+        for r in sj.cosine_pairs(docs, threshold=0.7, k=1).collect()
+    }
+    want = {}
+    vecs = [Counter(t.lower().split()) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = vecs[i], vecs[j]
+            dot = sum(a[t] * b[t] for t in a)
+            na = sum(v * v for v in a.values())
+            nb = sum(v * v for v in b.values())
+            cos = dot / math.sqrt(na * nb)
+            if cos >= 0.7:
+                want[(i, j)] = dot
+    assert {k: v[0] for k, v in got.items()} == want
+    for (i, j), (dot, cos) in got.items():
+        a, b = vecs[i], vecs[j]
+        na = sum(v * v for v in a.values())
+        nb = sum(v * v for v in b.values())
+        assert cos == round(dot / math.sqrt(na * nb), 6)
+
+
+def test_cosine_pairs_shingle_terms(spark):
+    import math
+    from collections import Counter
+
+    texts = [
+        "w1 w2 w3 w4 w5 w6 w7 w8",
+        "w1 w2 w3 w4 w5 w6 w7 w9",   # shares 5 of 6 shingles
+        "a b c d e f g h",
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sj.cosine_pairs(docs, threshold=0.5, k=3).collect()
+    }
+
+    def shingle_vec(t):
+        toks = t.lower().split()
+        return Counter(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+
+    a, b = shingle_vec(texts[0]), shingle_vec(texts[1])
+    dot = sum(a[s] * b[s] for s in a)
+    na = sum(v * v for v in a.values())
+    nb = sum(v * v for v in b.values())
+    assert got == {(0, 1): round(dot / math.sqrt(na * nb), 6)}
+
+
+# ------------------------------------------------------------ winnowing
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # docs share a substring of length k + w - 1 = 27 -> must share >= 1
+    # fingerprint (the winnowing guarantee)
+    shared = "SHAREDSUBSTRINGABCDEFGHIJKL"  # 27 chars
+    assert len(shared) == 27
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="prefix-000 " + shared + " suffix-000"),
+            Row(doc_id=1, text="other-111 " + shared + " tail-111"),
+        ]
+    )
+    fps = sj.winnow_fingerprints(docs, k=20, w=8)
+    a = {r.fp for r in fps.where(F.col("doc_id") == 0).collect()}
+    b = {r.fp for r in fps.where(F.col("doc_id") == 1).collect()}
+    assert a & b
+
+
+def test_winnow_density(spark):
+    # selections must appear at least once per window of w consecutive
+    # gram positions (coverage property of winnowing)
+    import random
+
+    rng = random.Random(3)
+    text = "".join(rng.choice("abcdefgh") for _ in range(400))
+    docs = spark.createDataFrame([Row(doc_id=0, text=text)])
+    rows = sj.winnow_fingerprints(docs, k=20, w=8).collect()
+    positions = sorted(r.pos for r in rows)
+    n_grams = len(text) - 19
+    assert positions[0] <= 8
+    for p, q in zip(positions, positions[1:]):
+        assert q - p <= 8, (p, q)
+    assert positions[-1] >= n_grams - 8
+
+
+# -------------------------------------------------------------- entropy
+
+
+def test_categorical_entropy_matches_math(spark):
+    import math
+
+    from imposm3_spark.datapipe import stats as st
+
+    rows = (
+        [Row(u=1, c="a")] * 3 + [Row(u=1, c="b")] * 1
+        + [Row(u=2, c="a")] * 4          # pure -> H = 0
+        + [Row(u=3, c="a"), Row(u=3, c="b"), Row(u=3, c="c"), Row(u=3, c="d")]
+    )
+    df = spark.createDataFrame(rows)
+    got = {
+        r.u: (r.n, r.entropy)
+        for r in st.categorical_entropy(df, "u", "c", ["a", "b", "c", "d"]).collect()
+    }
+    def h(counts):
+        n = sum(counts)
+        return round(math.log(n) - sum(c * math.log(c) for c in counts if c) / n, 6)
+    assert got[1] == (4, h([3, 1]))
+    assert got[2] == (4, 0.0)
+    assert got[3] == (4, round(math.log(4), 6))
+
+
+# ------------------------------------------------------------- autocorr
+
+
+def test_autocorr_perfect_alternation(spark):
+    # series 10, 20, 10, 20, ... -> lag-1 r = -1
+    rows = [
+        Row(event_type="a", ts=_ts(1, 0) + datetime.timedelta(hours=i),
+            event_id=i, value=10.0 if i % 2 == 0 else 20.0)
+        for i in range(24)
+    ]
+    out = ts_.hourly_lag_autocorr(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    assert out[0].r == -1.0 and out[0].n == 23
+
+
+def test_autocorr_drops_constant_series(spark):
+    rows = [
+        Row(event_type="c", ts=_ts(1, 0) + datetime.timedelta(hours=i),
+            event_id=i, value=5.0)
+        for i in range(10)
+    ]
+    assert ts_.hourly_lag_autocorr(spark.createDataFrame(rows)).count() == 0
