@@ -38,84 +38,65 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records at most 50 entries per round, taken
-# in dict order. Rounds 1+2 produced driver rows for 59 queries; this list
-# front-loads the 41 never-driver-checked queries (all green on the local
-# replica of the gate), the one round-2 red row (tpch_q12_priority, now
-# representation-proof), and emb_ivf_topk_probe (now value-checked via a
-# recall-bound oracle) so round 3's window yields driver-recorded proof for
-# every remaining query.
+# in dict order. Rounds 1-3 produced driver rows for 109 queries (59 in
+# r01+r02, 50 via round 3's rotated window); this list front-loads the
+# remaining 50 round-3 additions without a driver row (batches 5-14 — all
+# green on the local replica of the gate at sf0.001/0.01/0.1) so round 4's
+# window yields driver-recorded proof for every registered query.
 _DRIVER_FIRST = [
-    "tpch_q12_priority",
-    "emb_ivf_topk_probe",
-    "doc_mix_temperature",
-    "doc_bloom_decontaminate",
-    "doc_dsir_weights",
-    "doc_perplexity_bins",
-    "emb_pq_topk",
-    "emb_ivfpq_topk",
-    "events_salted_agg",
-    "orders_salted_join",
-    "orders_hotkey_join",
-    "osm_zorder_key",
-    "osm_spatial_grid_join",
-    "osm_spatial_grid_join_poly",
-    "emb_neardup_clusters",
-    "emb_quantize",
-    "emb_label_centroids",
-    "emb_norm_stats",
-    "doc_curate",
-    "doc_decontaminate",
-    "doc_sample_stratified",
-    "doc_scrub",
-    "doc_vocab_topk",
-    "doc_repetition",
-    "doc_clean_sample",
-    "doc_pack_sequences",
-    "doc_span_dedup",
-    "doc_chunk_overlap",
-    "doc_tfidf_topk",
-    "doc_inverted_index",
-    "doc_split_assign",
-    "doc_budget_select",
-    "doc_pairgraph_triangles",
-    "doc_corpus_diff",
-    "doc_quality_matrix",
-    "media_resize_meta",
-    "media_frame_sample",
-    "media_dedup_exact",
-    "media_features",
-    "events_moving_avg",
-    "events_session_window",
-    "events_json_props",
-    "events_cube_distinct",
-    "events_retention",
-    "events_funnel",
-    "events_pivot",
-    "events_asof_nearest",
-    "lineitem_unpivot",
-    "orders_price_deciles",
-    # round-3 session additions (slots 49-50 of the driver's 50-entry
-    # window). ROUND-4 NOTE: rotate the remaining round-3 queries without
-    # a driver row into this window next round — doc_bpe_merges,
-    # doc_bigram_nll, doc_rag_retrieve, doc_weighted_sample,
-    # lineitem_approx_quantiles, events_cms_heavy, events_approx_distinct,
-    # events_hll_rollup, events_user_trend, events_value_hour_corr,
-    # events_value_histogram, doc_gopher_rules, doc_contamination_score,
-    # doc_minhash_clusters, lineitem_basket_pairs, emb_kmeans,
-    # events_gapfill, events_pagerank, doc_bpe_encode, events_ewma,
-    # emb_knn_graph, doc_score_auc, orders_rfm, doc_lang_confusion,
-    # emb_pca_top, cust_fuzzy_pairs, doc_bm25_topk, events_hll_intersect,
-    # events_scd2, emb_kmeans_inertia, orders_rollup_sets,
-    # events_seasonal_naive, doc_minhash_accuracy, events_sliding_topk,
-    # orders_customer_reconcile, events_markov_accuracy,
-    # lineitem_validate, emb_lsh_recall, events_mad_outliers,
-    # doc_nb_confusion, doc_ppjoin, doc_substring_dedup,
-    # events_scd2_join, lineitem_skyline, events_cusum, doc_cosine_pairs,
-    # doc_winnow_pairs, events_entropy, events_autocorr (all local-gate
-    # green at sf0.001/0.01/0.1 — batch-6..14 additions included; full
-    # 148-query sf0.01 gate re-run green this session).
-    "emb_semdedup",
     "events_zscore_anomaly",
+    "events_user_trend",
+    "events_value_hour_corr",
+    "events_value_histogram",
+    "events_cms_heavy",
+    "events_approx_distinct",
+    "doc_weighted_sample",
+    "events_hll_rollup",
+    "doc_gopher_rules",
+    "doc_contamination_score",
+    "doc_minhash_clusters",
+    "doc_rag_retrieve",
+    "lineitem_approx_quantiles",
+    "doc_bigram_nll",
+    "doc_bpe_merges",
+    "lineitem_basket_pairs",
+    "emb_kmeans",
+    "events_gapfill",
+    "events_pagerank",
+    "doc_bpe_encode",
+    "events_ewma",
+    "emb_knn_graph",
+    "doc_score_auc",
+    "orders_rfm",
+    "doc_lang_confusion",
+    "emb_pca_top",
+    "cust_fuzzy_pairs",
+    "doc_bm25_topk",
+    "events_hll_intersect",
+    "events_scd2",
+    "emb_kmeans_inertia",
+    "orders_rollup_sets",
+    "events_seasonal_naive",
+    "doc_minhash_accuracy",
+    "events_sliding_topk",
+    "orders_customer_reconcile",
+    "events_markov_accuracy",
+    "lineitem_validate",
+    "emb_lsh_recall",
+    "events_mad_outliers",
+    "doc_nb_confusion",
+    "doc_ppjoin",
+    "doc_substring_dedup",
+    "events_scd2_join",
+    "lineitem_skyline",
+    "events_cusum",
+    "doc_cosine_pairs",
+    "doc_winnow_pairs",
+    "events_entropy",
+    "events_autocorr",
+    # ROUND-5 NOTE: after this window lands, every query registered through
+    # round 3 has a driver row; rotate any round-4 additions (queries added
+    # after this list was written) into the front of this list next round.
 ]
 
 
