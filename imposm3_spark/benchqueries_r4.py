@@ -1,0 +1,198 @@
+"""Round-4 additions: closed-form multiple regression, sequential path
+mining, last-touch attribution, inter-arrival cadence profiling, and
+content-defined chunking with chunk-level dedup.
+
+Registered into the same QUERIES/ORACLES registry as benchqueries:
+
+* ``events_ols2``        per-type two-feature OLS (Cramer's rule over
+                         exact integer sufficient statistics)
+* ``events_user_paths``  top first-3-event journeys (Sankey aggregation)
+* ``events_attribution`` last-touch conversion attribution
+* ``events_bot_cadence`` per-user inter-arrival regularity profile
+* ``doc_cdc_chunks``     content-defined chunk table (rsync/FastCDC family)
+* ``doc_cdc_dedup``      cross-doc shared-chunk report over CDC chunks
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from imposm3_spark.benchqueries import _t, register
+from imposm3_spark.datapipe import chunking as ck
+from imposm3_spark.datapipe import mining as mn
+from imposm3_spark.datapipe import stats as st
+from imposm3_spark.datapipe.stats import (
+    CADENCE_CV,
+    OLS2_DET,
+    OLS2_DET0,
+    OLS2_DET1,
+    OLS2_DET2,
+)
+
+
+@register(
+    "events_ols2",
+    # the determinant expressions are the SAME strings Spark evaluates
+    # (stats.OLS2_DET*), so every IEEE rounding step matches.
+    f"""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y,
+             CAST(hour(ts) AS BIGINT) AS x1,
+             CAST(date_diff('day', DATE '2001-01-01', CAST(ts AS DATE)) AS BIGINT) AS x2
+      FROM events
+    ), a AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * y) AS BIGINT) AS s1y,
+             CAST(sum(x2 * y) AS BIGINT) AS s2y
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round({OLS2_DET0} / {OLS2_DET}, 6) AS b0_cents,
+           round({OLS2_DET1} / {OLS2_DET}, 6) AS b1_cents_per_hour,
+           round({OLS2_DET2} / {OLS2_DET}, 6) AS b2_cents_per_day
+    FROM a WHERE abs({OLS2_DET}) > 1e-6
+    """,
+)
+def events_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature closed-form regression per event type: cents ~ b0 +
+    b1*hour + b2*day_index via Cramer's rule on exact BIGINT normal
+    equations (stats.group_ols2) — one aggregation pass, no solver."""
+    return st.group_ols2(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_user_paths",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+             count(*) AS k
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users FROM p WHERE k = 3
+    GROUP BY path ORDER BY n_users DESC, path LIMIT 10
+    """,
+)
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 first-3-event journeys (mining.top_paths) — the Sankey /
+    onboarding-funnel path aggregation with deterministic tie-breaks."""
+    return mn.top_paths(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_attribution",
+    """
+    WITH t AS (
+      SELECT user_id, event_type, value,
+             last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM events
+    )
+    SELECT coalesce(touch, '(none)') AS channel, count(*) AS conversions,
+           round(CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                      AS DOUBLE) / 100.0, 2) AS revenue
+    FROM t WHERE event_type = 'purchase' GROUP BY channel
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (mining.last_touch_attribution): every
+    purchase credits the user's most recent non-purchase event type;
+    revenue sums exact cents."""
+    return mn.last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_bot_cadence",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id,
+             date_diff('second', TIMESTAMP '2001-01-01 00:00:00', ts) AS sec
+      FROM events
+    ), g AS (
+      SELECT user_id,
+             sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+      FROM s
+    ), a AS (
+      SELECT user_id, count(*) AS n, CAST(sum(gap) AS BIGINT) AS s,
+             CAST(sum(gap * gap) AS BIGINT) AS ss,
+             quantile_cont(gap, 0.5) AS median_gap_s
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n, round(median_gap_s, 4) AS median_gap_s,
+           round({CADENCE_CV}, 6) AS cv,
+           {CADENCE_CV} < 0.5 AS is_regular
+    FROM a WHERE n >= 8 AND s > 0
+    """,
+)
+def events_bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival cadence profile (stats.cadence_stats): gap
+    count, exact median gap, coefficient of variation — the automation /
+    bot-detection signal (schedulers have cv near 0, humans are bursty)."""
+    return st.cadence_stats(_t(spark, sf_dir, "events"))
+
+
+_SQL_CDC = """
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    ), cuts AS (
+      SELECT doc_id, text, n,
+             list_filter(range(1, greatest(n - 15, 0) + 1),
+               i -> (('0x' || substr(md5(substr(text, i, 16)), 1, 15))::BIGINT)
+                    % 64 = 0) AS cut
+      FROM d
+    ), ends AS (
+      SELECT doc_id, text,
+             list_sort(list_distinct(
+               list_append(list_transform(cut, i -> i + 15), CAST(n AS BIGINT)))) AS e
+      FROM cuts
+    ), spans AS (
+      SELECT doc_id, text,
+             list_filter(list_transform(range(1, len(e) + 1),
+               j -> {'s': CASE WHEN j = 1 THEN 0 ELSE e[j - 1] END + 1,
+                     'e': e[j]}),
+               x -> x.e >= x.s) AS sp
+      FROM ends
+    )
+    SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+           CAST(sp[j].s AS INT) AS start,
+           CAST(sp[j].e - sp[j].s + 1 AS INT) AS chunk_len,
+           md5(substr(text, CAST(sp[j].s AS INT),
+                      CAST(sp[j].e - sp[j].s + 1 AS INT))) AS chunk_hash
+    FROM spans, unnest(range(1, len(sp) + 1)) AS u(j)
+    """
+
+
+@register("doc_cdc_chunks", _SQL_CDC)
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (chunking.cdc_chunks): chunk boundaries
+    follow a 16-char rolling window's md5 mod 64, so identical regions in
+    shifted copies re-align to identical chunks — the property offset
+    shingling lacks."""
+    return ck.cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_cdc_dedup",
+    f"""
+    WITH chunks AS ({_SQL_CDC})
+    SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences, max(chunk_len) AS chunk_len
+    FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def doc_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared-chunk report (chunking.cdc_shared_chunks):
+    chunk contents appearing in 2+ docs — the delta-dedup output CDC
+    chunking exists for."""
+    return ck.cdc_shared_chunks(_t(spark, sf_dir, "documents"))

@@ -306,3 +306,94 @@ def bm25_topk(
         .limit(k)
         .select(id_col, F.round("score", 6).alias("score"))
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 16,
+    mask: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/FastCDC family): a chunk
+    boundary opens after every position whose `gram`-char window hashes
+    to 0 mod `mask`, so chunk edges follow CONTENT, not offsets — an
+    insertion early in a document shifts only the chunk it lands in,
+    and every identical region downstream re-aligns to identical chunks.
+    That is the property offset-based shingling lacks and the reason CDC
+    is the backbone of large-corpus delta dedup.
+
+    Returns one row per (doc, chunk): chunk index, start (1-based), the
+    chunk text and its md5 — ready for cross-doc chunk-level dedup.
+
+    Exactness: the boundary predicate is a 60-bit slice of md5 of the
+    JVM substring, reproducible verbatim in the oracle; chunk assembly
+    is array algebra over the sorted boundary set.
+
+    Scale: position explode is O(total chars) — the same linear-scan
+    budget as duplicated_substring_spans; everything is JVM expressions
+    (zero Python), and the per-doc regroup rides one doc-keyed exchange.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    # positions 1..len-gram+1 whose gram-hash is 0 mod mask end a chunk at
+    # pos+gram-1 (the window is INSIDE the chunk it closes).
+    pos = F.sequence(F.lit(1), F.greatest(n - F.lit(gram - 1), F.lit(0)))
+    cut = F.filter(
+        pos,
+        lambda i: F.conv(F.substring(F.md5(F.substring(t, i, gram)), 1, 15), 16, 10)
+        .cast("bigint")
+        % mask
+        == 0,
+    )
+    ends = F.array_union(
+        F.transform(cut, lambda i: i + F.lit(gram - 1)), F.array(n.cast("int"))
+    )
+    # consecutive (prev_end+1 .. end) spans; `ends` is ascending by
+    # construction (cut positions ascend and n bounds them above, with
+    # array_union dropping the duplicate when the last cut lands on n).
+    spans = F.filter(
+        F.transform(
+            ends,
+            lambda e, i: F.struct(
+                (F.coalesce(F.get(ends, i - 1), F.lit(0)) + 1).alias("start"),
+                e.alias("end"),
+            ),
+        ),
+        lambda s: s["end"] >= s["start"],
+    )
+    rows = df.filter(n > 0).select(
+        F.col(id_col), t.alias("_t"), F.posexplode(spans).alias("idx", "sp")
+    )
+    chunk = F.substring(F.col("_t"), F.col("sp.start"), F.col("sp.end") - F.col("sp.start") + 1)
+    return rows.select(
+        id_col,
+        (F.col("idx") + 1).alias("chunk_idx"),
+        F.col("sp.start").alias("start"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_hash"),
+    )
+
+
+def cdc_shared_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 16,
+    mask: int = 64,
+) -> DataFrame:
+    """Cross-document chunk-level dedup over content-defined chunks: for
+    every chunk content seen in more than one document, the number of
+    distinct docs, total occurrences, and the chunk length — the
+    delta-dedup report that finds shared boilerplate CDC aligns across
+    shifted copies. One map-side-combinable aggregation on chunk_hash."""
+    ch = cdc_chunks(df, id_col, text_col, gram, mask)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.max("chunk_len").alias("chunk_len"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

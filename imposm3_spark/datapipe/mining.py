@@ -24,7 +24,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -233,4 +233,89 @@ def fuzzy_pairs_edit1(
         )
         .where(F.col("dist") <= 1)
         .distinct()
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    depth: int = 3,
+    topn: int = 10,
+) -> DataFrame:
+    """Sequential path mining: the most common first-`depth` event-type
+    journeys (the Sankey/onboarding-funnel aggregation). Keys with fewer
+    than `depth` events are skipped so every path has equal length.
+
+    Determinism: the per-key ordering ties on the unique second order
+    column, the path folds in rank order via a sorted struct array, and
+    the top-n tie-breaks on the path string itself.
+
+    Scale: one keyed exchange for the rank window, one
+    map-side-combinable count on the (tiny) path key space, and a
+    TakeOrdered top-n (per-partition heaps — never a global sort).
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.asc(c) for c in order_cols])
+    firstk = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= depth)
+        .groupBy(key_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_rn", F.col(cat_col).alias("c")))),
+                    lambda s: s["c"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count("*").alias("_k"),
+        )
+        .filter(F.col("_k") == depth)
+    )
+    counts = firstk.groupBy("path").agg(F.count("*").alias("n_users"))
+    return counts.orderBy(F.desc("n_users"), F.asc("path")).limit(topn)
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+    conversion: str = "purchase",
+    value_col: str = "value",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+) -> DataFrame:
+    """Marketing-style last-touch attribution: every conversion event is
+    credited to the key's most recent NON-conversion event type strictly
+    before it; conversions with no prior touch fall into the '(none)'
+    channel. Returns per-channel conversion count and exact revenue.
+
+    Exactness: revenue sums integer cents; the channel assignment is a
+    deterministic keyed window (last non-null over an unbounded-preceding
+    frame with a unique tie-break ordering).
+
+    Scale: one keyed exchange for the window; the channel aggregation is
+    map-side combinable on a category-sized key space.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(cat_col) != conversion, F.col(cat_col)), ignorenulls=True
+    ).over(w)
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    conv = (
+        df.withColumn("channel", F.coalesce(touch, F.lit("(none)")))
+        .filter(F.col(cat_col) == conversion)
+        .withColumn("cents", cents)
+    )
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count("*").alias("conversions"),
+            (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+        )
+        .select("channel", "conversions", F.round("revenue", 2).alias("revenue"))
     )

@@ -380,3 +380,135 @@ def categorical_entropy(
         s = s + term(i)
     h = F.log(F.col("n").cast("double")) - s / F.col("n").cast("double")
     return g.select(key_col, "n", F.round(h, 6).alias("entropy"))
+
+
+# Shared Cramer-rule expression strings for the two-feature OLS closed form.
+# Spark SQL and DuckDB parse the identical grammar, so registering the SAME
+# string on both sides guarantees the float expression tree (and therefore
+# every IEEE-754 rounding step) matches bit-for-bit.
+def _ols2_det(c1: str, c2: str, c3: str) -> str:
+    """3x3 determinant by cofactor expansion along the first column, where
+    c1/c2/c3 name the three column triples '(a1,a2,a3)' etc. laid out
+    column-major: det [[a1,b1,c1],[a2,b2,c2],[a3,b3,c3]]."""
+    a1, a2, a3 = (f"CAST({c} AS DOUBLE)" for c in c1.split(","))
+    b1, b2, b3 = (f"CAST({c} AS DOUBLE)" for c in c2.split(","))
+    d1, d2, d3 = (f"CAST({c} AS DOUBLE)" for c in c3.split(","))
+    return (
+        f"({a1}*({b2}*{d3} - {b3}*{d2})"
+        f" - {b1}*({a2}*{d3} - {a3}*{d2})"
+        f" + {d1}*({a2}*{b3} - {a3}*{b2}))"
+    )
+
+
+OLS2_DET = _ols2_det("n,s1,s2", "s1,s11,s12", "s2,s12,s22")
+OLS2_DET0 = _ols2_det("sy,s1y,s2y", "s1,s11,s12", "s2,s12,s22")
+OLS2_DET1 = _ols2_det("n,s1,s2", "sy,s1y,s2y", "s2,s12,s22")
+OLS2_DET2 = _ols2_det("n,s1,s2", "s1,s11,s12", "sy,s1y,s2y")
+
+
+def group_ols2(
+    df: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key TWO-feature least squares (multiple regression) in closed
+    form: cents ~ b0 + b1*hour_of_day + b2*day_index, solved per key from
+    the 3x3 normal equations by Cramer's rule — no iterative solver, no
+    feature matrix materialization, ONE map-side-combinable aggregation.
+
+    Exactness: x1 (hour) and x2 (calendar day index vs 2001-01-01) are
+    exact integers, y is integer cents, so the nine sufficient statistics
+    are exact BIGINTs; each determinant is a single fixed-order double
+    expression SHARED TEXTUALLY with the oracle (OLS2_DET*), giving
+    bit-identical coefficients.
+
+    Scale: this is the canonical "closed-form ML at 100 TB" shape — the
+    corpus never leaves the scan, the shuffle carries one 9-number row
+    per key, and adding features grows the statistics quadratically but
+    never adds passes. Keys with a singular design matrix drop out.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    x1 = F.hour(F.col(time_col).cast("timestamp")).cast("bigint")
+    x2 = F.datediff(F.col(time_col).cast("date"), F.lit("2001-01-01").cast("date")).cast(
+        "bigint"
+    )
+    c = df.select(
+        F.col(key_col), cents.alias("y"), x1.alias("x1"), x2.alias("x2")
+    )
+    a = c.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    det = F.expr(OLS2_DET)
+    return (
+        a.filter(F.expr(f"abs({OLS2_DET}) > 1e-6"))
+        .select(
+            key_col,
+            "n",
+            F.round(F.expr(OLS2_DET0) / det, 6).alias("b0_cents"),
+            F.round(F.expr(OLS2_DET1) / det, 6).alias("b1_cents_per_hour"),
+            F.round(F.expr(OLS2_DET2) / det, 6).alias("b2_cents_per_day"),
+        )
+    )
+
+
+# coefficient of variation from exact (n, s, ss) — shared with the oracle.
+CADENCE_CV = (
+    "sqrt((CAST(n AS DOUBLE)*CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE))"
+    " / (CAST(n AS DOUBLE)*CAST(n - 1 AS DOUBLE)))"
+    " / (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))"
+)
+
+
+def cadence_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    min_gaps: int = 8,
+) -> DataFrame:
+    """Per-key inter-arrival cadence profile — the bot/automation signal
+    of an event pipeline: gap count, exact median gap (seconds), and the
+    coefficient of variation of gaps. Highly regular actors (cv -> 0)
+    are schedulers; humans are bursty (cv >= 1).
+
+    Exactness: gaps are integer seconds from a keyed lag; the median is
+    Spark's exact `percentile` (linear interpolation — quantile_cont
+    parity proven in events_mad_outliers), and cv comes from exact
+    BIGINT (n, s, ss) through the shared CADENCE_CV expression string.
+
+    Scale: one keyed exchange shared by the lag window and the
+    aggregation; per-key state is the gap list only inside the exact
+    percentile (swap for percentile_approx at extreme key skew).
+    """
+    epoch0 = F.unix_timestamp(F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    sec = F.unix_timestamp(F.col(time_col).cast("timestamp")) - epoch0
+    w = Window.partitionBy(key_col).orderBy("sec", "event_id")
+    gaps = (
+        df.select(F.col(key_col), sec.alias("sec"), "event_id")
+        .withColumn("gap", F.col("sec") - F.lag("sec").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    a = gaps.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum("gap").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("ss"),
+        F.expr("percentile(gap, 0.5D)").alias("median_gap_s"),
+    )
+    return (
+        a.filter((F.col("n") >= min_gaps) & (F.col("s") > 0))
+        .select(
+            key_col,
+            "n",
+            F.round("median_gap_s", 4).alias("median_gap_s"),
+            F.round(F.expr(CADENCE_CV), 6).alias("cv"),
+            (F.expr(CADENCE_CV) < 0.5).alias("is_regular"),
+        )
+    )

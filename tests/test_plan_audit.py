@@ -682,3 +682,63 @@ def test_autocorr_hour_sized_join(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in final
+
+
+def test_ols2_single_exchange_scan_speed(spark):
+    """Two-feature OLS: nine sufficient statistics in ONE map-side-
+    combinable aggregation — a single hash exchange on the key, the
+    Cramer expressions folded as projections (no second pass)."""
+    plan = _executed_plan(bq.QUERIES["events_ols2"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in final
+    assert "CartesianProduct" not in plan
+
+
+def test_user_paths_keyed_window_takeordered(spark):
+    """Path mining: the rank window shuffles on user once; the top-n is
+    TakeOrdered (per-partition heaps), never a global sort."""
+    plan = _executed_plan(bq.QUERIES["events_user_paths"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "Exchange rangepartitioning" not in final
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_keyed_window(spark):
+    """Attribution: one user-keyed exchange feeds the last-touch window;
+    the channel rollup is map-side combinable on a 6-value key space."""
+    plan = _executed_plan(bq.QUERIES["events_attribution"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in final
+    assert "CartesianProduct" not in plan
+
+
+def test_cadence_shared_key_exchange(spark):
+    """Cadence: the lag window and the gap aggregation ride the same
+    user-keyed partitioning — Spark reuses the exchange."""
+    plan = _executed_plan(bq.QUERIES["events_bot_cadence"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in final
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunks_zero_shuffle(spark):
+    """CDC chunking: boundary detection, span assembly and the chunk
+    explode are pure JVM expressions over one scan — zero exchanges in
+    the per-chunk table."""
+    plan = _executed_plan(bq.QUERIES["doc_cdc_chunks"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_dedup_one_hash_aggregate(spark):
+    """Shared-chunk report: one hash exchange on chunk_hash (countDistinct
+    expands to a two-phase aggregate on the same key)."""
+    plan = _executed_plan(bq.QUERIES["doc_cdc_dedup"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2
+    assert "Exchange rangepartitioning" not in final
