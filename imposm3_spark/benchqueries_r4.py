@@ -196,3 +196,109 @@ def doc_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk contents appearing in 2+ docs — the delta-dedup output CDC
     chunking exists for."""
     return ck.cdc_shared_chunks(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "emb_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neg_id, e.label AS neg_label,
+             round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.label != q.qlabel
+    )
+    SELECT query_id, neg_id, rank, sim, neg_label FROM (
+      SELECT query_id, neg_id, neg_label, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neg_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (similarity.hard_negatives): the
+    top-5 most-similar OTHER-label vectors per query — the highest-loss
+    negatives an InfoNCE/triplet sampler selects."""
+    from imposm3_spark.datapipe import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "doc_ngram_diversity",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    ), uni AS (
+      SELECT source, count(*) AS tokens_total, count(DISTINCT g) AS d1
+      FROM (SELECT source, unnest(tokens) AS g FROM toks) GROUP BY source
+    ), bi AS (
+      SELECT source, count(*) AS bigrams_total, count(DISTINCT g) AS d2
+      FROM (SELECT source, tokens[i] || ' ' || tokens[i+1] AS g
+            FROM toks, unnest(range(1, len(tokens))) AS u(i)) GROUP BY source
+    ), d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+    SELECT d.source, n_docs, coalesce(tokens_total, 0) AS tokens_total,
+           round(CAST(d1 AS DOUBLE) / CAST(tokens_total AS DOUBLE), 6) AS distinct1_ratio,
+           round(CAST(d2 AS DOUBLE) / CAST(bigrams_total AS DOUBLE), 6) AS distinct2_ratio
+    FROM d LEFT JOIN uni USING (source) LEFT JOIN bi USING (source)
+    """,
+)
+def doc_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (text.ngram_diversity): low
+    distinct-1/distinct-2 ratios flag templated or mode-collapsed text."""
+    from imposm3_spark.datapipe import text as tx
+
+    return tx.ngram_diversity(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_interval_overlap",
+    """
+    WITH iv AS (
+      SELECT user_id, event_type, min(ts) AS f,
+             max(ts) + INTERVAL 1 SECOND AS t
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+           date_diff('second', greatest(a.f, b.f), least(a.t, b.t)) AS overlap_s
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+     AND a.f < b.t AND b.f < a.t
+    """,
+)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join (temporal.interval_overlap_join):
+    per-user activity intervals of distinct event types that overlap,
+    with exact overlap seconds — the generic range-join primitive,
+    month-binned for scale."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.temporal import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("f"),
+        (F.max("ts") + F.expr("INTERVAL 1 SECOND")).alias("t"),
+    )
+    left = iv.select(
+        "user_id", F.col("event_type").alias("type_a"),
+        F.col("f").alias("a_from"), F.col("t").alias("a_to"),
+    )
+    right = iv.select(
+        "user_id", F.col("event_type").alias("type_b"),
+        F.col("f").alias("b_from"), F.col("t").alias("b_to"),
+    )
+    joined = interval_overlap_join(
+        left, right, key="user_id",
+        l_from="a_from", l_to="a_to", r_from="b_from", r_to="b_to",
+    )
+    return joined.filter(F.col("type_a") < F.col("type_b")).select(
+        "user_id", "type_a", "type_b", "overlap_s"
+    )

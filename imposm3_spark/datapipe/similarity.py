@@ -681,3 +681,46 @@ def knn_graph(
         .where(F.col("rk") <= k)
         .select("src", "dst", "sim", "rk")
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    highest-loss negatives a triplet/InfoNCE sampler wants. Returns
+    (query_id, neg_id, rank, sim, neg_label).
+
+    Scale: identical shape to brute_force_topk (broadcast query side, one
+    corpus scan, per-query heap) with the label inequality folded into
+    the scan filter — the pruning happens before the sort, so a label
+    covering 90% of the corpus only shrinks the candidate stream. For
+    corpus-scale query sets swap the broadcast for the block-pair matmul
+    backbone (knn_graph)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qlabel") != F.col("neg_label"))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neg_id", "rank", "sim", "neg_label")
+    )

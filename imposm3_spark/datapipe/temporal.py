@@ -85,3 +85,62 @@ def interval_point_join(
         v(c) for c in payload + [iv_from, iv_to]
     ]
     return pts.join(iv, cond, "inner").select(*keep)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_from: str = "l_from",
+    l_to: str = "l_to",
+    r_from: str = "r_from",
+    r_to: str = "r_to",
+) -> DataFrame:
+    """Interval-interval overlap join within a key: every (left, right)
+    interval pair of the same key with ``l_from < r_to AND r_from <
+    l_to`` (half-open [from, to) semantics), plus the exact overlap in
+    seconds. The generic range-join primitive behind campaign/session
+    alignment, downtime attribution, and double-booking detection.
+
+    Scale: the same month-granule binning as interval_point_join — both
+    sides explode to the months they cover, the join key is (key,
+    month), and a pair overlapping k months is produced k times then
+    deduplicated by the distinct on the pair identity, keeping per-task
+    fanout proportional to intervals-per-month. Skewed months fall to
+    AQE skew-join splitting.
+    """
+    lv = left.withColumn("_mf", _month_index(F.col(l_from))).withColumn(
+        "_mt", _month_index(F.col(l_to))
+    )
+    rv = right.withColumn("_mf", _month_index(F.col(r_from))).withColumn(
+        "_mt", _month_index(F.col(r_to))
+    )
+    lv = lv.withColumn("_pm", F.explode(F.sequence(F.col("_mf"), F.col("_mt")))).drop(
+        "_mf", "_mt"
+    )
+    rv = rv.withColumn("_pm", F.explode(F.sequence(F.col("_mf"), F.col("_mt")))).drop(
+        "_mf", "_mt"
+    )
+    lv = lv.alias("_ov_l")
+    rv = rv.alias("_ov_r")
+    lc = lambda c: F.col(f"_ov_l.{c}")  # noqa: E731
+    rc = lambda c: F.col(f"_ov_r.{c}")  # noqa: E731
+    cond = (
+        (lc(key) == rc(key))
+        & (lc("_pm") == rc("_pm"))
+        & (lc(l_from) < rc(r_to))
+        & (rc(r_from) < lc(l_to))
+    )
+    ov_start = F.greatest(lc(l_from), rc(r_from))
+    ov_end = F.least(lc(l_to), rc(r_to))
+    keep = (
+        [lc(c) for c in left.columns]
+        + [rc(c) for c in right.columns if c != key]
+        + [
+            (
+                F.unix_timestamp(ov_end.cast("timestamp"))
+                - F.unix_timestamp(ov_start.cast("timestamp"))
+            ).alias("overlap_s")
+        ]
+    )
+    return lv.join(rv, cond, "inner").select(*keep).distinct()

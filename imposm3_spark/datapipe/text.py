@@ -333,3 +333,62 @@ def unigram_nll(
             F.round(-F.avg("logp"), 4).alias("nll"),
         )
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus diversity report per group: distinct-1 and distinct-2
+    ratios (distinct n-grams over total n-grams — the "distinct-n"
+    metric used to detect mode-collapsed or templated text; synthetic
+    and boilerplate-heavy sources score low). Returns (group, n_docs,
+    tokens_total, distinct1_ratio, distinct2_ratio).
+
+    Exactness: integer counts from two map-side-combinable aggregations
+    (one per n-gram order) joined on the tiny group key; each ratio is
+    one double division.
+
+    Scale: the unigram and bigram streams are linear explodes of one
+    tokenized projection; distinct-counting shuffles (group, gram) —
+    the same budget as vocabulary building, no corpus^2 anywhere."""
+    toks = df.select(
+        F.col(group_col).alias("grp"), tokens(F.col(text_col)).alias("toks")
+    )
+    uni = toks.select("grp", F.explode("toks").alias("g")).groupBy("grp").agg(
+        F.count("*").alias("tokens_total"),
+        F.countDistinct("g").alias("d1"),
+    )
+    bi = (
+        toks.select(
+            "grp",
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                        lambda t, i: F.concat_ws(" ", t, F.get(F.col("toks"), i + 1)),
+                    ),
+                    lambda g: g.isNotNull(),
+                )
+            ).alias("g"),
+        )
+        .groupBy("grp")
+        .agg(F.count("*").alias("bigrams_total"), F.countDistinct("g").alias("d2"))
+    )
+    docs = df.groupBy(F.col(group_col).alias("grp")).agg(F.count("*").alias("n_docs"))
+    return (
+        docs.join(uni, "grp", "left")
+        .join(bi, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            F.coalesce("tokens_total", F.lit(0)).alias("tokens_total"),
+            F.round(
+                F.col("d1").cast("double") / F.col("tokens_total").cast("double"), 6
+            ).alias("distinct1_ratio"),
+            F.round(
+                F.col("d2").cast("double") / F.col("bigrams_total").cast("double"), 6
+            ).alias("distinct2_ratio"),
+        )
+    )

@@ -742,3 +742,28 @@ def test_cdc_dedup_one_hash_aggregate(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") <= 2
     assert "Exchange rangepartitioning" not in final
+
+
+def test_hard_negatives_broadcast_query_side(spark):
+    """Hard negatives: the query side broadcasts; the label filter runs
+    inside the scan stage before the rank window."""
+    plan = _executed_plan(bq.QUERIES["emb_hard_negatives"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_ngram_diversity_no_global_sort(spark):
+    """Diversity: two explode+aggregate streams joined on the tiny group
+    key — no range partitioning, no cartesian."""
+    plan = _executed_plan(bq.QUERIES["doc_ngram_diversity"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange rangepartitioning" not in final
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_binned_equi_join(spark):
+    """Interval overlap: the join is a (key, month) hash equi-join with
+    the bound filters as post-conditions — not a nested loop."""
+    plan = _executed_plan(bq.QUERIES["events_interval_overlap"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
