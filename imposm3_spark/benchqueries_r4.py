@@ -302,3 +302,107 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(F.col("type_a") < F.col("type_b")).select(
         "user_id", "type_a", "type_b", "overlap_s"
     )
+
+
+@register(
+    "events_mg_heavy",
+    # invariant oracle (the events_cms_heavy / approx-distinct pattern):
+    # the sketch content depends on partitioning, so the hashed columns
+    # are the deterministic guaranteed-present key set (exact*(k+1) > N)
+    # and the guarantee flags, which must both hold for ANY partitioning.
+    """
+    WITH c AS (
+      SELECT substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      FROM events
+    ), e AS (SELECT digit, count(*) AS exact FROM c GROUP BY digit),
+    t AS (SELECT CAST(sum(exact) AS BIGINT) AS n FROM e)
+    SELECT digit, exact, TRUE AS present, TRUE AS bound_ok
+    FROM e, t WHERE exact * 7 > n
+    """,
+)
+def events_mg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries mergeable heavy hitters (stats.heavy_hitters_check)
+    over the leading digit of event cents (a naturally skewed key): the
+    merged 6-counter sketch must contain every key with exact > N/7 and
+    bound it within [est_lower, est_lower + E]."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    digit = F.substring(
+        F.round(F.col("value") * 100).cast("bigint").cast("string"), 1, 1
+    )
+    return st.heavy_hitters_check(ev.select(digit.alias("digit")), "digit", k=6)
+
+
+@register(
+    "events_holt",
+    """
+    WITH RECURSIVE c AS MATERIALIZED (
+      SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r(user_id, rn, event_id, l, b) AS (
+      -- DuckDB's // truncates toward zero; Python floors. The divisors
+      -- are powers of two, so floor(x / 4.0) is exact in doubles and
+      -- reproduces the floor semantics bit-for-bit.
+      SELECT user_id, rn, event_id, cents, CAST(0 AS BIGINT) FROM c WHERE rn = 1
+      UNION ALL
+      SELECT c.user_id, c.rn, c.event_id,
+             CAST(floor((c.cents + 3 * (r.l + r.b)) / 4.0) AS BIGINT),
+             CAST(floor(((CAST(floor((c.cents + 3 * (r.l + r.b)) / 4.0) AS BIGINT)
+                          - r.l) + r.b) / 2.0) AS BIGINT)
+      FROM r JOIN c ON c.user_id = r.user_id AND c.rn = r.rn + 1
+    )
+    SELECT event_id AS id, user_id AS key, l AS level_cents, b AS trend_cents
+    FROM r
+    """,
+)
+def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level+trend) per user in exact
+    fixed-point arithmetic (timeseries.holt_fixed_point) — bit-identical
+    to the recursive-CTE oracle; both sides use FLOOR division because
+    the trend state goes negative."""
+    from imposm3_spark.datapipe import timeseries as ts_
+
+    return ts_.holt_fixed_point(_t(spark, sf_dir, "events"))
+
+
+def _sql_containment() -> str:
+    from imposm3_spark.benchqueries import _SQL_SHINGLES
+
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    ), sized AS MATERIALIZED (
+      SELECT doc_id, sh, len(sh) AS n
+      FROM (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM toks)
+      WHERE len(sh) > 0
+    ), tok AS (
+      SELECT doc_id, n, unnest(sh) AS t FROM sized
+    ), inter AS (
+      -- directional: group keeps BOTH orders (a != b, no a < b cut)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+             any_value(a.n) AS na
+      FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id != b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, na,
+           round(CAST(inter AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment
+    FROM inter
+    WHERE CAST(inter AS DOUBLE) / CAST(na AS DOUBLE) >= 0.8
+    """
+
+
+@register("doc_containment", _sql_containment())
+def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment >= 0.8 self-join over 3-gram shingle sets
+    (simjoin.containment_pairs): catches sub-document duplication that
+    symmetric Jaccard misses. Oracle is the naive all-pairs join; the
+    Spark plan joins A-prefix tokens against the full index — recall 1
+    by the containment pigeonhole, no quadratic stage."""
+    from imposm3_spark.datapipe import simjoin as sj
+
+    return sj.containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.8, k=3)

@@ -356,3 +356,86 @@ def winnow_pairs(
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact DIRECTIONAL containment self-join over word ``k``-gram
+    shingle sets: all ordered pairs (id_a != id_b) with
+    ``|A ∩ B| / |A| >= threshold`` — A (near-)contained in B. Catches
+    the sub-document duplication symmetric Jaccard misses: a paragraph
+    pasted into a much larger page scores containment 1.0 but Jaccard
+    |A|/|B| -> 0.
+
+    Prefix filter, containment variant: under one global token order,
+    if none of A's first ``|A| - ceil(t*|A|) + 1`` tokens appear in B,
+    the overlap is at most ``ceil(t*|A|) - 1`` — below the requirement,
+    so candidates joining A-prefix tokens against B's FULL token list
+    have recall 1 by construction. Only the probe side shrinks to a
+    prefix (the indexed side cannot be pruned — containment places no
+    upper bound on |B|); the length filter keeps |B| >= t*|A|.
+
+    Scale: the same key-partitioned shuffles as ppjoin_pairs (token then
+    doc), no cross join; the B-side index is corpus-linear, the A-side
+    prefix sub-linear, and the frequency-ascending order keeps hot join
+    buckets small. Exact intersect verify on candidates only.
+    """
+    sets = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+        )
+        .withColumn("n", F.size("sh"))
+        .where(F.col("n") > 0)
+    )
+    tok = sets.select("doc", "n", F.explode("sh").alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("f"))
+    ordered = (
+        tok.join(freq, "t")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("f", "t"))).alias("ord"))
+    )
+    pref = (
+        sets.join(ordered, "doc")
+        .withColumn(
+            "p",
+            F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + F.lit(1),
+        )
+        .select("doc", "n", F.expr("slice(ord, 1, p)").alias("pref"))
+    )
+    probe = pref.select(
+        F.col("doc").alias("id_a"),
+        F.col("n").alias("na"),
+        F.explode(F.transform("pref", lambda s: s["t"])).alias("t"),
+    )
+    index = tok.select(F.col("doc").alias("id_b"), F.col("n").alias("nb"), "t")
+    cand = (
+        probe.join(index, "t")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("nb").cast("double") >= F.lit(threshold) * F.col("na"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sha"), F.col("n").alias("na"))
+    sb = sets.select(F.col("doc").alias("id_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", inter)
+        .where(F.col("inter").cast("double") / F.col("na") >= F.lit(threshold))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "na",
+            F.round(F.col("inter").cast("double") / F.col("na"), 6).alias("containment"),
+        )
+    )

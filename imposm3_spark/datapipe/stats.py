@@ -512,3 +512,88 @@ def cadence_stats(
             (F.expr(CADENCE_CV) < 0.5).alias("is_regular"),
         )
     )
+
+
+def misra_gries_summary(
+    df: DataFrame,
+    key_col: str,
+    k: int = 6,
+) -> DataFrame:
+    """Per-partition Misra-Gries (SpaceSaving-family) frequent-items
+    summaries: each partition keeps at most `k` counters in the merge
+    formulation of Agarwal et al.'s *Mergeable Summaries* — batch counts
+    fold into the counter set, and whenever more than `k` keys survive,
+    the (k+1)-th largest count is subtracted from every counter and the
+    non-positive ones dropped. Emits (key, c, 0) per surviving counter
+    plus one (NULL, 0, err) row carrying the partition's total decrement.
+
+    Guarantee carried to the merged estimate: with E = Σ partition errs,
+    every key satisfies  est_lower <= true <= est_lower + E, and any key
+    with true > N/(k+1) is GUARANTEED present (each trim of d removes at
+    least d*(k+1) mass, so per-partition error is bounded by n_p/(k+1)).
+
+    Scale: one linear pass, O(k) state per partition, and the summary —
+    not the stream — crosses the wire: this is the sketch to use when
+    the key space itself is too large to shuffle.
+    """
+    out_schema = f"{key_col} string, c long, err long"
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        dec = 0
+        for pdf in batches:
+            vc = pdf[key_col].value_counts()
+            for key, cnt in vc.items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest from everyone
+                d = sorted(counters.values(), reverse=True)[k]
+                dec += d
+                counters = {key: c - d for key, c in counters.items() if c - d > 0}
+        rows = [(key, c, 0) for key, c in counters.items()]
+        rows.append((None, 0, dec))
+        yield pd.DataFrame(rows, columns=[key_col, "c", "err"])
+
+    return df.select(key_col).mapInPandas(summarize, out_schema)
+
+
+def heavy_hitters_check(
+    df: DataFrame,
+    key_col: str,
+    k: int = 6,
+) -> DataFrame:
+    """Value-checkable Misra-Gries heavy hitters: merge the per-partition
+    summaries, then verify the sketch guarantees against the exact
+    counts for every key that MUST be present (exact*(k+1) > N):
+
+    * present   — the key survived in the merged sketch
+    * bound_ok  — est_lower <= exact <= est_lower + E
+
+    The oracle states the same deterministic key set with both flags
+    TRUE; the sketch content itself is partitioning-dependent and never
+    hashed directly (the events_cms_heavy / approx-distinct pattern).
+    """
+    mg = misra_gries_summary(df, key_col, k).localCheckpoint(eager=False)
+    merged = mg.filter(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+        F.sum("c").alias("est_lower")
+    )
+    err = mg.agg(F.sum("err").alias("E"))
+    exact = df.groupBy(key_col).agg(F.count("*").alias("exact"))
+    total = exact.agg(F.sum("exact").alias("N"))
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("exact") * (k + 1) > F.col("N"))
+        .join(merged, key_col, "left")
+        .crossJoin(F.broadcast(err))
+        .select(
+            key_col,
+            "exact",
+            F.col("est_lower").isNotNull().alias("present"),
+            (
+                (F.col("est_lower") <= F.col("exact"))
+                & (F.col("exact") <= F.col("est_lower") + F.col("E"))
+            ).alias("bound_ok"),
+        )
+    )

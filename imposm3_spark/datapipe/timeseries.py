@@ -332,3 +332,63 @@ def hourly_lag_autocorr(
         .where((F.col("_vx") > 0) & (F.col("_vy") > 0))
         .select(F.col("k").alias(key_col), "n", r.alias("r"))
     )
+
+
+def holt_fixed_point(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key Holt double exponential smoothing (level + trend) as an
+    exact integer recursion with alpha = 1/4, beta = 1/2:
+
+        l_1 = c_1, b_1 = 0
+        l_t = (c_t + 3*(l_{t-1} + b_{t-1})) fdiv 4
+        b_t = ((l_t - l_{t-1}) + b_{t-1}) fdiv 2
+
+    where fdiv is FLOOR division (trend goes negative, so truncating and
+    flooring differ — the oracle's CTE uses the same floor explicitly).
+    The one-step-ahead forecast l + b tracks a drifting series where the
+    plain EWMA lags by design — the classic anomaly baseline for metrics
+    with trend.
+
+    Same execution shape as ewma_fixed_point: one keyed exchange into an
+    Arrow-batched per-key scan, O(1) state, group size bounded by the
+    key's history. Output: (id, key, level, trend) in cents — exact
+    BIGINTs, bit-identical to the recursive-CTE oracle.
+    """
+    import pandas as pd
+
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    src = events.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("key"),
+        F.col(order_cols[0]).alias("_o1"),
+        F.col(order_cols[1]).alias("_o2"),
+        cents.alias("c"),
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_o1", "_o2"], kind="mergesort")
+        lvl = trend = 0
+        out_l, out_b = [], []
+        first = True
+        for c in pdf["c"].tolist():
+            c = int(c)
+            if first:
+                lvl, trend, first = c, 0, False
+            else:
+                prev = lvl
+                lvl = (c + 3 * (lvl + trend)) // 4   # python // floors
+                trend = ((lvl - prev) + trend) // 2
+            out_l.append(lvl)
+            out_b.append(trend)
+        pdf = pdf.assign(l=out_l, b=out_b)
+        return pdf[["id", "key", "l", "b"]]
+
+    scanned = src.groupBy("key").applyInPandas(scan, "id long, key long, l long, b long")
+    return scanned.select(
+        "id", "key", F.col("l").alias("level_cents"), F.col("b").alias("trend_cents")
+    )

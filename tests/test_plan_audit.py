@@ -767,3 +767,35 @@ def test_interval_overlap_binned_equi_join(spark):
     plan = _executed_plan(bq.QUERIES["events_interval_overlap"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mg_sketch_not_stream_crosses_wire(spark):
+    """Misra-Gries: the mapInPandas summary runs before any exchange —
+    only O(k)-sized summaries shuffle, never the keyed stream."""
+    plan = _executed_plan(bq.QUERIES["events_mg_heavy"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    # the mapInPandas summary is localCheckpointed (computed ONCE) and
+    # enters this plan as an RDD scan of the O(k)-sized summary rows
+    assert "Scan ExistingRDD[digit" in plan
+    assert "CartesianProduct" not in plan
+    # the summary aggregation and exact-count aggregation both hash; the
+    # two 1-row side inputs broadcast
+    assert final.count("BroadcastExchange") >= 2
+
+
+def test_holt_single_keyed_exchange_arrow_scan(spark):
+    """Holt: one exchange on the key into the Arrow-batched per-key
+    scan (FlatMapGroupsInPandas) — the ewma execution shape."""
+    plan = _executed_plan(bq.QUERIES["events_holt"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "FlatMapGroupsInPandas" in plan
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in final
+
+
+def test_containment_prefix_equi_join_no_quadratic(spark):
+    """Containment join: candidates come from the prefix-token equi-join
+    — no cartesian/nested-loop stage anywhere."""
+    plan = _executed_plan(bq.QUERIES["doc_containment"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
