@@ -406,3 +406,107 @@ def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imposm3_spark.datapipe import simjoin as sj
 
     return sj.containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.8, k=3)
+
+
+@register(
+    "events_funnel_window",
+    """
+    WITH a1 AS (
+      SELECT user_id AS k, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), a2 AS (
+      SELECT e.user_id AS k, min(e.ts) AS t2
+      FROM events e JOIN a1 ON a1.k = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > a1.t1
+        AND e.ts <= a1.t1 + INTERVAL 24 HOURS
+      GROUP BY 1
+    ), a3 AS (
+      SELECT e.user_id AS k, min(e.ts) AS t3
+      FROM events e JOIN a2 ON a2.k = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > a2.t2
+        AND e.ts <= a2.t2 + INTERVAL 24 HOURS
+      GROUP BY 1
+    )
+    SELECT a1.k AS user_id,
+           1 + CASE WHEN a2.k IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN a3.k IS NOT NULL THEN 1 ELSE 0 END AS stage,
+           date_diff('second', a1.t1, a3.t3) AS convert_s
+    FROM a1 LEFT JOIN a2 ON a1.k = a2.k LEFT JOIN a3 ON a1.k = a3.k
+    """,
+)
+def events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (mining.funnel_timebound): signup ->
+    click -> purchase where each step lands within 24h of the previous
+    step's first qualifying occurrence — the realistic variant of
+    events_funnel."""
+    return mn.funnel_timebound(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_wau",
+    """
+    WITH active AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id AS k FROM events
+    ), cap AS (SELECT max(d) AS dmax FROM active),
+    grid AS (
+      SELECT a.k, a.d + o * INTERVAL 1 DAY AS g
+      FROM active a, cap, unnest(range(0, 7)) AS u(o)
+      WHERE a.d + o * INTERVAL 1 DAY <= cap.dmax
+    ),
+    wau AS (SELECT g, count(DISTINCT k) AS wau FROM grid GROUP BY g),
+    dau AS (SELECT d AS g, count(DISTINCT k) AS dau FROM active GROUP BY d)
+    SELECT CAST(w.g AS DATE) AS day, coalesce(dau, 0) AS dau, wau,
+           round(CAST(coalesce(dau, 0) AS DOUBLE) / CAST(wau AS DOUBLE), 6)
+             AS stickiness
+    FROM wau w LEFT JOIN dau ON dau.g = w.g
+    """,
+)
+def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users + DAU/WAU stickiness per day
+    (stats.rolling_active_users): exact sliding-window distinct via the
+    activity-table explode, no window function."""
+    return st.rolling_active_users(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "emb_drift",
+    """
+    WITH e AS (
+      SELECT label, vec_id % 2 AS half, pos,
+             CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS q
+      FROM (SELECT label, vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+    ), a AS (
+      SELECT label, pos, CAST(sum(q) AS BIGINT) AS s_a, count(*) AS n_a
+      FROM e WHERE half = 0 GROUP BY 1, 2
+    ), b AS (
+      SELECT label, pos, CAST(sum(q) AS BIGINT) AS s_b, count(*) AS n_b
+      FROM e WHERE half = 1 GROUP BY 1, 2
+    ), j AS (
+      SELECT a.label, CAST(s_a * n_b - s_b * n_a AS HUGEINT) AS diff, n_a, n_b
+      FROM a JOIN b USING (label, pos)
+    ), g AS (
+      SELECT label, max(n_a) AS na, max(n_b) AS nb, sum(diff * diff) AS ss
+      FROM j GROUP BY label
+    )
+    SELECT label, na, nb,
+           round(sqrt(CAST(ss AS DOUBLE))
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 1048576.0, 6)
+             AS l2_shift
+    FROM g
+    """,
+)
+def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the even/odd vec_id slices
+    (similarity.centroid_drift): quantized integer sufficient statistics,
+    DECIMAL(38,0)/HUGEINT squared-diff accumulator, one final float
+    expression — the batch-vs-reference distribution monitor."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
+    )

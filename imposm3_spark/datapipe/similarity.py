@@ -724,3 +724,60 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neg_id", "rank", "sim", "neg_label")
     )
+
+
+def centroid_drift(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Distribution-drift monitor: per label, the L2 distance between the
+    mean embedding of slice A and slice B — the production check that a
+    new data batch still looks like the reference distribution before it
+    enters training.
+
+    Exactness (the quantize-then-integer-statistics design of
+    emb_kmeans): components quantize ONCE to BIGINT at `scale`; per-dim
+    sums are exact; the cross-multiplied difference numerator
+    ``da*nb - db*na`` stays in BIGINT and its squares accumulate in
+    DECIMAL(38,0) (HUGEINT in the oracle) — so the only float math is
+    one final sqrt/divide expression, bit-identical everywhere.
+
+    Scale: one scan per slice into a (label, dim)-keyed partial sum —
+    dim-sized rows per task, never vectors — then a dim-sized join and a
+    label-sized aggregate. Adding slices or labels never adds passes.
+    """
+    q = lambda c: F.round(c.cast("double") * scale).cast("bigint")  # noqa: E731
+
+    def dimsums(df, tag):
+        e = df.select(
+            F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        return e.groupBy("label", "pos").agg(
+            F.sum(q(F.col("x"))).alias(f"s_{tag}"), F.count("*").alias(f"n_{tag}")
+        )
+
+    a = dimsums(emb_a, "a")
+    b = dimsums(emb_b, "b")
+    j = a.join(b, ["label", "pos"])
+    # widen BEFORE squaring: diff fits BIGINT but diff^2 does not (ANSI
+    # mode would throw on the overflow, not wrap)
+    diff = (F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")).cast(
+        "decimal(38,0)"
+    )
+    per_label = j.groupBy("label").agg(
+        F.max("n_a").alias("na"),
+        F.max("n_b").alias("nb"),
+        F.sum(diff * diff).alias("ss"),
+    )
+    shift = (
+        F.sqrt(F.col("ss").cast("double"))
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+        / F.lit(float(scale))
+    )
+    return per_label.select(
+        "label", "na", "nb", F.round(shift, 6).alias("l2_shift")
+    )

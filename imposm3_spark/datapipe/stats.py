@@ -597,3 +597,59 @@ def heavy_hitters_check(
             ).alias("bound_ok"),
         )
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-day engagement curve: exact DAU, exact rolling
+    ``window_days``-day active users (WAU), and the DAU/WAU stickiness
+    ratio. The canonical product-analytics rollup.
+
+    Exact distinct-over-sliding-window without a window function: the
+    deduplicated (day, key) activity table explodes each row to the
+    `window_days` grid days it contributes to (bounded by the data's max
+    day), and ONE countDistinct aggregation per grid day does the rest.
+    Counts are exact integers; stickiness is one double division.
+
+    Scale: the activity table is |active pairs|, the explode a
+    window_days-factor fanout of THAT (not of raw events), and the
+    aggregation map-side partial on (day) — the same budget a
+    time-partitioned ingest pays daily. For month windows at extreme
+    cardinality swap countDistinct for HLL (events_hll_rollup pattern).
+    """
+    day = F.date_trunc("DAY", F.col(ts_col).cast("timestamp"))
+    active = df.select(day.alias("d"), F.col(key_col).alias("k")).distinct()
+    cap = active.agg(F.max("d").alias("dmax"))
+    grid = (
+        active.crossJoin(F.broadcast(cap))
+        .withColumn(
+            "g",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.least(
+                        F.col("d") + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+                        F.col("dmax"),
+                    ),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ),
+        )
+    )
+    wau = grid.groupBy("g").agg(F.countDistinct("k").alias("wau"))
+    dau = active.groupBy(F.col("d").alias("g")).agg(F.countDistinct("k").alias("dau"))
+    return (
+        wau.join(dau, "g", "left")
+        .select(
+            F.col("g").cast("date").alias("day"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "wau",
+            F.round(
+                F.coalesce("dau", F.lit(0)).cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )

@@ -799,3 +799,34 @@ def test_containment_prefix_equi_join_no_quadratic(spark):
     plan = _executed_plan(bq.QUERIES["doc_containment"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_window_one_key_partitioning(spark):
+    """Time-bound funnel: the three conditional-min aggregations and the
+    chaining joins all ride the user-id hash partitioning; no global
+    sort, no cartesian."""
+    plan = _executed_plan(bq.QUERIES["events_funnel_window"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in final
+
+
+def test_wau_activity_table_explode(spark):
+    """WAU: the 7x explode fans out the DEDUPLICATED activity table, not
+    raw events, and the per-day aggregation is map-side combinable."""
+    plan = _executed_plan(bq.QUERIES["events_wau"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in final
+    # the 1-row max-day cap broadcasts
+    assert "BroadcastExchange" in final
+
+
+def test_drift_dim_sized_rows_never_vectors(spark):
+    """Centroid drift: after the posexplode the shuffle carries
+    (label, pos) partial sums — dim-sized rows, never vectors; two scans
+    (one per slice), one dim-keyed join, one label-sized aggregate."""
+    plan = _executed_plan(bq.QUERIES["emb_drift"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in final
