@@ -510,3 +510,95 @@ def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.centroid_drift(
         emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
     )
+
+
+@register(
+    "orders_pareto",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), d AS (
+      SELECT cents, ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS bucket
+      FROM c
+    ), a AS (
+      SELECT bucket, count(*) AS customers, CAST(sum(cents) AS BIGINT) AS cents
+      FROM d GROUP BY bucket
+    ), t AS (SELECT CAST(sum(cents) AS BIGINT) AS tot FROM a)
+    SELECT x.bucket, x.customers,
+           round(CAST(x.cents AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(CAST(sum(y.cents) AS BIGINT) AS DOUBLE)
+                 / CAST(t.tot AS DOUBLE), 6) AS cum_share
+    FROM a x JOIN a y ON y.bucket <= x.bucket, t
+    GROUP BY x.bucket, x.customers, x.cents, t.tot
+    """,
+)
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration curve (stats.pareto_curve): customers
+    ranked by exact revenue cents into 10 rank-bands with cumulative
+    share — two-phase global ranking, no single-task window."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    return st.pareto_curve(c, "o_custkey", "cents")
+
+
+def _sql_dedup_report() -> str:
+    from imposm3_spark.benchqueries import _sql_minhash_bands
+
+    inner = (
+        _sql_minhash_bands().replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + """
+    , pairs AS (
+      SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node
+    """
+    )
+    return f"""
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT component, count(*) AS cluster_size
+      FROM ({inner}) GROUP BY component
+    ) GROUP BY cluster_size
+    """
+
+
+@register("doc_dedup_report", _sql_dedup_report())
+def doc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup summary report: the cluster-size histogram of the
+    MinHash-LSH duplicate graph (how much of the corpus is singletons vs
+    2-clusters vs larger families) — the one-page artifact a dedup pass
+    is judged by before anyone deletes data."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.benchqueries import _t as _tt
+    from imposm3_spark.datapipe import dedup as dd
+    from imposm3_spark.datapipe.cluster import connected_components
+
+    docs = _tt(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs)
+    clusters = connected_components(
+        docs.select("doc_id"), pairs, node_col="doc_id", src="id_a", dst="id_b"
+    )
+    sizes = clusters.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters")).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+    )

@@ -653,3 +653,64 @@ def rolling_active_users(
             ).alias("stickiness"),
         )
     )
+
+
+def pareto_curve(
+    df: DataFrame,
+    key_col: str,
+    cents_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Revenue-concentration (Pareto/ABC) curve: keys ranked by exact
+    cents descending, banded into `buckets` rank-deciles, each with its
+    member count, exact revenue, and the CUMULATIVE revenue share — the
+    "top 10% of customers carry X% of revenue" report.
+
+    Global ranking uses the two-phase row-number primitive (range
+    repartition + driver offset prefix sum — sampling.with_global_row_
+    numbers), never a single-task window; the cumulative share is a
+    triangular self-join on the BUCKET table (buckets² = 100 rows), so
+    no global-order window exists anywhere in the plan.
+
+    Exactness: integer cents end-to-end; the share is one double
+    division rounded at the end.
+    """
+    from imposm3_spark.datapipe.sampling import with_global_row_numbers
+
+    numbered = with_global_row_numbers(
+        df, [F.col(cents_col).desc(), F.col(key_col).asc()]
+    )
+    total = numbered.count()
+    q, r = divmod(total, buckets)
+    big = r * (q + 1)
+    bucket = (
+        F.when(F.col("rn") <= big, ((F.col("rn") - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(((F.col("rn") - 1 - big) / q).cast("long") + 1 + r)
+        if q
+        else F.col("rn")
+    )
+    agg = (
+        numbered.select(F.col(cents_col).alias("cents"), bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("customers"), F.sum("cents").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    tot = agg.agg(F.sum("cents").alias("tot"))
+    a, b = agg.alias("a"), agg.alias("b")
+    cum = (
+        a.join(b, F.col("b.bucket") <= F.col("a.bucket"))
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(
+            F.max(F.col("a.customers")).alias("customers"),
+            F.max(F.col("a.cents")).alias("cents"),
+            F.sum(F.col("b.cents")).alias("cum_cents"),
+        )
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "customers",
+        F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+        F.round(F.col("cum_cents").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "cum_share"
+        ),
+    )

@@ -830,3 +830,22 @@ def test_drift_dim_sized_rows_never_vectors(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in final
+
+
+def test_pareto_no_single_task_window(spark):
+    """Pareto curve: global ranking is the two-phase primitive (RDD scan
+    of the checkpointed range partitioning); NO single-partition window
+    and no rangepartitioning exchange beyond the primitive's own."""
+    plan = _executed_plan(bq.QUERIES["orders_pareto"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_report_rides_cluster_backbone(spark):
+    """Dedup report: two tiny aggregations on top of the connected-
+    components output — no new quadratic stage, no global sort."""
+    plan = _executed_plan(bq.QUERIES["doc_dedup_report"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in final

@@ -102,3 +102,22 @@ def test_centroid_drift_matches_numpy(spark):
     ref = float(np.linalg.norm(ma - mb))
     assert got.na == 50 and got.nb == 40
     assert abs(got.l2_shift - ref) < 1e-4
+
+
+def test_pareto_curve_monotone_and_exact(spark):
+    from imposm3_spark.datapipe.stats import pareto_curve
+    from pyspark.sql import functions as F
+
+    rows = [(i, (i + 1) * 100) for i in range(25)]  # revenues 100..2500
+    df = spark.createDataFrame(rows, "k long, cents long")
+    got = sorted(pareto_curve(df, "k", "cents", buckets=5).collect(),
+                 key=lambda r: r.bucket)
+    # 25 keys / 5 buckets -> 5 each; bucket 1 holds the TOP revenues
+    assert [r.customers for r in got] == [5] * 5
+    total = sum(c for (_, c) in rows)
+    top5 = sum(sorted((c for (_, c) in rows), reverse=True)[:5])
+    assert got[0].cum_share == round(top5 / total, 6)
+    assert got[-1].cum_share == 1.0
+    shares = [r.cum_share for r in got]
+    assert shares == sorted(shares)
+    assert abs(sum(r.revenue for r in got) - total / 100.0) < 1e-6
