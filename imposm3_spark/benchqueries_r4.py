@@ -602,3 +602,127 @@ def doc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clusters",
         (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
     )
+
+
+@register(
+    "events_seq_pairs",
+    """
+    WITH iv AS (
+      SELECT user_id AS k, event_type AS c, min(ts) AS tmin, max(ts) AS tmax
+      FROM events GROUP BY 1, 2
+    ), total AS (SELECT count(DISTINCT user_id) AS n FROM events)
+    SELECT a.c AS type_a, b.c AS type_b, count(*) AS support,
+           round(CAST(count(*) AS DOUBLE) / CAST(any_value(total.n) AS DOUBLE), 6)
+             AS support_frac
+    FROM iv a JOIN iv b ON a.k = b.k AND a.c != b.c AND a.tmin < b.tmax, total
+    GROUP BY a.c, b.c
+    """,
+)
+def events_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern 2-sequence support (mining.sequence_pair_
+    support): keys whose earliest `a` precedes their latest `b` — the
+    GSP/PrefixSpan support-counting step reduced to the per-(key, type)
+    interval table."""
+    return mn.sequence_pair_support(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "doc_distinctive_terms",
+    r"""
+    WITH toks AS (
+      SELECT source AS grp, unnest(
+        CASE WHEN trim(text) = '' THEN []
+             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS w
+      FROM documents
+    ), gt AS (
+      SELECT grp, w, count(*) AS cg FROM toks GROUP BY grp, w
+    ), corpus AS (
+      SELECT w, CAST(sum(cg) AS BIGINT) AS ct FROM gt GROUP BY w
+    ), ng AS (
+      SELECT grp, CAST(sum(cg) AS BIGINT) AS ng FROM gt GROUP BY grp
+    ), totals AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS nt, count(*) AS v FROM corpus
+    ), scored AS (
+      SELECT grp, w, cg,
+             round(ln((CAST(cg AS DOUBLE) + 1.0) / (CAST(ng AS DOUBLE) + CAST(v AS DOUBLE)))
+                   - ln((CAST(ct AS DOUBLE) - CAST(cg AS DOUBLE) + 1.0)
+                        / (CAST(nt AS DOUBLE) - CAST(ng AS DOUBLE) + CAST(v AS DOUBLE))),
+                   6) AS score
+      FROM gt JOIN corpus USING (w) JOIN ng USING (grp), totals
+    )
+    SELECT grp AS source, rank, w AS token, cg AS count_in_group, score
+    FROM (
+      SELECT grp, w, cg, score,
+             row_number() OVER (PARTITION BY grp ORDER BY score DESC, w) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def doc_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary by smoothed log-odds vs the
+    rest of the corpus (text.distinctive_terms) — the corpus-comparison
+    report."""
+    from imposm3_spark.datapipe import text as tx
+
+    return tx.distinctive_terms(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "orders_profile",
+    """
+    SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           round(min(CAST(o_orderkey AS DOUBLE)), 6) AS min_num,
+           round(max(CAST(o_orderkey AS DOUBLE)), 6) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_custkey),
+           round(min(CAST(o_custkey AS DOUBLE)), 6),
+           round(max(CAST(o_custkey AS DOUBLE)), 6), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_totalprice),
+           round(min(CAST(o_totalprice AS DOUBLE)), 6),
+           round(max(CAST(o_totalprice AS DOUBLE)), 6), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*),
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderdate),
+           round(min(CAST(date_diff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE))
+                          AS DOUBLE)), 6),
+           round(max(CAST(date_diff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE))
+                          AS DOUBLE)), 6), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderstatus), NULL, NULL,
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderpriority), NULL, NULL,
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset-profiling card over orders (validate.profile):
+    nulls, exact distincts, typed min/max per column from a single
+    unpivoted scan — no per-column replay."""
+    from imposm3_spark.datapipe.validate import profile
+
+    return profile(
+        _t(spark, sf_dir, "orders"),
+        num_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+        date_cols=["o_orderdate"],
+    )

@@ -371,3 +371,45 @@ def funnel_timebound(
     return out.select(
         F.col("k").alias(key_col), stage.alias("stage"), convert_s.alias("convert_s")
     )
+
+
+def sequence_pair_support(
+    df: DataFrame,
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sequential-pattern support (the GSP/PrefixSpan 2-sequence step):
+    for every ordered category pair (a, b), how many keys exhibit "some
+    a happens BEFORE some b". A key supports (a, b) iff its earliest a
+    precedes its latest b — an exact reduction to the per-(key,
+    category) interval table, so support counting never touches event
+    pairs.
+
+    Returns (type_a, type_b, support, support_frac) for a != b.
+
+    Scale: one keyed aggregation to the (key, category) min/max table
+    (categories-per-key rows), a per-key self-join bounded by
+    categories², and a count on the category-pair key space; the raw
+    event stream is scanned once.
+    """
+    iv = df.groupBy(F.col(key_col).alias("k"), F.col(cat_col).alias("c")).agg(
+        F.min(ts_col).alias("tmin"), F.max(ts_col).alias("tmax")
+    )
+    total = df.select(key_col).distinct().count()
+    a = iv.select("k", F.col("c").alias("type_a"), F.col("tmin").alias("ta"))
+    b = iv.select("k", F.col("c").alias("type_b"), F.col("tmax").alias("tb"))
+    sup = (
+        a.join(b, "k")
+        .where((F.col("type_a") != F.col("type_b")) & (F.col("ta") < F.col("tb")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("support"))
+    )
+    return sup.select(
+        "type_a",
+        "type_b",
+        "support",
+        F.round(F.col("support").cast("double") / F.lit(float(total)), 6).alias(
+            "support_frac"
+        ),
+    )

@@ -13,7 +13,7 @@ At 100 TB these run at scan speed; only the aggregations a caller adds
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -390,5 +390,60 @@ def ngram_diversity(
             F.round(
                 F.col("d2").cast("double") / F.col("bigrams_total").cast("double"), 6
             ).alias("distinct2_ratio"),
+        )
+    )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    topn: int = 5,
+) -> DataFrame:
+    """Per-group distinctive vocabulary: the ``topn`` tokens with the
+    highest smoothed log-odds of appearing in the group vs the REST of
+    the corpus — the corpus-comparison primitive behind "what makes this
+    source/domain different" reports (Monroe et al.'s fightin'-words
+    shape with add-one smoothing).
+
+        score = ln((c_g + 1)/(n_g + V)) - ln((c_r + 1)/(n_r + V))
+
+    with c_g/c_r the token count inside/outside the group, n_g/n_r the
+    token totals, and V the corpus vocabulary size — all exact integers
+    feeding one fixed-order float expression, so scores hash-match.
+
+    Scale: one (group, token) aggregation, a broadcast of the
+    group-total and corpus-total tables, and a keyed top-n window on the
+    group — vocabulary-sized data after the first aggregation.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    gt = toks.groupBy("grp", "w").agg(F.count("*").alias("cg"))
+    corpus = gt.groupBy("w").agg(F.sum("cg").alias("ct"))
+    ng = gt.groupBy("grp").agg(F.sum("cg").alias("ng"))
+    totals = corpus.agg(
+        F.sum("ct").alias("nt"), F.count("*").alias("v")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    j = (
+        gt.join(corpus, "w")
+        .join(F.broadcast(ng), "grp")
+        .crossJoin(F.broadcast(totals))
+    )
+    score = F.log((d("cg") + 1.0) / (d("ng") + d("v"))) - F.log(
+        (d("ct") - d("cg") + 1.0) / (d("nt") - d("ng") + d("v"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        j.withColumn("score", F.round(score, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topn)
+        .select(
+            F.col("grp").alias(group_col),
+            "rank",
+            F.col("w").alias("token"),
+            F.col("cg").alias("count_in_group"),
+            "score",
         )
     )

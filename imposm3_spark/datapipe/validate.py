@@ -91,3 +91,68 @@ def validate(df: DataFrame, rules: list[Rule], unique_col: str | None = None) ->
     return row.select(F.explode(F.array(*selects)).alias("r")).select(
         "r.rule", "r.violations", "r.total", "r.ok"
     )
+
+
+def profile(
+    df: DataFrame,
+    num_cols: list[str] | None = None,
+    str_cols: list[str] | None = None,
+    date_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-pass data-profiling card: per column, the row count, null
+    count, EXACT distinct count, and min/max — numerics as doubles,
+    strings lexicographically, dates as day indexes vs 2000-01-01. The
+    dataset-card artifact an ingest pipeline publishes next to every
+    drop (the profiling sibling of `validate`).
+
+    Execution: every column unpivots into ONE (column, num, str) stream
+    — a single scan and a single aggregation keyed by the tiny column
+    dimension; no per-column pass, no expand-based multi-countDistinct
+    (which would replay the input once per column at 100 TB).
+    """
+    num_cols = num_cols or []
+    str_cols = str_cols or []
+    date_cols = date_cols or []
+    entries = []
+    for c in num_cols:
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("double").alias("num"),
+                F.lit(None).cast("string").alias("str"),
+            )
+        )
+    for c in date_cols:
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.datediff(F.col(c).cast("date"), F.lit("2000-01-01").cast("date"))
+                .cast("double")
+                .alias("num"),
+                F.lit(None).cast("string").alias("str"),
+            )
+        )
+    for c in str_cols:
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(None).cast("double").alias("num"),
+                F.col(c).cast("string").alias("str"),
+            )
+        )
+    long = df.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.column", "e.num", "e.str"
+    )
+    val = F.coalesce(F.col("str"), F.col("num").cast("string"))
+    return (
+        long.groupBy("column")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(val.isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.countDistinct(val).alias("n_distinct"),
+            F.round(F.min("num"), 6).alias("min_num"),
+            F.round(F.max("num"), 6).alias("max_num"),
+            F.min("str").alias("min_str"),
+            F.max("str").alias("max_str"),
+        )
+    )

@@ -849,3 +849,31 @@ def test_dedup_report_rides_cluster_backbone(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in final
+
+
+def test_seq_pairs_interval_reduction(spark):
+    """Sequence support: the self-join runs on the per-(key, type)
+    interval table — never on raw event pairs; no cartesian."""
+    plan = _executed_plan(bq.QUERIES["events_seq_pairs"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in final
+
+
+def test_distinctive_terms_broadcast_totals(spark):
+    """Distinctive terms: group totals and corpus totals broadcast onto
+    the vocabulary stream; the top-n is a grp-keyed window."""
+    plan = _executed_plan(bq.QUERIES["doc_distinctive_terms"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastExchange" in final
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in final
+
+
+def test_profile_single_unpivoted_scan(spark):
+    """Profiling card: ONE parquet scan feeds the unpivoted stream — a
+    per-column replay (6 scans) would multiply I/O at 100 TB."""
+    plan = _executed_plan(bq.QUERIES["orders_profile"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
