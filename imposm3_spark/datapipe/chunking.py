@@ -333,6 +333,16 @@ def cdc_chunks(
     Scale: position explode is O(total chars) — the same linear-scan
     budget as duplicated_substring_spans; everything is JVM expressions
     (zero Python), and the per-doc regroup rides one doc-keyed exchange.
+
+    Plan-shape note: the boundary array is staged through EXPLICIT
+    projection steps so every higher-order function consumes a BOUND
+    column, never an inlined expression tree. Higher-order lambdas are
+    interpreted per element — if the `ends` expression inlined into the
+    span lambda that references it, the whole md5 boundary pipeline
+    would re-evaluate per array element (O(chars²) per doc; measured
+    ~10x the whole-bench cost at sf0.1 before this split). Catalyst's
+    CollapseProject keeps the stages separate exactly because the
+    staged columns are referenced more than once downstream.
     """
     t = F.col(text_col)
     n = F.length(t)
@@ -346,12 +356,17 @@ def cdc_chunks(
         % mask
         == 0,
     )
-    ends = F.array_union(
-        F.transform(cut, lambda i: i + F.lit(gram - 1)), F.array(n.cast("int"))
+    # `_ends` is ascending by construction (cut positions ascend and n
+    # bounds them above, with array_union dropping the duplicate when
+    # the last cut lands on n).
+    staged = df.filter(n > 0).select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.array_union(
+            F.transform(cut, lambda i: i + F.lit(gram - 1)), F.array(n.cast("int"))
+        ).alias("_ends"),
     )
-    # consecutive (prev_end+1 .. end) spans; `ends` is ascending by
-    # construction (cut positions ascend and n bounds them above, with
-    # array_union dropping the duplicate when the last cut lands on n).
+    ends = F.col("_ends")
     spans = F.filter(
         F.transform(
             ends,
@@ -362,8 +377,8 @@ def cdc_chunks(
         ),
         lambda s: s["end"] >= s["start"],
     )
-    rows = df.filter(n > 0).select(
-        F.col(id_col), t.alias("_t"), F.posexplode(spans).alias("idx", "sp")
+    rows = staged.select(
+        F.col(id_col), F.col("_t"), F.posexplode(spans).alias("idx", "sp")
     )
     chunk = F.substring(F.col("_t"), F.col("sp.start"), F.col("sp.end") - F.col("sp.start") + 1)
     return rows.select(
