@@ -726,3 +726,97 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         str_cols=["o_orderstatus", "o_orderpriority"],
         date_cols=["o_orderdate"],
     )
+
+
+@register(
+    "emb_ood",
+    """
+    WITH e AS (
+      SELECT vec_id, label, pos,
+             CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS q
+      FROM (SELECT vec_id, label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings)
+    ), s AS (
+      SELECT label, pos, CAST(sum(q) AS BIGINT) AS s, count(*) AS n
+      FROM e GROUP BY 1, 2
+    ), pv AS (
+      SELECT vec_id, e.label,
+             sum(CAST(e.q * s.n - s.s AS HUGEINT)
+                 * CAST(e.q * s.n - s.s AS HUGEINT)) AS ss,
+             max(s.n) AS n
+      FROM e JOIN s ON e.label = s.label AND e.pos = s.pos
+      GROUP BY 1, 2
+    )
+    SELECT vec_id, label,
+           round(sqrt(CAST(ss AS DOUBLE)) / CAST(n AS DOUBLE) / 1048576.0, 6)
+             AS ood_dist
+    FROM pv ORDER BY ood_dist DESC, vec_id LIMIT 20
+    """,
+)
+def emb_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 out-of-distribution vectors by distance to their own
+    label centroid (similarity.ood_scores) — the mislabeled/outlier
+    shortlist, integer-exact like emb_drift."""
+    from imposm3_spark.datapipe import similarity as sim
+
+    return sim.ood_scores(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "doc_pmi_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS d, pos, w FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN trim(text) = '' THEN []
+               ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS w,
+          generate_subscripts(
+          CASE WHEN trim(text) = '' THEN []
+               ELSE regexp_split_to_array(trim(lower(text)), '\s+') END, 1) AS pos
+        FROM documents)
+    ), pairs AS (
+      SELECT least(a.w, b.w) AS a, greatest(a.w, b.w) AS b, count(*) AS c_ab
+      FROM toks a JOIN toks b
+        ON a.d = b.d AND b.pos BETWEEN a.pos + 1 AND a.pos + 4
+      GROUP BY 1, 2
+    ), uni AS (
+      SELECT w, count(*) AS c FROM toks GROUP BY w
+    ), tt AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM uni),
+    tp AS (SELECT CAST(sum(c_ab) AS BIGINT) AS tp FROM pairs)
+    SELECT a, b, c_ab,
+           round(ln((CAST(c_ab AS DOUBLE) / CAST(tp AS DOUBLE))
+                    / ((CAST(ua.c AS DOUBLE) / CAST(tt AS DOUBLE))
+                       * (CAST(ub.c AS DOUBLE) / CAST(tt AS DOUBLE)))), 6) AS pmi
+    FROM pairs JOIN uni ua ON ua.w = a JOIN uni ub ON ub.w = b, tt, tp
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, a, b LIMIT 20
+    """,
+)
+def doc_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI co-occurrence pairs within 4-token windows
+    (text.pmi_pairs) — the word2vec/GloVe statistics stage, built by a
+    linear (doc, pos+d) equi-join."""
+    from imposm3_spark.datapipe import text as tx
+
+    return tx.pmi_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "lineitem_join_size",
+    """
+    WITH cnt AS (
+      SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ), p AS (
+      SELECT l_partkey, cnt, cnt * cnt AS pairs FROM cnt
+    ), t AS (SELECT CAST(sum(pairs) AS BIGINT) AS total FROM p)
+    SELECT l_partkey, cnt, pairs,
+           round(CAST(pairs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+    FROM p, t ORDER BY pairs DESC, l_partkey LIMIT 10
+    """,
+)
+def lineitem_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality profile without the join (stats.join_size_
+    profile): Σ c(k)² from one count aggregation — the skew/optimizer
+    diagnostic that sizes a self-join before paying for it."""
+    return st.join_size_profile(_t(spark, sf_dir, "lineitem"), "l_partkey")

@@ -781,3 +781,54 @@ def centroid_drift(
     return per_label.select(
         "label", "na", "nb", F.round(shift, 6).alias("l2_shift")
     )
+
+
+def ood_scores(
+    embeddings: DataFrame,
+    topn: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Label-conditional out-of-distribution scores: each vector's L2
+    distance to its OWN label's centroid, largest first — the mislabeled
+    / outlier shortlist a data-cleaning pass reviews (the SemDeDup-era
+    "prototypicality" signal, inverted).
+
+    Exactness (the centroid_drift design): quantize once to BIGINT, the
+    per-dim deviation numerator ``q_i*n - s_i`` stays integer, squares
+    accumulate in DECIMAL(38,0), and the distance is ONE final
+    sqrt/divide — bit-identical to the HUGEINT oracle.
+
+    Scale: one scan to (label, pos) sums, one broadcast of that
+    dim-sized table back onto the exploded corpus, one vec-keyed
+    aggregation, TakeOrdered top-n. No vector ever crosses the shuffle.
+    """
+    q = F.round(F.col("x").cast("double") * scale).cast("bigint")
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select("vid", "label", "pos", q.alias("q"))
+    sums = e.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"), F.count("*").alias("n")
+    )
+    diff = (F.col("q") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    per_vec = (
+        e.join(F.broadcast(sums), ["label", "pos"])
+        .groupBy("vid", "label")
+        .agg(F.sum(diff * diff).alias("ss"), F.max("n").alias("n"))
+    )
+    dist = (
+        F.sqrt(F.col("ss").cast("double"))
+        / F.col("n").cast("double")
+        / F.lit(float(scale))
+    )
+    return (
+        per_vec.select(
+            F.col("vid").alias(id_col), "label", F.round(dist, 6).alias("ood_dist")
+        )
+        .orderBy(F.desc("ood_dist"), F.asc(id_col))
+        .limit(topn)
+    )

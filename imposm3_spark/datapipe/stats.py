@@ -714,3 +714,40 @@ def pareto_curve(
             "cum_share"
         ),
     )
+
+
+def join_size_profile(
+    df: DataFrame,
+    key_col: str,
+    topn: int = 10,
+) -> DataFrame:
+    """Self-join cardinality profile WITHOUT running the join: for an
+    equi-join on `key_col`, the output size is the frequency-vector dot
+    product Σ_k c(k)², computed from one aggregation — the optimizer /
+    skew-diagnosis primitive that answers "which keys dominate the join
+    output" before anyone pays for the shuffle.
+
+    Returns the `topn` keys by pair contribution with their share of the
+    total join output — exact integers and one double division.
+
+    Scale: one map-side-combinable count, a 1-row broadcast total, and a
+    TakeOrdered — the join itself (quadratic in the hot keys) never
+    runs. The same profile drives the salting fanout choice in
+    datapipe/skew.py.
+    """
+    cnt = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    pairs = cnt.withColumn("pairs", F.col("cnt") * F.col("cnt"))
+    total = pairs.agg(F.sum("pairs").alias("total"))
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "cnt",
+            "pairs",
+            F.round(F.col("pairs").cast("double") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("pairs"), F.asc(key_col))
+        .limit(topn)
+    )

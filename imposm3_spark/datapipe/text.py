@@ -447,3 +447,62 @@ def distinctive_terms(
             "score",
         )
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 4,
+    min_count: int = 5,
+    topn: int = 20,
+) -> DataFrame:
+    """Pointwise-mutual-information co-occurrence pairs: the word2vec /
+    GloVe statistics stage. Token pairs within a `window`-token span,
+    scored  PMI = ln((c_ab/Tp) / ((c_a/Tt)·(c_b/Tt)))  from exact
+    counts (c_ab pair occurrences, Tp total pairs, c_a/c_b unigram
+    counts, Tt total tokens); unordered pairs keyed (min, max).
+
+    Returns the `topn` pairs with c_ab >= `min_count` by (PMI desc,
+    pair asc) — deterministic, one float expression.
+
+    Scale: the pair stream is an equi-join of the exploded token table
+    against itself on (doc, pos + d), d in 1..window — an exact LINEAR
+    construction (window-factor fanout), never the per-doc quadratic
+    join-on-doc-then-filter shape that blows up on long documents.
+    """
+    # the doc key only scopes the pair join, but determinism discipline
+    # says derive it from the data (never monotonically_increasing_id,
+    # which is partition-dependent)
+    id_col = "doc_id" if "doc_id" in df.columns else df.columns[0]
+    toks = df.select(
+        F.col(id_col).alias("_d"), F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
+    )
+    probe = toks.select(
+        "_d", F.explode(F.sequence(F.lit(1), F.lit(window))).alias("d"), "pos", "w"
+    ).select("_d", (F.col("pos") + F.col("d")).alias("pos2"), F.col("w").alias("wa"))
+    index = toks.select("_d", F.col("pos").alias("pos2"), F.col("w").alias("wb"))
+    pairs = (
+        probe.join(index, ["_d", "pos2"])
+        .select(
+            F.least("wa", "wb").alias("a"), F.greatest("wa", "wb").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tt = uni.agg(F.sum("c").alias("tt"))
+    tp = pairs.agg(F.sum("c_ab").alias("tp"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pmi = F.log(
+        (d("c_ab") / d("tp")) / ((d("ca") / d("tt")) * (d("cb") / d("tt")))
+    )
+    return (
+        pairs.filter(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("w").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uni.select(F.col("w").alias("b"), F.col("c").alias("cb")), "b")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tp))
+        .select("a", "b", "c_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(topn)
+    )

@@ -877,3 +877,37 @@ def test_profile_single_unpivoted_scan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_ood_broadcast_centroid_sums(spark):
+    """OOD scores: the dim-sized (label, pos) sum table broadcasts back
+    onto the exploded corpus; top-n is TakeOrdered."""
+    plan = _executed_plan(bq.QUERIES["emb_ood"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "TakeOrderedAndProject" in final
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_linear_pair_construction(spark):
+    """PMI: pairs come from the (doc, pos+d) equi-join — the linear
+    construction; a join on doc alone (per-doc quadratic) or a cartesian
+    would show here."""
+    plan = _executed_plan(bq.QUERIES["doc_pmi_pairs"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    # the pair construction itself is a hash equi-join on (doc, pos+d);
+    # the only nested-loop joins are the two 1-row totals broadcasts
+    assert final.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in final or "SortMergeJoin" in final
+
+
+def test_join_size_no_join_executed(spark):
+    """Join-size profile: the quadratic join never runs — the plan is
+    count-aggregate + broadcast total + TakeOrdered, zero join of the
+    base table against itself."""
+    plan = _executed_plan(bq.QUERIES["lineitem_join_size"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "SortMergeJoin" not in final
+    assert "TakeOrderedAndProject" in final

@@ -81,3 +81,65 @@ def test_profile_card(spark):
     assert got["s"].min_str == "A" and got["s"].max_str == "B" and got["s"].n_distinct == 2
     # dates as day offsets vs 2000-01-01
     assert got["d"].min_num == 366.0 and got["d"].max_num == 368.0
+
+
+def test_ood_flags_planted_outlier(spark):
+    from imposm3_spark.datapipe.similarity import ood_scores
+
+    rows = [(i, [1.0, 0.0, 0.0], 0) for i in range(10)]
+    rows.append((99, [-5.0, 4.0, 3.0], 0))  # planted outlier, same label
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = ood_scores(df, topn=3).collect()
+    assert got[0].vec_id == 99
+    assert got[0].ood_dist > got[1].ood_dist * 5
+
+
+def test_pmi_pairs_window_and_score(spark):
+    import math
+
+    from imposm3_spark.datapipe.text import pmi_pairs
+
+    # 'strong pair' always adjacent; filler tokens independent
+    text = "alpha beta " * 10 + "x y z w v u " * 2
+    df = spark.createDataFrame(
+        [(0, text, "s", "en", len(text))],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    got = pmi_pairs(df, min_count=3, topn=5).collect()
+    # full python mirror: pairs within 4 tokens, unordered, min_count 3
+    from collections import Counter
+
+    toks = text.split()
+    n = len(toks)
+    pc: Counter = Counter()
+    for i in range(n):
+        for j in range(i + 1, min(i + 5, n)):
+            pc[tuple(sorted((toks[i], toks[j])))] += 1
+    uc = Counter(toks)
+    tp = sum(pc.values())
+    scored = {
+        p: round(math.log((c / tp) / ((uc[p[0]] / n) * (uc[p[1]] / n))), 6)
+        for p, c in pc.items()
+        if c >= 3
+    }
+    expect = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [((r.a, r.b), r.pmi) for r in got] == expect
+    # the always-adjacent pair is present with the right count
+    assert ("alpha", "beta") in scored and pc[("alpha", "beta")] >= 10
+
+
+def test_join_size_profile_exact(spark):
+    from imposm3_spark.datapipe.stats import join_size_profile
+
+    rows = [(k,) for k in [1] * 5 + [2] * 3 + [3] * 1]
+    df = spark.createDataFrame(rows, "k long")
+    got = {r.k: (r.cnt, r.pairs, r.share) for r in join_size_profile(df, "k").collect()}
+    total = 25 + 9 + 1
+    assert got == {
+        1: (5, 25, round(25 / total, 6)),
+        2: (3, 9, round(9 / total, 6)),
+        3: (1, 1, round(1 / total, 6)),
+    }
+    # the profile equals the true self-join size
+    true_size = df.alias("a").join(df.alias("b"), "k").count()
+    assert sum(p for (_, p, _) in got.values()) == true_size
