@@ -820,3 +820,111 @@ def lineitem_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile): Σ c(k)² from one count aggregation — the skew/optimizer
     diagnostic that sizes a self-join before paying for it."""
     return st.join_size_profile(_t(spark, sf_dir, "lineitem"), "l_partkey")
+
+
+@register(
+    "doc_kfold",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST((rn - 1) % 5 AS INT) AS fold FROM r
+    """,
+)
+def doc_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 5-fold assignment balanced EXACTLY within each lang
+    stratum (sampling.stratified_kfold): rank-round-robin over the
+    deterministic md5 draw, fold sizes within a stratum differ by at
+    most one."""
+    from imposm3_spark.datapipe.sampling import stratified_kfold
+
+    return stratified_kfold(_t(spark, sf_dir, "documents"), "lang", "doc_id", k=5)
+
+
+@register(
+    "orders_backlog",
+    """
+    WITH ship AS (
+      SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS shipmax
+      FROM lineitem GROUP BY l_orderkey
+    ), open_iv AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS d0, s.shipmax,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey
+      WHERE s.shipmax >= CAST(o.o_orderdate AS DATE)
+    ), days AS (
+      SELECT d0 + o * INTERVAL 1 DAY AS day, cents
+      FROM open_iv, unnest(range(0, date_diff('day', d0, shipmax) + 1)) AS u(o)
+    )
+    SELECT CAST(day AS DATE) AS day, count(*) AS n_open,
+           round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0, 2) AS open_value
+    FROM days GROUP BY day
+    """,
+)
+def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog time series: every order is open from its
+    order date to its last lineitem ship date; each day reports the
+    count and exact value of in-flight orders — the interval-to-grid
+    temporal aggregation (the order-level sibling of events_wau)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(F.max(F.col("l_shipdate").cast("date")).alias("shipmax"))
+    iv = (
+        o.join(ship, o["o_orderkey"] == ship["l_orderkey"])
+        .where(F.col("shipmax") >= F.col("o_orderdate").cast("date"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("d0"),
+            "shipmax",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    days = iv.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("shipmax"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+        "cents",
+    )
+    return days.groupBy("day").agg(
+        F.count("*").alias("n_open"),
+        F.round(F.sum("cents").cast("double") / 100.0, 2).alias("open_value"),
+    )
+
+
+@register(
+    "events_ab_test",
+    f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN user_id % 2 = 0
+                           THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN user_id % 2 = 0
+                           THEN CAST(round(value * 100) AS BIGINT)
+                                * CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS ssa,
+             CAST(sum(CASE WHEN user_id % 2 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN user_id % 2 != 0
+                           THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN user_id % 2 != 0
+                           THEN CAST(round(value * 100) AS BIGINT)
+                                * CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS ssb
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, na, nb,
+           round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 4) AS mean_a,
+           round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 4) AS mean_b,
+           round({st.WELCH_T}, 6) AS t_stat,
+           abs({st.WELCH_T}) > 1.96 AS significant_5pct
+    FROM g WHERE na >= 2 AND nb >= 2
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample experiment readout per event type (stats.ab_test):
+    Welch's t from exact integer sufficient statistics, the t expression
+    shared textually with the oracle (stats.WELCH_T)."""
+    return st.ab_test(_t(spark, sf_dir, "events"))

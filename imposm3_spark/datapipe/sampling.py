@@ -373,3 +373,29 @@ def dsir_log_weights(
             F.round(F.sum(F.coalesce("log_ratio", F.lit(0.0))), 4).alias("logw"),
         )
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Stratified k-fold assignment with an EXACT balance guarantee:
+    within every stratum, rows are ranked by the deterministic md5 draw
+    and folds assigned round-robin by rank — fold sizes within a stratum
+    differ by at most 1 (hash-mod assignment only balances in
+    expectation; rank-mod balances by construction). The cross-validation
+    splitter for training-data pipelines.
+
+    Returns the input ids with (stratum, fold). One keyed exchange for
+    the per-stratum rank window; the draw is reproducible anywhere
+    (md5 of the id — no RNG, no partition dependence).
+    """
+    draw = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(draw, F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        ((F.row_number().over(w) - 1) % k).cast("int").alias("fold"),
+    )

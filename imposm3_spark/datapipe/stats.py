@@ -751,3 +751,67 @@ def join_size_profile(
         .orderBy(F.desc("pairs"), F.asc(key_col))
         .limit(topn)
     )
+
+
+# Welch t-statistic from exact per-group (n, s, ss) — shared textually
+# with the oracle so the float expression tree matches bit-for-bit.
+WELCH_T = (
+    "(CAST(sa AS DOUBLE)/CAST(na AS DOUBLE) - CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE))"
+    " / sqrt("
+    "((CAST(na AS DOUBLE)*CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))"
+    " / (CAST(na AS DOUBLE)*CAST(na - 1 AS DOUBLE))) / CAST(na AS DOUBLE)"
+    " + "
+    "((CAST(nb AS DOUBLE)*CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))"
+    " / (CAST(nb AS DOUBLE)*CAST(nb - 1 AS DOUBLE))) / CAST(nb AS DOUBLE)"
+    ")"
+)
+
+
+def ab_test(
+    df: DataFrame,
+    group_col: str = "event_type",
+    variant_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-sample A/B comparison per group: variant A/B assigned by the
+    key's parity (stand-in for an experiment bucket column), Welch's
+    t-statistic computed from exact integer sufficient statistics — the
+    experimentation-readout primitive (report the statistic; p-value
+    lookup is a driver-side table, not a data-scale problem).
+
+    Exactness: cents are integers, so (n, s, ss) per (group, variant)
+    are exact BIGINTs; the t-statistic is ONE shared expression string
+    (WELCH_T) evaluated identically by Spark and the oracle.
+
+    Scale: one map-side-combinable aggregation on (group, variant) —
+    the corpus never shuffles; adding metrics adds columns, not passes.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    variant = (F.col(variant_col) % 2 == 0)
+    g = df.select(
+        F.col(group_col).alias("grp"), variant.alias("is_a"), cents.alias("c")
+    ).groupBy("grp").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("is_a"), F.col("c"))).alias("sa"),
+        F.sum(F.when(F.col("is_a"), F.col("c") * F.col("c"))).alias("ssa"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(~F.col("is_a"), F.col("c"))).alias("sb"),
+        F.sum(F.when(~F.col("is_a"), F.col("c") * F.col("c"))).alias("ssb"),
+    )
+    t = F.expr(WELCH_T)
+    return (
+        g.filter((F.col("na") >= 2) & (F.col("nb") >= 2))
+        .select(
+            F.col("grp").alias(group_col),
+            "na",
+            "nb",
+            F.round(F.col("sa").cast("double") / F.col("na").cast("double") / 100.0, 4).alias(
+                "mean_a"
+            ),
+            F.round(F.col("sb").cast("double") / F.col("nb").cast("double") / 100.0, 4).alias(
+                "mean_b"
+            ),
+            F.round(t, 6).alias("t_stat"),
+            (F.abs(t) > 1.96).alias("significant_5pct"),
+        )
+    )

@@ -911,3 +911,29 @@ def test_join_size_no_join_executed(spark):
     assert final.count("FileScan parquet") == 1
     assert "SortMergeJoin" not in final
     assert "TakeOrderedAndProject" in final
+
+
+def test_kfold_keyed_window_only(spark):
+    """k-fold: one stratum-keyed rank window — no global sort."""
+    plan = _executed_plan(bq.QUERIES["doc_kfold"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange rangepartitioning" not in final
+    assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_backlog_interval_explode_shape(spark):
+    """Backlog: the day explode fans out the order-interval table (one
+    row per order), not lineitem; per-day aggregation map-side combines."""
+    plan = _executed_plan(bq.QUERIES["orders_backlog"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in final
+
+
+def test_ab_test_single_aggregation(spark):
+    """A/B readout: one map-side-combinable aggregation — a single hash
+    exchange on the group key, everything else expressions."""
+    plan = _executed_plan(bq.QUERIES["events_ab_test"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan

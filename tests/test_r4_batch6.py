@@ -1,0 +1,55 @@
+"""Round-4 batch 8: k-fold balance guarantee, backlog interval
+aggregation, and Welch t-statistic exactness."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from collections import Counter
+
+from imposm3_spark.datapipe.sampling import stratified_kfold
+from imposm3_spark.datapipe.stats import ab_test
+
+
+def test_kfold_exact_balance_within_strata(spark):
+    rows = [(i, "en" if i < 23 else "de") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_kfold(df, "lang", "doc_id", k=5).collect()
+    by = Counter((r.lang, r.fold) for r in got)
+    # en: 23 docs over 5 folds -> sizes {5,5,5,4,4}; de: 17 -> {4,4,3,3,3}
+    en_sizes = sorted(by[("en", f)] for f in range(5))
+    de_sizes = sorted(by[("de", f)] for f in range(5))
+    assert en_sizes == [4, 4, 5, 5, 5]
+    assert de_sizes == [3, 3, 3, 4, 4]
+    # deterministic across invocations
+    again = stratified_kfold(df, "lang", "doc_id", k=5).collect()
+    assert {(r.doc_id, r.fold) for r in got} == {(r.doc_id, r.fold) for r in again}
+
+
+def test_ab_test_matches_scipy_style_formula(spark):
+    rows = []
+    eid = 0
+    a_vals = [10.00, 12.00, 11.00, 13.00, 9.00]
+    b_vals = [20.00, 22.00, 18.00, 21.00]
+    for i, v in enumerate(a_vals):
+        rows.append((eid, dt.datetime(2001, 1, 1), i * 2, "x", v, "{}"))  # even users -> A
+        eid += 1
+    for i, v in enumerate(b_vals):
+        rows.append((eid, dt.datetime(2001, 1, 1), i * 2 + 1, "x", v, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    r = ab_test(df).collect()[0]
+    # python mirror of Welch's t on cents
+    a = [round(v * 100) for v in a_vals]
+    b = [round(v * 100) for v in b_vals]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    t = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+    assert r.na == 5 and r.nb == 4
+    assert r.mean_a == round(ma / 100, 4) and r.mean_b == round(mb / 100, 4)
+    assert abs(r.t_stat - t) < 1e-6
+    assert r.significant_5pct == (abs(t) > 1.96)
