@@ -928,3 +928,80 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Welch's t from exact integer sufficient statistics, the t expression
     shared textually with the oracle (stats.WELCH_T)."""
     return st.ab_test(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "doc_make_batches",
+    # end-to-end batch construction: Gopher gate -> exact dedup (keep
+    # lowest id per text hash) -> token count -> 512-token greedy packs.
+    r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tokens
+      FROM documents
+    ), f AS (
+      SELECT doc_id, text, len(tokens) AS n_toks,
+             CASE WHEN len(tokens) > 0
+                  THEN CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(tokens)
+                  ELSE 0.0 END AS mean_len,
+             CASE WHEN len(tokens) > 0
+                  THEN CAST(len(list_filter(tokens, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(tokens)
+                  ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS symbol_ratio,
+             len(list_distinct(list_filter(tokens,
+                 t -> t IN ('the','and','of','to','a','in','is','that')))) AS dsw
+      FROM toks
+    ), gated AS (
+      SELECT doc_id, text, n_toks FROM f
+      WHERE n_toks >= 10 AND n_toks <= 100000
+        AND mean_len >= 2.0 AND mean_len <= 12.0
+        AND alpha_ratio >= 0.8 AND symbol_ratio < 0.1 AND dsw >= 2
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+    ), kept AS (
+      SELECT g.doc_id, g.n_toks FROM gated g JOIN keep USING (doc_id)
+    ), h AS (
+      SELECT doc_id, n_toks,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS dh
+      FROM kept
+    ), c AS (
+      SELECT doc_id, n_toks, dh % 8 AS bucket,
+             coalesce(sum(n_toks) OVER (
+               PARTITION BY dh % 8 ORDER BY dh, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM h
+    )
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, bucket,
+           CAST(floor(cb / 512) AS BIGINT) AS pack_id,
+           cb % 512 AS pack_offset
+    FROM c
+    """,
+)
+def doc_make_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-batch construction: Gopher quality gate ->
+    exact dedup keeping the lowest id per text hash -> whitespace token
+    count -> greedy 512-token sequence packing in 8 hash shards. The
+    composed write path of a pre-training data loader; each stage keeps
+    its individual physical shape (gate = expressions, dedup = one
+    hash-keyed min, packing = one bucket-keyed window)."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe import text as tx
+    from imposm3_spark.datapipe.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    gated = (
+        tx.gopher_rules(docs)
+        .filter(F.col("passes"))
+        .select("doc_id")
+        .join(docs, "doc_id")
+        .select("doc_id", "text", tx.token_count(F.col("text")).alias("n_toks"))
+    )
+    keep = gated.groupBy(F.md5("text").alias("_h")).agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(keep.select("doc_id"), "doc_id").select("doc_id", "n_toks")
+    return pack_sequences(kept, "doc_id", "n_toks", 512, n_buckets=8).select(
+        "doc_id", "n_toks", "bucket", "pack_id", "pack_offset"
+    )

@@ -937,3 +937,14 @@ def test_ab_test_single_aggregation(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_make_batches_composition_shape(spark):
+    """Composed batch construction: the quality gate stays expressions,
+    dedup is one hash-keyed aggregation, packing one bucket-keyed window
+    — composition adds no global sort and no cartesian."""
+    plan = _executed_plan(bq.QUERIES["doc_make_batches"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in final
+    assert "SinglePartition" not in final
