@@ -1005,3 +1005,191 @@ def doc_make_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(kept, "doc_id", "n_toks", 512, n_buckets=8).select(
         "doc_id", "n_toks", "bucket", "pack_id", "pack_offset"
     )
+
+
+@register(
+    "emb_mips_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             round(list_dot_product(CAST(q.qvec AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 6) AS score
+      FROM q CROSS JOIN embeddings e WHERE q.query_id != e.vec_id
+    )
+    SELECT query_id, cand_id AS vec_id, rank, score FROM (
+      SELECT query_id, cand_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-k (the recommender retrieval scoring —
+    UNNORMALIZED, so magnitude matters, unlike cosine): broadcast query
+    side, one corpus scan, per-query heap."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.similarity import Window, dot
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("score", F.round(dot(F.col("qvec"), F.col("cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("cand_id").alias("vec_id"), "rank", "score")
+    )
+
+
+@register(
+    "orders_cohort_ltv",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), first AS (
+      SELECT o_custkey, min(m) AS cohort FROM o GROUP BY o_custkey
+    ), cells AS (
+      SELECT f.cohort, o.m - f.cohort AS offset_m,
+             count(*) AS n_orders, CAST(sum(o.cents) AS BIGINT) AS cents
+      FROM o JOIN first f USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT a.cohort, a.offset_m, a.n_orders,
+           round(CAST(a.cents AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(CAST(sum(b.cents) AS BIGINT) AS DOUBLE) / 100.0, 2) AS cum_revenue
+    FROM cells a JOIN cells b
+      ON b.cohort = a.cohort AND b.offset_m <= a.offset_m
+    GROUP BY a.cohort, a.offset_m, a.n_orders, a.cents
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-order month, exact
+    revenue per (cohort, months-since) cell with the cumulative
+    lifetime value — the revenue sibling of events_retention. The
+    cumulative is a triangular join on the tiny cell table (never a
+    global-order window)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    cells = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort", (F.col("m") - F.col("cohort")).alias("offset_m"))
+        .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.cohort") == F.col("a.cohort"))
+            & (F.col("b.offset_m") <= F.col("a.offset_m")),
+        )
+        .groupBy(
+            F.col("a.cohort").alias("cohort"),
+            F.col("a.offset_m").alias("offset_m"),
+            F.col("a.n_orders").alias("n_orders"),
+            F.col("a.cents").alias("_c"),
+        )
+        .agg(F.sum(F.col("b.cents")).alias("_cum"))
+        .select(
+            "cohort",
+            "offset_m",
+            "n_orders",
+            F.round(F.col("_c").cast("double") / 100.0, 2).alias("revenue"),
+            F.round(F.col("_cum").cast("double") / 100.0, 2).alias("cum_revenue"),
+        )
+    )
+
+
+def _sql_pq_recall() -> str:
+    from imposm3_spark.benchqueries import ORACLES
+
+    pq = ORACLES["emb_pq_topk"]
+    return f"""
+    WITH pq AS ({pq}),
+    q2 AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q2.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q2.query_id ORDER BY
+                 list_aggregate(list_transform(range(1, 65),
+                   d -> (CAST(q2.qvec[d] AS DOUBLE) - CAST(e.embedding[d] AS DOUBLE))
+                        * (CAST(q2.qvec[d] AS DOUBLE) - CAST(e.embedding[d] AS DOUBLE))),
+                   'sum') ASC, e.vec_id) AS rank
+        FROM q2 JOIN embeddings e ON e.vec_id != q2.query_id
+      ) WHERE rank <= 3
+    )
+    SELECT b.query_id, CAST(count(p.vec_id) AS BIGINT) AS hits, 3 AS k,
+           round(CAST(count(p.vec_id) AS DOUBLE) / 3.0, 6) AS recall
+    FROM brute b LEFT JOIN pq p
+      ON p.query_id = b.query_id AND p.vec_id = b.vec_id
+    GROUP BY b.query_id
+    """
+
+
+@register("emb_pq_recall", _sql_pq_recall())
+def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation for the PQ path: recall@3 of asymmetric-
+    distance PQ against the exact L2 top-3 — both deterministic (LCG
+    codebooks, fixed-order folds), so the approximate index's QUALITY is
+    value-checked, like emb_lsh_recall for the LSH path."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.similarity import Window, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    pq = pq_topk(e, q, k=3).select("query_id", "vec_id")
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cvec"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cand_id"))
+    brute = (
+        F.broadcast(qv)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("cand_id").alias("vec_id"))
+    )
+    j = brute.join(
+        pq.withColumnRenamed("vec_id", "pv"),
+        (brute["query_id"] == pq["query_id"]) & (brute["vec_id"] == F.col("pv")),
+        "left",
+    ).select(brute["query_id"], F.col("pv"))
+    return j.groupBy("query_id").agg(F.count("pv").alias("hits")).select(
+        "query_id",
+        "hits",
+        F.lit(3).alias("k"),
+        F.round(F.col("hits").cast("double") / 3.0, 6).alias("recall"),
+    )

@@ -948,3 +948,28 @@ def test_make_batches_composition_shape(spark):
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in final
     assert "SinglePartition" not in final
+
+
+def test_mips_broadcast_query(spark):
+    """MIPS: broadcast query side, no sort-merge of the corpus."""
+    plan = _executed_plan(bq.QUERIES["emb_mips_topk"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastExchange" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_cohort_ltv_cell_sized_cumulative(spark):
+    """LTV triangle: the cumulative runs on the checkpointed CELL table
+    (Scan ExistingRDD), not the orders stream; no global sort."""
+    plan = _executed_plan(bq.QUERIES["orders_cohort_ltv"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ExistingRDD" in final
+    assert "Exchange rangepartitioning" not in final
+    assert "Window" not in final
+
+
+def test_pq_recall_no_new_shuffles(spark):
+    """PQ recall eval: composition of the PQ scan and the exact L2
+    baseline — no cartesian beyond the broadcast query cross join."""
+    plan = _executed_plan(bq.QUERIES["emb_pq_recall"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
