@@ -1193,3 +1193,194 @@ def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(3).alias("k"),
         F.round(F.col("hits").cast("double") / 3.0, 6).alias("recall"),
     )
+
+
+@register(
+    "emb_matryoshka_recall",
+    # recall@3 of the 16-dim PREFIX cosine ranking vs the full 64-dim
+    # ranking — the Matryoshka-style truncation quality check. Both
+    # rankings are exact and deterministic.
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), full_rank AS (
+      -- round to 6 before ranking: the Spark side (brute_force_topk)
+      -- ranks on the rounded similarity
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                 e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id != q.query_id
+      ) WHERE rank <= 3
+    ), pfx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_cosine_similarity(CAST(q.qvec[1:16] AS DOUBLE[]),
+                                        CAST(e.embedding[1:16] AS DOUBLE[])) DESC,
+                 e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id != q.query_id
+      ) WHERE rank <= 3
+    )
+    SELECT f.query_id, CAST(count(p.vec_id) AS BIGINT) AS hits, 3 AS k,
+           round(CAST(count(p.vec_id) AS DOUBLE) / 3.0, 6) AS recall
+    FROM full_rank f LEFT JOIN pfx p
+      ON p.query_id = f.query_id AND p.vec_id = f.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-embedding quality check (Matryoshka-style): recall@3 of
+    the 16-dim prefix cosine ranking against the full 64-dim ranking —
+    quantifies what a 4x cheaper index loses, exactly."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.similarity import Window, brute_force_topk, cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    full = brute_force_topk(e, q, k=3).select("query_id", "vec_id")
+    qv = q.select(F.col("vec_id").alias("query_id"), F.slice("embedding", 1, 16).alias("qp"))
+    c = e.select(F.col("vec_id").alias("cand_id"), F.slice("embedding", 1, 16).alias("cp"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    pfx = (
+        F.broadcast(qv)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("sim", cosine(F.col("qp"), F.col("cp")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("cand_id").alias("pv"))
+    )
+    j = full.join(
+        pfx,
+        (full["query_id"] == pfx["query_id"]) & (full["vec_id"] == F.col("pv")),
+        "left",
+    ).select(full["query_id"], F.col("pv"))
+    return j.groupBy("query_id").agg(F.count("pv").alias("hits")).select(
+        "query_id",
+        "hits",
+        F.lit(3).alias("k"),
+        F.round(F.col("hits").cast("double") / 3.0, 6).alias("recall"),
+    )
+
+
+@register(
+    "emb_hamming_recall",
+    # 1-bit (sign) quantization: DuckDB states the hamming distance as
+    # the count of sign-disagreeing dims; Spark computes the SAME number
+    # via packed-BIGINT xor + bit_count (the production form — 64 dims
+    # in one word). recall@3 vs the exact cosine ranking.
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    ), full_rank AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                 e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id != q.query_id
+      ) WHERE rank <= 3
+    ), ham AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 len(list_filter(range(1, 65),
+                     d -> (q.qvec[d] >= 0) != (e.embedding[d] >= 0))) ASC,
+                 e.vec_id) AS rank
+        FROM q JOIN embeddings e ON e.vec_id != q.query_id
+      ) WHERE rank <= 3
+    )
+    SELECT f.query_id, CAST(count(h.vec_id) AS BIGINT) AS hits, 3 AS k,
+           round(CAST(count(h.vec_id) AS DOUBLE) / 3.0, 6) AS recall
+    FROM full_rank f LEFT JOIN ham h
+      ON h.query_id = f.query_id AND h.vec_id = f.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def emb_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) embedding quantization eval: 64 dims pack into
+    ONE BIGINT, candidate distance is bit_count(xor) — a 512x memory
+    reduction whose retrieval quality this query measures as recall@3
+    against the exact cosine ranking."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.similarity import Window, brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    full = brute_force_topk(e, q, k=3).select("query_id", "vec_id")
+    pack = F.expr(
+        "aggregate(transform(sequence(0, 63), "
+        "i -> IF(embedding[i] >= 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a | b)"
+    )
+    qb = q.select(F.col("vec_id").alias("query_id"), pack.alias("qbits"))
+    cb = e.select(F.col("vec_id").alias("cand_id"), pack.alias("cbits"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("hd"), F.asc("cand_id"))
+    ham = (
+        F.broadcast(qb)
+        .crossJoin(cb)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("hd", F.expr("bit_count(qbits ^ cbits)"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("cand_id").alias("hv"))
+    )
+    j = full.join(
+        ham,
+        (full["query_id"] == ham["query_id"]) & (full["vec_id"] == F.col("hv")),
+        "left",
+    ).select(full["query_id"], F.col("hv"))
+    return j.groupBy("query_id").agg(F.count("hv").alias("hits")).select(
+        "query_id",
+        "hits",
+        F.lit(3).alias("k"),
+        F.round(F.col("hits").cast("double") / 3.0, 6).alias("recall"),
+    )
+
+
+@register(
+    "events_peaks",
+    """
+    WITH h AS (
+      SELECT event_type,
+             date_diff('hour', TIMESTAMP '2001-01-01 00:00:00', ts) AS hr,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, hr, cents,
+             lag(cents) OVER w AS prev, lead(cents) OVER w AS nxt
+      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    )
+    SELECT event_type, hr, cents
+    FROM lagged WHERE prev IS NOT NULL AND nxt IS NOT NULL
+      AND cents > prev AND cents > nxt
+    """,
+)
+def events_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the hourly cents series per type (the
+    signal-processing peak finder): strict peaks vs both neighbors of
+    the OBSERVED series, exact integers, one keyed window."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    epoch0 = F.unix_timestamp(F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    hr = ((F.unix_timestamp(F.col("ts").cast("timestamp")) - epoch0) / 3600).cast("bigint")
+    h = ev.select(
+        "event_type", hr.alias("hr"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    ).groupBy("event_type", "hr").agg(F.sum("c").alias("cents"))
+    w = W.partitionBy("event_type").orderBy("hr")
+    lagged = h.select(
+        "event_type", "hr", "cents",
+        F.lag("cents").over(w).alias("prev"), F.lead("cents").over(w).alias("nxt"),
+    )
+    return lagged.filter(
+        F.col("prev").isNotNull() & F.col("nxt").isNotNull()
+        & (F.col("cents") > F.col("prev")) & (F.col("cents") > F.col("nxt"))
+    ).select("event_type", "hr", "cents")

@@ -973,3 +973,21 @@ def test_pq_recall_no_new_shuffles(spark):
     baseline — no cartesian beyond the broadcast query cross join."""
     plan = _executed_plan(bq.QUERIES["emb_pq_recall"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_hamming_packed_bigint_distance(spark):
+    """Binary quantization: the candidate distance is bit_count(xor) on
+    packed BIGINTs — the plan must carry the xor/bit_count expression,
+    not a 64-element array comparison, on the ranking path."""
+    plan = _executed_plan(bq.QUERIES["emb_hamming_recall"](spark, SF_DIR))
+    assert "bit_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_peaks_single_keyed_window(spark):
+    """Peak detection: lag/lead share one type-keyed window over the
+    hour-aggregated series — no global sort."""
+    plan = _executed_plan(bq.QUERIES["events_peaks"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange rangepartitioning" not in final
+    assert final.count("Exchange hashpartitioning") <= 2
