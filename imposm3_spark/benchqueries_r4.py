@@ -1384,3 +1384,19 @@ def events_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev").isNotNull() & F.col("nxt").isNotNull()
         & (F.col("cents") > F.col("prev")) & (F.col("cents") > F.col("nxt"))
     ).select("event_type", "hr", "cents")
+
+
+def _sql_silhouette() -> str:
+    from imposm3_spark.datapipe import kmeans as km
+
+    return km.oracle_sql_silhouette(k=8, iterations=3, dim=64, topn=20)
+
+
+@register("emb_silhouette", _sql_silhouette())
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst-clustered points by simplified silhouette after the exact
+    Lloyd run (kmeans.silhouette_worst): the boundary/misassignment
+    review queue, bit-identical to the unrolled SQL oracle."""
+    from imposm3_spark.datapipe import kmeans as km
+
+    return km.silhouette_worst(_t(spark, sf_dir, "embeddings"), k=8, iterations=3)

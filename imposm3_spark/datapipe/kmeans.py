@@ -319,3 +319,88 @@ SELECT CAST(a.cluster AS INTEGER) AS cluster, a.n_members,
                 * 1000000000000.0), 6) AS inertia
 FROM agg a JOIN {last} c ON c.cluster = a.cluster"""
     )
+
+
+def silhouette_worst(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    topn: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-point SIMPLIFIED silhouette after the Lloyd run — a = distance
+    to the own centroid, b = distance to the nearest OTHER centroid,
+    s = (b − a)/max(a, b) — reported as the `topn` WORST-clustered points
+    (lowest s): the boundary/misassigned shortlist a clustering review
+    starts from. Simplified silhouette is the O(n·k) form (distances to
+    centroids, not all points) — the only form that scales.
+
+    Exactness: a and b reuse the same fixed-order `_dist` fold the
+    assignment uses (bit-identical in the oracle); s is one final float
+    expression, and the shortlist tie-breaks on vec_id. Per-point output
+    sidesteps the order-dependent float MEAN a per-cluster average would
+    need.
+    """
+    run = _run_lloyd(emb, k, iterations, vec_col, id_col)
+    if run is None:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, cluster int, s double"
+        )
+    qp, centroids, dim, assign = run
+    assigned = assign(qp)
+    cands = F.array(
+        *[
+            F.struct(_dist(F.col("q"), s, n, dim).alias("d"), F.lit(j).alias("c"))
+            for j, (s, n) in enumerate(centroids)
+        ]
+    )
+    a = F.element_at(F.filter(cands, lambda x: x["c"] == F.col("cluster")), 1)["d"]
+    b = F.array_min(F.filter(cands, lambda x: x["c"] != F.col("cluster")))["d"]
+    s_expr = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    return (
+        assigned.select("vec_id", "cluster", F.round(s_expr, 6).alias("s"))
+        .orderBy(F.asc("s"), F.asc("vec_id"))
+        .limit(topn)
+    )
+
+
+def oracle_sql_silhouette(
+    k: int = 8, iterations: int = 3, dim: int = 64, topn: int = 20
+) -> str:
+    """DuckDB oracle for silhouette_worst: the Lloyd chain from
+    oracle_sql, then per-point a/b from the same double fold and the
+    identical s expression."""
+    base = oracle_sql(k=k, iterations=iterations, dim=dim)
+    cut = base.rindex("\nSELECT vec_id, CAST(cluster AS INTEGER)")
+    chain = base[:cut]
+    dist = (
+        "list_reduce(list_transform(range(1, {hi}), i -> "
+        "(CAST(c.n * p.q[i] - c.s[i] AS DOUBLE) * "
+        "CAST(c.n * p.q[i] - c.s[i] AS DOUBLE))), (a, b) -> a + b) "
+        "/ (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE))"
+    ).format(hi=dim + 1)
+    last = f"c{iterations}"
+    return (
+        chain
+        + f""", fin AS MATERIALIZED (
+  SELECT vec_id, q, cluster FROM (
+    SELECT p.vec_id, p.q, c.cluster,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM qp p CROSS JOIN {last} c
+  ) WHERE rn = 1
+), dists AS (
+  SELECT p.vec_id, p.cluster,
+         min(CASE WHEN c.cluster = p.cluster THEN {dist} END) AS a,
+         min(CASE WHEN c.cluster != p.cluster THEN {dist} END) AS b
+  FROM fin p CROSS JOIN {last} c
+  GROUP BY p.vec_id, p.cluster
+)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+       round(CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                  ELSE (b - a) / greatest(a, b) END, 6) AS s
+FROM dists ORDER BY s ASC, vec_id LIMIT {topn}"""
+    )

@@ -138,3 +138,32 @@ def test_inertia_matches_reference(spark):
         for r in kmeans_inertia(df, k=3, iterations=2).collect()
     }
     assert got == expect
+
+
+def test_silhouette_worst_flags_boundary_point(spark):
+    """Two tight clusters + one point midway: the midway point has the
+    lowest simplified silhouette."""
+    from imposm3_spark.datapipe.kmeans import silhouette_worst
+
+    rows = []
+    for i in range(6):
+        rows.append((i, [0.0 + 0.001 * i, 0.0], 0))
+    for i in range(6):
+        rows.append((10 + i, [10.0 + 0.001 * i, 0.0], 0))
+    rows.append((99, [5.0, 0.0], 0))  # midway
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = silhouette_worst(df, k=2, iterations=3, topn=3).collect()
+    assert got[0].vec_id == 99
+    assert got[0].s < 0.5
+    # everyone else clusters cleanly
+    assert all(r.s > 0.9 for r in got[1:])
+
+
+def test_silhouette_deterministic(spark):
+    from imposm3_spark.datapipe.kmeans import silhouette_worst
+
+    rows = [(i, [float((i * 37) % 11), float((i * 13) % 7)], 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    a = [(r.vec_id, r.s) for r in silhouette_worst(df, k=4, iterations=2).collect()]
+    b = [(r.vec_id, r.s) for r in silhouette_worst(df, k=4, iterations=2).collect()]
+    assert a == b
