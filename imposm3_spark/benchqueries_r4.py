@@ -1400,3 +1400,135 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imposm3_spark.datapipe import kmeans as km
 
     return km.silhouette_worst(_t(spark, sf_dir, "embeddings"), k=8, iterations=3)
+
+
+@register(
+    "orders_percent_rank",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS price,
+           round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct
+    FROM orders
+    """,
+)
+def orders_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percent_rank without the single-task window: the two-phase
+    row-number primitive + (rn-1)/(total-1) — completes the rank-family
+    (row_number/ntile/percent_rank) on the distributed global-order
+    backbone."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.sampling import with_global_row_numbers
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    numbered = with_global_row_numbers(
+        o, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    )
+    total = numbered.count()
+    pct = (F.col("rn") - 1).cast("double") / F.lit(float(total - 1))
+    return numbered.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(pct, 6).alias("pct"),
+    )
+
+
+@register(
+    "doc_source_similarity",
+    r"""
+    WITH v AS (
+      SELECT DISTINCT source, unnest(
+        CASE WHEN trim(text) = '' THEN []
+             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS w
+      FROM documents
+    ), n AS (
+      SELECT source, count(*) AS n FROM v GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+      FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.inter,
+           na.n + nb.n - i.inter AS uni,
+           round(CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE), 6)
+             AS jaccard
+    FROM inter i JOIN n na ON na.source = i.source_a
+                JOIN n nb ON nb.source = i.source_b
+    """,
+)
+def doc_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary similarity matrix: exact Jaccard of
+    distinct-token sets via the token equi-join (any pair with J > 0
+    shares a token — recall 1, no source×source cross join). The
+    corpus-level sibling of doc_ppjoin."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    v = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    ).distinct()
+    n = v.groupBy("source").agg(F.count("*").alias("n"))
+    a = v.select(F.col("source").alias("source_a"), "w")
+    b = v.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    uni = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        inter.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            uni.alias("uni"),
+            F.round(F.col("inter").cast("double") / uni.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+@register(
+    "events_heatmap",
+    """
+    WITH h AS (
+      SELECT event_type, isodow(ts) - 1 AS dow, hour(ts) AS hour,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), t AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM h GROUP BY event_type
+    )
+    SELECT h.event_type, h.dow, h.hour, h.n,
+           round(CAST(h.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share
+    FROM h JOIN t USING (event_type)
+    """,
+)
+def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap per type with within-type
+    share — the calendar-profile rollup (weekday(): 0 = Monday on both
+    sides). One aggregation + a broadcast of type totals."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.expr("weekday(ts)").alias("dow"),
+        F.hour(F.col("ts").cast("timestamp")).alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    t = h.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return h.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "hour",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total").cast("double"), 6).alias(
+            "share"
+        ),
+    )

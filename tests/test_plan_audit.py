@@ -991,3 +991,31 @@ def test_peaks_single_keyed_window(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Exchange rangepartitioning" not in final
     assert final.count("Exchange hashpartitioning") <= 2
+
+
+def test_percent_rank_two_phase_no_window(spark):
+    """Global percent_rank rides the two-phase primitive: the executed
+    plan carries the checkpointed range partitioning as an RDD scan and
+    NO window operator."""
+    plan = _executed_plan(bq.QUERIES["orders_percent_rank"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "ExistingRDD" in final
+
+
+def test_source_similarity_token_equi_join(spark):
+    """Source similarity: candidates from the token equi-join — no
+    source x source cross join; size tables broadcast."""
+    plan = _executed_plan(bq.QUERIES["doc_source_similarity"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in final
+
+
+def test_heatmap_single_agg_broadcast_totals(spark):
+    """Heatmap: one aggregation on the (type, dow, hour) key; type
+    totals broadcast back."""
+    plan = _executed_plan(bq.QUERIES["events_heatmap"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "Exchange rangepartitioning" not in final
