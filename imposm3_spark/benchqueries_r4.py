@@ -1532,3 +1532,200 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@register(
+    "lineitem_weighted_median",
+    # weighted median: collapse to price LEVELS first (tiny), then the
+    # cumulative-weight pick runs on the level table — the keyed window
+    # never sees raw lineitem rows.
+    """
+    WITH lv AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, price, w,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      FROM lv
+    )
+    SELECT l_returnflag, round(min(price), 2) AS weighted_median
+    FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
+    """,
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag: aggregate to
+    price levels first, cumulate weights over the level table, pick the
+    first level covering half the total weight."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    lv = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.round("l_quantity").cast("bigint")).alias("w"))
+    wc = W.partitionBy("l_returnflag").orderBy("price").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt = W.partitionBy("l_returnflag")
+    c = lv.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("price"), 2).alias("weighted_median"))
+    )
+
+
+@register(
+    "orders_priority_drift",
+    # categorical-distribution drift between the two order-year halves:
+    # chi-square contribution per priority from exact counts; the
+    # categorical sibling of emb_drift.
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS pri,
+             CASE WHEN year(o_orderdate) <= 2000 THEN 0 ELSE 1 END AS half,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT pri,
+             CAST(coalesce(sum(CASE WHEN half = 0 THEN n END), 0) AS BIGINT) AS n0,
+             CAST(coalesce(sum(CASE WHEN half = 1 THEN n END), 0) AS BIGINT) AS n1
+      FROM c GROUP BY pri
+    ), t AS (
+      SELECT CAST(sum(n0) AS BIGINT) AS t0, CAST(sum(n1) AS BIGINT) AS t1 FROM m
+    )
+    SELECT pri, n0, n1,
+           round(CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                 - CAST(n0 AS DOUBLE) / CAST(t0 AS DOUBLE), 6) AS share_shift,
+           round(
+             (CAST(n1 AS DOUBLE) - CAST(t1 AS DOUBLE)
+                * (CAST(n0 AS DOUBLE) / CAST(t0 AS DOUBLE)))
+             * (CAST(n1 AS DOUBLE) - CAST(t1 AS DOUBLE)
+                * (CAST(n0 AS DOUBLE) / CAST(t0 AS DOUBLE)))
+             / (CAST(t1 AS DOUBLE) * (CAST(n0 AS DOUBLE) / CAST(t0 AS DOUBLE))),
+             6) AS chi2_term
+    FROM m, t WHERE n0 > 0
+    """,
+)
+def orders_priority_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift monitor: order-priority mix shift between the
+    two halves of the order history, with per-category chi-square terms
+    against the first half's distribution — the categorical sibling of
+    emb_drift, from exact counts."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.when(F.year("o_orderdate") <= 2000, 0).otherwise(1).alias("half"),
+    ).agg(F.count("*").alias("n"))
+    m = c.groupBy("pri").agg(
+        F.coalesce(F.sum(F.when(F.col("half") == 0, F.col("n"))), F.lit(0)).alias("n0"),
+        F.coalesce(F.sum(F.when(F.col("half") == 1, F.col("n"))), F.lit(0)).alias("n1"),
+    )
+    t = m.agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1"))
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    p0 = d("n0") / d("t0")
+    exp1 = d("t1") * p0
+    return (
+        m.crossJoin(F.broadcast(t))
+        .where(F.col("n0") > 0)
+        .select(
+            "pri",
+            "n0",
+            "n1",
+            F.round(d("n1") / d("t1") - p0, 6).alias("share_shift"),
+            F.round((d("n1") - exp1) * (d("n1") - exp1) / exp1, 6).alias("chi2_term"),
+        )
+    )
+
+
+@register(
+    "events_growth_accounting",
+    # growth accounting: per day, new / retained / resurrected actives
+    # and churned (active yesterday, absent today) from the deduplicated
+    # activity table and its day+1 shift.
+    """
+    WITH active AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id AS k
+      FROM events
+    ), first AS (
+      SELECT k, min(d) AS d0 FROM active GROUP BY k
+    ), today AS (
+      SELECT a.d, a.k,
+             CASE WHEN f.d0 = a.d THEN 'new'
+                  WHEN y.k IS NOT NULL THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM active a
+      JOIN first f ON f.k = a.k
+      LEFT JOIN active y ON y.k = a.k AND y.d = a.d - INTERVAL 1 DAY
+    ), churn AS (
+      SELECT y.d + INTERVAL 1 DAY AS d, count(*) AS churned
+      FROM active y LEFT JOIN active t ON t.k = y.k AND t.d = y.d + INTERVAL 1 DAY
+      WHERE t.k IS NULL
+      GROUP BY 1
+    ), s AS (
+      SELECT d,
+             CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+             CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+             CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+      FROM today GROUP BY d
+    )
+    SELECT s.d AS day, s.new_users, s.retained, s.resurrected,
+           CAST(coalesce(c.churned, 0) AS BIGINT) AS churned
+    FROM s LEFT JOIN churn c ON CAST(c.d AS DATE) = s.d
+    """,
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (new / retained / resurrected / churned per
+    day): the activity table self-joined against its day-shift — the
+    standard product-growth decomposition, exact counts."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    active = ev.select(
+        F.date_trunc("DAY", F.col("ts").cast("timestamp")).cast("date").alias("d"),
+        F.col("user_id").alias("k"),
+    ).distinct().localCheckpoint(eager=False)
+    first = active.groupBy("k").agg(F.min("d").alias("d0"))
+    y = active.select(F.col("k").alias("k"), F.date_add("d", 1).alias("d"), F.lit(1).alias("_y"))
+    today = (
+        active.join(first, "k")
+        .join(y, ["k", "d"], "left")
+        .select(
+            "d",
+            F.when(F.col("d0") == F.col("d"), "new")
+            .when(F.col("_y").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    s = today.groupBy("d").agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).alias("new_users"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0)).alias("retained"),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0)).alias("resurrected"),
+    )
+    t2 = active.select("k", "d", F.lit(1).alias("_t"))
+    churn = (
+        active.select("k", F.date_add("d", 1).alias("d"))
+        .join(t2, ["k", "d"], "left")
+        .where(F.col("_t").isNull())
+        .groupBy("d")
+        .agg(F.count("*").alias("churned"))
+    )
+    return s.join(churn, s["d"] == churn["d"], "left").select(
+        s["d"].alias("day"),
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce("churned", F.lit(0)).alias("churned"),
+    )

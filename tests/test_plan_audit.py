@@ -1019,3 +1019,29 @@ def test_heatmap_single_agg_broadcast_totals(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final
     assert "Exchange rangepartitioning" not in final
+
+
+def test_weighted_median_level_table_window(spark):
+    """Weighted median: the cumulative window runs on the price-LEVEL
+    table (post-aggregation), never raw lineitem rows."""
+    plan = _executed_plan(bq.QUERIES["lineitem_weighted_median"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange rangepartitioning" not in final
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_drift_single_agg(spark):
+    """Categorical drift: one aggregation + a 1-row totals broadcast."""
+    plan = _executed_plan(bq.QUERIES["orders_priority_drift"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_growth_accounting_activity_table_joins(spark):
+    """Growth accounting: all self-joins run on the checkpointed
+    deduplicated activity table (RDD scan), not raw events."""
+    plan = _executed_plan(bq.QUERIES["events_growth_accounting"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ExistingRDD" in final
+    assert "CartesianProduct" not in plan
