@@ -1729,3 +1729,105 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resurrected",
         F.coalesce("churned", F.lit(0)).alias("churned"),
     )
+
+
+def _sql_lsh_pr() -> str:
+    from imposm3_spark.benchqueries import _sql_minhash_bands
+    from imposm3_spark.benchqueries_exact import _PPJOIN_ORACLE
+
+    lsh = (
+        _sql_minhash_bands()
+        + """
+    SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    """
+    )
+    return f"""
+    WITH lsh AS ({lsh}),
+    truth AS (SELECT id_a, id_b FROM ({_PPJOIN_ORACLE})),
+    tp AS (SELECT count(*) AS tp FROM lsh JOIN truth USING (id_a, id_b)),
+    nl AS (SELECT count(*) AS n_cand FROM lsh),
+    nt AS (SELECT count(*) AS n_truth FROM truth)
+    SELECT n_truth, n_cand, tp,
+           round(CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall
+    FROM tp, nl, nt
+    """
+
+
+@register("doc_lsh_pr", _sql_lsh_pr())
+def doc_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level precision/recall of the MinHash-LSH candidate set
+    against the exact Jaccard >= 0.5 truth (ppjoin) — the band-tuning
+    readout that says whether the sketch over- or under-generates,
+    value-checked because both sides are deterministic."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe import dedup as dd
+    from imposm3_spark.datapipe import simjoin as sj
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_pairs(docs).select("id_a", "id_b").localCheckpoint(
+        eager=False
+    )
+    truth = sj.ppjoin_pairs(docs, threshold=0.5, k=3).select("id_a", "id_b").localCheckpoint(
+        eager=False
+    )
+    tp = cand.join(truth, ["id_a", "id_b"]).agg(F.count("*").alias("tp"))
+    nl = cand.agg(F.count("*").alias("n_cand"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    return (
+        nt.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "n_truth",
+            "n_cand",
+            "tp",
+            F.round(F.col("tp").cast("double") / F.col("n_cand").cast("double"), 6).alias(
+                "precision"
+            ),
+            F.round(F.col("tp").cast("double") / F.col("n_truth").cast("double"), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+@register(
+    "events_cuped",
+    f"""
+    WITH pk AS (
+      SELECT user_id AS k,
+             CAST(sum(CASE WHEN dayofmonth(ts) <= 15
+                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN dayofmonth(ts) > 15
+                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pk
+    ), v AS (
+      SELECT k % 2 = 0 AS is_a, count(*) AS nv,
+             CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+      FROM pk GROUP BY 1
+    )
+    SELECT CASE WHEN is_a THEN 'A' ELSE 'B' END AS variant,
+           nv AS n_keys,
+           round(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE) / 100.0, 4) AS mean_post,
+           round({st.CUPED_ADJ}, 4) AS mean_post_adj,
+           round({st.CUPED_THETA}, 6) AS theta
+    FROM v, g
+    """,
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (stats.cuped): pre-period
+    cents as the control covariate, pooled theta, adjusted per-variant
+    post means — the shared CUPED_* expression strings make the floats
+    bit-identical."""
+    return st.cuped(_t(spark, sf_dir, "events"))

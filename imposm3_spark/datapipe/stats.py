@@ -815,3 +815,72 @@ def ab_test(
             (F.abs(t) > 1.96).alias("significant_5pct"),
         )
     )
+
+
+# CUPED shared expression strings (evaluated identically by Spark and
+# DuckDB): theta from pooled exact sums, adjusted mean per variant.
+CUPED_THETA = (
+    "((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))"
+)
+CUPED_ADJ = (
+    "(CAST(syv AS DOUBLE)/CAST(nv AS DOUBLE)"
+    f" - {CUPED_THETA} * (CAST(sxv AS DOUBLE)/CAST(nv AS DOUBLE)"
+    " - CAST(sx AS DOUBLE)/CAST(n AS DOUBLE))) / 100.0"
+)
+
+
+def cuped(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    split_day: int = 15,
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout: each key's PRE-period
+    metric (cents on days <= `split_day`) is the control covariate for
+    its POST-period metric; theta = cov(pre, post)/var(pre) is estimated
+    on the pooled population and the per-variant post means are adjusted
+    by -theta*(pre_v - pre_pooled) — the industry-standard variance
+    reduction for A/B tests (Deng et al., WSDM'13).
+
+    Exactness: per-key pre/post cents are exact BIGINTs; the pooled
+    (n, Σx, Σy, Σxy, Σx²) and per-variant (nv, Σxv, Σyv) are one
+    aggregation each; theta and the adjusted means are the shared
+    CUPED_* expression strings.
+
+    Scale: one keyed aggregation to the per-key table, one global and
+    one per-variant rollup (both tiny), broadcast combine.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    day = F.dayofmonth(F.col(ts_col).cast("timestamp"))
+    per_key = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.when(day <= split_day, cents).otherwise(F.lit(0)).alias("pre"),
+            F.when(day > split_day, cents).otherwise(F.lit(0)).alias("post"),
+        )
+        .groupBy("k")
+        .agg(F.sum("pre").alias("x"), F.sum("post").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    g = per_key.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    v = per_key.groupBy((F.col("k") % 2 == 0).alias("is_a")).agg(
+        F.count("*").alias("nv"), F.sum("x").alias("sxv"), F.sum("y").alias("syv")
+    )
+    out = v.crossJoin(F.broadcast(g))
+    return out.select(
+        F.when(F.col("is_a"), "A").otherwise("B").alias("variant"),
+        F.col("nv").alias("n_keys"),
+        F.round(F.col("syv").cast("double") / F.col("nv").cast("double") / 100.0, 4).alias(
+            "mean_post"
+        ),
+        F.round(F.expr(CUPED_ADJ), 4).alias("mean_post_adj"),
+        F.round(F.expr(CUPED_THETA), 6).alias("theta"),
+    )

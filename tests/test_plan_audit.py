@@ -1045,3 +1045,22 @@ def test_growth_accounting_activity_table_joins(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "ExistingRDD" in final
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_pr_checkpointed_sides(spark):
+    """LSH precision/recall: both pair sets are checkpointed once (RDD
+    scans) so the tp/count aggregations never recompute the LSH or the
+    prefix-filter join."""
+    plan = _executed_plan(bq.QUERIES["doc_lsh_pr"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ExistingRDD" in final
+    assert "CartesianProduct" not in plan
+
+
+def test_cuped_per_key_table_rollups(spark):
+    """CUPED: one keyed aggregation to the per-key table (checkpointed),
+    then tiny pooled/variant rollups with a broadcast combine."""
+    plan = _executed_plan(bq.QUERIES["events_cuped"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ExistingRDD" in final
+    assert "Exchange rangepartitioning" not in final

@@ -53,3 +53,38 @@ def test_ab_test_matches_scipy_style_formula(spark):
     assert r.mean_a == round(ma / 100, 4) and r.mean_b == round(mb / 100, 4)
     assert abs(r.t_stat - t) < 1e-6
     assert r.significant_5pct == (abs(t) > 1.96)
+
+
+def test_cuped_reduces_variance_and_preserves_effect(spark):
+    """Synthetic A/B with a strong pre/post correlation: the adjusted
+    means keep the true effect while theta is near the planted slope."""
+    import numpy as np
+
+    from imposm3_spark.datapipe.stats import cuped
+
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    for uid in range(200):
+        base = float(rng.uniform(10, 100))
+        # pre-period spend proportional to base
+        rows.append((eid, dt.datetime(2001, 3, 5), uid, "x", round(base, 2), "{}"))
+        eid += 1
+        # post = base + noise + treatment effect (+5 for even users)
+        effect = 5.0 if uid % 2 == 0 else 0.0
+        post = base + float(rng.normal(0, 2)) + effect
+        rows.append((eid, dt.datetime(2001, 3, 20), uid, "x", round(max(post, 0), 2), "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    got = {r.variant: r for r in cuped(df).collect()}
+    assert got["A"].n_keys == 100 and got["B"].n_keys == 100
+    # theta near 1 (post tracks pre 1:1)
+    assert 0.8 < got["A"].theta < 1.2
+    raw_diff = got["A"].mean_post - got["B"].mean_post
+    adj_diff = got["A"].mean_post_adj - got["B"].mean_post_adj
+    # both estimate the +5 effect; the adjusted one is tighter
+    assert abs(adj_diff - 5.0) < 1.0
+    assert abs(adj_diff - 5.0) <= abs(raw_diff - 5.0) + 0.5
