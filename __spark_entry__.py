@@ -95,8 +95,23 @@ _DRIVER_FIRST = [
     "events_entropy",
     "events_autocorr",
     # ROUND-5 NOTE: after this window lands, every query registered through
-    # round 3 has a driver row; rotate any round-4 additions (queries added
-    # after this list was written) into the front of this list next round.
+    # round 3 has a driver row. Rotate the 42 round-4 additions (all
+    # local-gate green at sf0.001/0.01/0.1; timestamp-sensitive ones also
+    # hostile-session green) into this window next round:
+    # events_ols2, events_user_paths, events_attribution,
+    # events_bot_cadence, doc_cdc_chunks, doc_cdc_dedup,
+    # emb_hard_negatives, doc_ngram_diversity, events_interval_overlap,
+    # events_mg_heavy, events_holt, doc_containment, events_funnel_window,
+    # events_wau, emb_drift, orders_pareto, doc_dedup_report,
+    # events_seq_pairs, doc_distinctive_terms, orders_profile, emb_ood,
+    # doc_pmi_pairs, lineitem_join_size, doc_kfold, orders_backlog,
+    # events_ab_test, doc_make_batches, emb_mips_topk, orders_cohort_ltv,
+    # emb_pq_recall, emb_matryoshka_recall, emb_hamming_recall,
+    # events_peaks, emb_silhouette, orders_percent_rank,
+    # doc_source_similarity, events_heatmap, lineitem_weighted_median,
+    # orders_priority_drift, events_growth_accounting, doc_lsh_pr,
+    # events_cuped. The 50 above will then all have driver rows; keep them
+    # behind the rotation.
 ]
 
 
