@@ -1831,3 +1831,66 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     post means — the shared CUPED_* expression strings make the floats
     bit-identical."""
     return st.cuped(_t(spark, sf_dir, "events"))
+
+
+def _sql_purity() -> str:
+    from imposm3_spark.datapipe import kmeans as km
+
+    base = km.oracle_sql(k=8, iterations=3, dim=64)
+    return f"""
+    WITH assign AS ({base}),
+    j AS (
+      SELECT a.cluster, e.label, count(*) AS n
+      FROM assign a JOIN embeddings e USING (vec_id)
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT cluster, CAST(sum(n) AS BIGINT) AS n_members FROM j GROUP BY cluster
+    ), maj AS (
+      SELECT cluster, label AS majority_label, n AS n_majority FROM (
+        SELECT cluster, label, n,
+               row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rn
+        FROM j
+      ) WHERE rn = 1
+    )
+    SELECT t.cluster, t.n_members, m.majority_label, m.n_majority,
+           round(CAST(m.n_majority AS DOUBLE) / CAST(t.n_members AS DOUBLE), 6)
+             AS purity
+    FROM tot t JOIN maj m USING (cluster)
+    """
+
+
+@register("emb_cluster_purity", _sql_purity())
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering validation: per-cluster majority-label purity
+    after the exact Lloyd run — the label-agreement readout that says
+    whether unsupervised structure tracks the known classes. Majority
+    tie-breaks on the lowest label; everything else exact counts."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe import kmeans as km
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = km.lloyd_kmeans(emb, k=8, iterations=3)
+    j = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = j.groupBy("cluster").agg(F.sum("n").alias("n_members"))
+    w = W.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    maj = (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("majority_label"), F.col("n").alias("n_majority"))
+    )
+    return tot.join(maj, "cluster").select(
+        "cluster",
+        "n_members",
+        "majority_label",
+        "n_majority",
+        F.round(
+            F.col("n_majority").cast("double") / F.col("n_members").cast("double"), 6
+        ).alias("purity"),
+    )
