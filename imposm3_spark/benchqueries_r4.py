@@ -1894,3 +1894,91 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_majority").cast("double") / F.col("n_members").cast("double"), 6
         ).alias("purity"),
     )
+
+
+def _sql_lsh_pr_curve() -> str:
+    from imposm3_spark.benchqueries import _sql_minhash_bands
+    from imposm3_spark.benchqueries_exact import _PPJOIN_ORACLE
+
+    truth04 = _PPJOIN_ORACLE.replace(
+        "WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5",
+        "WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.4",
+    )
+    lsh = (
+        _sql_minhash_bands()
+        + """
+    SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+    """
+    )
+    return f"""
+    WITH lsh AS ({lsh}),
+    truth04 AS (SELECT id_a, id_b, jaccard FROM ({truth04})),
+    thr AS (SELECT unnest([0.4, 0.5, 0.6]) AS threshold),
+    t AS (
+      SELECT thr.threshold, tr.id_a, tr.id_b
+      FROM truth04 tr JOIN thr ON tr.jaccard >= thr.threshold
+    ), nt AS (
+      SELECT threshold, count(*) AS n_truth FROM t GROUP BY threshold
+    ), tp AS (
+      SELECT t.threshold, count(*) AS tp
+      FROM t JOIN lsh USING (id_a, id_b) GROUP BY t.threshold
+    ), nc AS (SELECT count(*) AS n_cand FROM lsh)
+    SELECT nt.threshold, nt.n_truth, nc.n_cand,
+           CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+           round(CAST(coalesce(tp.tp, 0) AS DOUBLE) / CAST(nc.n_cand AS DOUBLE), 6)
+             AS precision,
+           round(CAST(coalesce(tp.tp, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE), 6)
+             AS recall
+    FROM nt LEFT JOIN tp USING (threshold), nc
+    """
+
+
+@register("doc_lsh_pr_curve", _sql_lsh_pr_curve())
+def doc_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall CURVE of the fixed MinHash-LSH candidate set
+    against exact Jaccard truths at 0.4/0.5/0.6 — the threshold-sweep
+    readout for band tuning (one ppjoin at the loosest threshold feeds
+    all three truth sets)."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe import dedup as dd
+    from imposm3_spark.datapipe import simjoin as sj
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_pairs(docs).select("id_a", "id_b").localCheckpoint(eager=False)
+    truth04 = (
+        sj.ppjoin_pairs(docs, threshold=0.4, k=3)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=False)
+    )
+    thr = docs.sparkSession.createDataFrame(
+        [(0.4,), (0.5,), (0.6,)], "threshold double"
+    )
+    t = truth04.crossJoin(F.broadcast(thr)).where(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    nt = t.groupBy("threshold").agg(F.count("*").alias("n_truth"))
+    tp = (
+        t.join(cand, ["id_a", "id_b"])
+        .groupBy("threshold")
+        .agg(F.count("*").alias("tp"))
+    )
+    nc = cand.agg(F.count("*").alias("n_cand"))
+    return (
+        nt.join(tp, "threshold", "left")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "threshold",
+            "n_truth",
+            "n_cand",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.round(
+                F.coalesce("tp", F.lit(0)).cast("double") / F.col("n_cand").cast("double"), 6
+            ).alias("precision"),
+            F.round(
+                F.coalesce("tp", F.lit(0)).cast("double") / F.col("n_truth").cast("double"), 6
+            ).alias("recall"),
+        )
+    )

@@ -184,3 +184,77 @@ def streaming_neardup_flags(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CHUNK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("chunk_hash", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("chunk_idx", LongType(), False),
+        StructField("chunk_len", LongType(), False),
+    ]
+)
+
+
+def _chunk_dedup_group(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per chunk-hash group: first occurrence wins (lowest doc_id, then
+    chunk_idx); later arrivals of the same chunk content emit nothing."""
+    if state.exists:
+        return
+    best = None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["doc_id", "chunk_idx"])
+        cand = pdf.iloc[0]
+        if best is None or (cand["doc_id"], cand["chunk_idx"]) < (
+            best["doc_id"],
+            best["chunk_idx"],
+        ):
+            best = cand
+    if best is None:
+        return
+    state.update((int(best["doc_id"]),))
+    yield pd.DataFrame(
+        {
+            "chunk_hash": [key[0]],
+            "doc_id": [int(best["doc_id"])],
+            "chunk_idx": [int(best["chunk_idx"])],
+            "chunk_len": [int(best["chunk_len"])],
+        }
+    )
+
+
+def streaming_chunk_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Chunk-level streaming dedup: CDC-chunk every incoming document
+    (chunking.cdc_chunks — a stateless projection, so it runs inside the
+    micro-batch plan) and emit only the FIRST occurrence of each chunk
+    content across the stream's history — the delta-ingest shape that
+    stores shared boilerplate once, ever.
+
+    `docs` must be a STREAMING DataFrame with (doc_id, text); returns
+    the first-occurrence chunk stream (append mode). State is one long
+    per distinct chunk content (same footprint as streaming_exact_dedup,
+    sharded by the hash key); the CDC boundary property means a shifted
+    re-paste of known content still dedups everything after the first
+    boundary.
+    """
+    from imposm3_spark.datapipe.chunking import cdc_chunks
+
+    chunks = cdc_chunks(docs, id_col=id_col, text_col=text_col).select(
+        "chunk_hash",
+        F.col(id_col).alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+    )
+    return chunks.groupBy("chunk_hash").applyInPandasWithState(
+        _chunk_dedup_group,
+        outputStructType=CHUNK_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -161,3 +161,69 @@ def test_native_dedup_within_watermark(spark, tmp_path):
     write([(4, "BBB", datetime(2024, 1, 1, 9, 40))])
     got = drain()
     assert got.filter(F.col("h") == "BBB").count() == 1
+
+
+def test_streaming_chunk_dedup_cross_batch_and_shift(spark, tmp_path):
+    """Chunk-level dedup: batch 2 re-pastes batch 1's content with a
+    shifted prefix — every re-aligned chunk after the first boundary is
+    suppressed by state from batch 1."""
+    import shutil
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from imposm3_spark.datapipe.chunking import cdc_chunks
+    from imposm3_spark.datapipe.streaming_dedup import streaming_chunk_dedup
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("text", StringType(), False),
+        ]
+    )
+    base = "A fairly long paragraph about content defined chunk dedup. " * 20
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, base)], schema).write.parquet(str(src / "b"))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src / "b"))
+        q = (
+            streaming_chunk_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+        return spark.read.parquet(str(tmp_path / "out"))
+
+    got1 = drain().collect()
+    # the x20-repeated paragraph dedups WITHIN doc 1 as well: output is
+    # one row per DISTINCT chunk content, first occurrence wins
+    distinct_doc1 = (
+        cdc_chunks(spark.createDataFrame([(1, base)], schema))
+        .select("chunk_hash")
+        .distinct()
+        .count()
+    )
+    assert len(got1) == distinct_doc1
+    assert all(r.doc_id == 1 for r in got1)
+
+    # batch 2: shifted duplicate + one genuinely new doc
+    staging = tmp_path / "staging"
+    spark.createDataFrame(
+        [(2, "SHIFT-PREFIX! " + base), (3, "totally fresh content here")], schema
+    ).write.parquet(str(staging))
+    for i, f in enumerate(sorted(staging.glob("part-*.parquet"))):
+        shutil.move(str(f), str(src / "b" / f"late-{i}.parquet"))
+    got2 = drain().collect()
+    new_rows = [r for r in got2 if (r.doc_id, r.chunk_idx) not in
+                {(r1.doc_id, r1.chunk_idx) for r1 in got1}]
+    # doc 2 contributes ONLY its first (prefix-affected) chunk; doc 3 all
+    doc2_new = [r for r in new_rows if r.doc_id == 2]
+    doc3_new = [r for r in new_rows if r.doc_id == 3]
+    assert len(doc2_new) <= 1
+    assert len(doc3_new) >= 1
