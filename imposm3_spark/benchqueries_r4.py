@@ -1982,3 +1982,101 @@ def doc_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "events_hazard",
+    # discrete-time survival: per day-offset since first signup, users
+    # still unconverted entering the day (at risk), conversions that
+    # day, hazard = conv/at_risk. Every number is an exact integer from
+    # the per-user offset table + a triangular suffix count; the
+    # Kaplan-Meier cumulative PRODUCT is deliberately not emitted (float
+    # products over data-dependent sets are aggregation-order-dependent).
+    """
+    WITH su AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), pu AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+      GROUP BY e.user_id
+    ), off AS (
+      SELECT su.user_id,
+             CASE WHEN pu.tp IS NULL THEN NULL
+                  ELSE date_diff('day', CAST(su.t0 AS DATE), CAST(pu.tp AS DATE))
+             END AS conv_day
+      FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+    ), days AS (
+      SELECT DISTINCT conv_day AS d FROM off WHERE conv_day IS NOT NULL
+    ), conv AS (
+      SELECT conv_day AS d, count(*) AS conversions FROM off
+      WHERE conv_day IS NOT NULL GROUP BY conv_day
+    ), risk AS (
+      SELECT days.d,
+             (SELECT count(*) FROM off
+              WHERE conv_day IS NULL OR conv_day >= days.d) AS n_at_risk
+      FROM days
+    )
+    SELECT r.d AS day_offset, CAST(r.n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(c.conversions AS BIGINT) AS conversions,
+           round(CAST(c.conversions AS DOUBLE) / CAST(r.n_at_risk AS DOUBLE), 6)
+             AS hazard
+    FROM risk r JOIN conv c USING (d)
+    """,
+)
+def events_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time conversion hazard: per day-offset since first
+    signup, the fraction of still-unconverted users who convert that day
+    — the survival-analysis readout, exact integers throughout (the K-M
+    cumulative product is deliberately omitted: float products over
+    data-dependent sets are order-dependent; the hazard table carries
+    the same information).
+
+    Scale: one keyed aggregation per event class, a user-sized left
+    join, and a triangular suffix count on the tiny distinct-offset
+    table."""
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events")
+    su = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    off = su.join(pu, "user_id", "left").select(
+        "user_id",
+        F.when(
+            F.col("tp").isNotNull(),
+            F.datediff(F.col("tp").cast("date"), F.col("t0").cast("date")),
+        ).alias("conv_day"),
+    ).localCheckpoint(eager=False)
+    conv = (
+        off.where(F.col("conv_day").isNotNull())
+        .groupBy(F.col("conv_day").alias("d"))
+        .agg(F.count("*").alias("conversions"))
+    )
+    # triangular suffix count over the DAY HISTOGRAM (distinct offsets +
+    # one null bucket — tiny), never the user-sized table: at risk on
+    # day d = never-converted + users with conv_day >= d
+    hist = off.groupBy("conv_day").agg(F.count("*").alias("n"))
+    a = conv.select("d")
+    risk = (
+        a.crossJoin(F.broadcast(hist))
+        .where(F.col("conv_day").isNull() | (F.col("conv_day") >= F.col("d")))
+        .groupBy("d")
+        .agg(F.sum("n").alias("n_at_risk"))
+    )
+    return conv.join(risk, "d").select(
+        F.col("d").alias("day_offset"),
+        "n_at_risk",
+        "conversions",
+        F.round(
+            F.col("conversions").cast("double") / F.col("n_at_risk").cast("double"), 6
+        ).alias("hazard"),
+    )

@@ -1064,3 +1064,13 @@ def test_cuped_per_key_table_rollups(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "ExistingRDD" in final
     assert "Exchange rangepartitioning" not in final
+
+
+def test_hazard_histogram_sized_risk(spark):
+    """Hazard curve: the at-risk suffix count runs on the day HISTOGRAM
+    (broadcast), never the user-sized offset table; the offset table
+    itself is checkpointed once."""
+    plan = _executed_plan(bq.QUERIES["events_hazard"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ExistingRDD" in final
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
