@@ -2080,3 +2080,88 @@ def events_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("conversions").cast("double") / F.col("n_at_risk").cast("double"), 6
         ).alias("hazard"),
     )
+
+
+def _sql_pii() -> str:
+    from imposm3_spark.datapipe.text import EMAIL_RE, LONG_NUM_RE, URL_RE
+
+    url, email, num = URL_RE, EMAIL_RE, LONG_NUM_RE
+    return f"""
+    WITH m AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{url}')) AS urls,
+             len(regexp_extract_all(text, '{email}')) AS emails,
+             len(regexp_extract_all(text, '{num}')) AS long_nums
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN urls > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_url,
+           CAST(sum(CASE WHEN emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+           CAST(sum(CASE WHEN long_nums > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_num,
+           CAST(sum(urls) AS BIGINT) AS url_matches,
+           CAST(sum(emails) AS BIGINT) AS email_matches,
+           CAST(sum(long_nums) AS BIGINT) AS num_matches
+    FROM m GROUP BY source
+    """
+
+
+@register("doc_pii_report", _sql_pii())
+def doc_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure report per source (text.pii_report): documents and
+    occurrences per pattern class using the SAME regexes scrub_pii
+    redacts — the before/after audit artifact of a scrub pass."""
+    from imposm3_spark.datapipe import text as tx
+
+    return tx.pii_report(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "orders_dup_payments",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    )
+    SELECT a.o_custkey AS custkey, a.o_orderkey AS order_a,
+           b.o_orderkey AS order_b,
+           round(CAST(a.cents AS DOUBLE) / 100.0, 2) AS amount_a,
+           abs(a.cents - b.cents) AS cents_delta,
+           a.cents = b.cents AS exact_dup
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey AND a.d = b.d
+     AND a.o_orderkey < b.o_orderkey
+    """,
+)
+def orders_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: pairs of orders from the SAME customer
+    on the SAME day, with the exact cents delta and an exact-duplicate
+    flag — the double-charge/split-payment review queue as a (customer,
+    day) equi-join (no date-range fanout; the pair volume is bounded by
+    per-customer daily order counts)."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.round(F.col("a.cents").cast("double") / 100.0, 2).alias("amount_a"),
+            F.abs(F.col("a.cents") - F.col("b.cents")).alias("cents_delta"),
+            (F.col("a.cents") == F.col("b.cents")).alias("exact_dup"),
+        )
+    )

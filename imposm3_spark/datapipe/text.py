@@ -506,3 +506,38 @@ def pmi_pairs(
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
         .limit(topn)
     )
+
+
+def pii_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII exposure report per group: documents containing each pattern
+    class (URL / email / long digit run — the same regexes scrub_pii
+    redacts) plus total match occurrences. The audit artifact published
+    BEFORE a scrub pass (what's there) and after (should be all zeros).
+
+    Pure expressions over one scan + one tiny keyed aggregation; counts
+    are exact integers.
+    """
+    t = F.col(text_col)
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.regexp_count(t, F.lit(URL_RE)).alias("urls"),
+            F.regexp_count(t, F.lit(EMAIL_RE)).alias("emails"),
+            F.regexp_count(t, F.lit(LONG_NUM_RE)).alias("long_nums"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("urls") > 0, 1).otherwise(0)).alias("docs_with_url"),
+            F.sum(F.when(F.col("emails") > 0, 1).otherwise(0)).alias("docs_with_email"),
+            F.sum(F.when(F.col("long_nums") > 0, 1).otherwise(0)).alias("docs_with_num"),
+            F.sum("urls").alias("url_matches"),
+            F.sum("emails").alias("email_matches"),
+            F.sum("long_nums").alias("num_matches"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
