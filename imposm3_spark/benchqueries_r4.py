@@ -2165,3 +2165,139 @@ def orders_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cents") == F.col("b.cents")).alias("exact_dup"),
         )
     )
+
+
+@register(
+    "orders_cycle_time",
+    """
+    WITH ship AS (
+      SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS shipmax
+      FROM lineitem GROUP BY l_orderkey
+    ), ct AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE), s.shipmax) AS days
+      FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey
+      WHERE s.shipmax >= CAST(o.o_orderdate AS DATE)
+    )
+    SELECT priority, count(*) AS n,
+           round(quantile_cont(days, 0.5), 4) AS p50_days,
+           round(quantile_cont(days, 0.9), 4) AS p90_days,
+           max(days) AS max_days
+    FROM ct GROUP BY priority
+    """,
+)
+def orders_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fulfilment cycle time per priority: order date to last
+    lineitem ship date, exact p50/p90 (percentile/quantile_cont parity)
+    and the worst case — the operations SLA readout."""
+    from pyspark.sql import functions as F
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("shipmax")
+    )
+    ct = (
+        o.join(ship, o["o_orderkey"] == ship["l_orderkey"])
+        .where(F.col("shipmax") >= F.col("o_orderdate").cast("date"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.col("shipmax"), F.col("o_orderdate").cast("date")).alias("days"),
+        )
+    )
+    return ct.groupBy("priority").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(days, 0.5D)"), 4).alias("p50_days"),
+        F.round(F.expr("percentile(days, 0.9D)"), 4).alias("p90_days"),
+        F.max("days").alias("max_days"),
+    )
+
+
+@register(
+    "emb_ball_query",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+    )
+    SELECT q.query_id, e.vec_id, 
+           round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])), 6) AS sim
+    FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    WHERE round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])), 6) >= 0.35
+    """,
+)
+def emb_ball_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (ball) similarity search: ALL vectors within cosine >=
+    0.35 of each query — the range-query sibling of top-k retrieval
+    (result size is data-dependent, so the scan filter replaces the
+    per-query heap)."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = e.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("cvec"))
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.35)
+        .select("query_id", "vec_id", "sim")
+    )
+
+
+@register(
+    "supplier_hhi",
+    # exact Herfindahl-Hirschman concentration: HHI = sum(share_i^2) =
+    # (sum c_i^2) / T^2 — the squared-cents sum accumulates in
+    # DECIMAL/HUGEINT, so the float division happens ONCE.
+    """
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_suppkey
+    ), a AS (
+      SELECT count(*) AS n_suppliers,
+             CAST(sum(c) AS HUGEINT) AS t,
+             sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
+      FROM s
+    )
+    SELECT n_suppliers,
+           round(CAST(ss AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 9)
+             AS hhi,
+           round(1.0 / CAST(n_suppliers AS DOUBLE), 9) AS hhi_uniform
+    FROM a
+    """,
+)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration index: exact HHI of supplier revenue shares
+    via the decimal-exact Σc² / T² identity (one float division — no
+    order-dependent float share sum), with the uniform-market baseline
+    1/n for calibration."""
+    from pyspark.sql import functions as F
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("c")
+    )
+    a = s.agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("t"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")).alias(
+            "ss"
+        ),
+    )
+    return a.select(
+        "n_suppliers",
+        F.round(
+            F.col("ss").cast("double") / (F.col("t").cast("double") * F.col("t").cast("double")),
+            9,
+        ).alias("hhi"),
+        F.round(F.lit(1.0) / F.col("n_suppliers").cast("double"), 9).alias("hhi_uniform"),
+    )

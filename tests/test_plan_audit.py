@@ -1074,3 +1074,21 @@ def test_hazard_histogram_sized_risk(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "ExistingRDD" in final
     assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+
+
+def test_ball_query_scan_filter_no_heap(spark):
+    """Ball query: a broadcast scan filter — no window/rank operator at
+    all (the result is data-dependent, not top-k)."""
+    plan = _executed_plan(bq.QUERIES["emb_ball_query"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastExchange" in final
+
+
+def test_hhi_single_pass_decimal(spark):
+    """HHI: one scan, two aggregations (supplier rollup + decimal
+    moments), zero joins."""
+    plan = _executed_plan(bq.QUERIES["supplier_hhi"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "Join" not in final
