@@ -2301,3 +2301,77 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hhi"),
         F.round(F.lit(1.0) / F.col("n_suppliers").cast("double"), 9).alias("hhi_uniform"),
     )
+
+
+def _sql_mmr(nq: int = 3, ncand: int = 10, nsel: int = 3, lam: float = 0.7) -> str:
+    """Unrolled MMR greedy oracle: each pick is a (penalty, argmax) CTE
+    pair — the exact sequential algorithm. The redundancy weight embeds
+    the PYTHON double repr of 1.0-lam so both engines multiply by the
+    bit-identical constant."""
+    lam_s, mu_s = repr(lam), repr(1.0 - lam)
+    cos = (
+        lambda a, b: f"round(list_cosine_similarity(CAST({a} AS DOUBLE[]), "
+        f"CAST({b} AS DOUBLE[])), 6)"
+    )
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+      WHERE vec_id < {nq}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id, e.embedding AS cvec,
+             {cos('q.qvec', 'e.embedding')} AS sim
+      FROM q JOIN embeddings e ON e.vec_id != q.query_id
+    ), cand AS MATERIALIZED (
+      SELECT query_id, vec_id, cvec, sim FROM (
+        SELECT query_id, vec_id, cvec, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= {ncand}
+    ), p1 AS MATERIALIZED (
+      SELECT query_id, vec_id, sim AS mmr_score, cvec FROM (
+        SELECT query_id, vec_id, sim, cvec,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        FROM cand) WHERE rn = 1
+    )"""
+    ]
+    for k in range(2, nsel + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT query_id, vec_id, cvec FROM p{j}" for j in range(1, k)
+        )
+        parts.append(
+            f""", pri{k} AS ({prior}), pen{k} AS (
+      SELECT c.query_id, c.vec_id, any_value(c.sim) AS sim,
+             any_value(c.cvec) AS cvec,
+             max({cos('c.cvec', 'p.cvec')}) AS maxp
+      FROM cand c JOIN pri{k} p ON p.query_id = c.query_id
+      WHERE NOT EXISTS (SELECT 1 FROM pri{k} x
+                        WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+      GROUP BY c.query_id, c.vec_id
+    ), p{k} AS MATERIALIZED (
+      SELECT query_id, vec_id, score AS mmr_score, cvec FROM (
+        SELECT query_id, vec_id, cvec,
+               round({lam_s} * sim - {mu_s} * maxp, 6) AS score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round({lam_s} * sim - {mu_s} * maxp, 6) DESC, vec_id) AS rn
+        FROM pen{k}) WHERE rn = 1
+    )"""
+        )
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT query_id, {k} AS pick_order, vec_id, mmr_score FROM p{k}"
+        for k in range(1, nsel + 1)
+    )
+    return "".join(parts) + "\n    " + finals
+
+
+@register("emb_mmr_select", _sql_mmr())
+def emb_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking (similarity.mmr_select): 3 greedy picks
+    from each query's top-10 — relevance minus redundancy, no driver
+    collect (the greedy chain is n_select DataFrame stages over bounded
+    candidate sets), bit-identical to the unrolled-greedy oracle."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.similarity import mmr_select
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mmr_select(e, e.filter(F.col("vec_id") < 3), n_candidates=10, n_select=3)

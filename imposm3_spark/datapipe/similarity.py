@@ -832,3 +832,89 @@ def ood_scores(
         .orderBy(F.desc("ood_dist"), F.asc(id_col))
         .limit(topn)
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 10,
+    n_select: int = 3,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from each query's top-`n_candidates` cosine candidates,
+    greedily pick `n_select` items maximizing
+    ``lam*sim(q,c) - (1-lam)*max_{s in picked} sim(c,s)`` — relevance
+    minus redundancy, the diversity-aware retrieval head RAG rerankers
+    use. Returns (query_id, pick_order, vec_id, mmr_score).
+
+    The greedy recursion is inherently sequential in `n_select`, so the
+    plan chains `n_select` DataFrame stages (each a candidate-sized join
+    + rank window) — NO driver collect, no per-row Python; candidate
+    sets are bounded by construction so every stage is tiny regardless
+    of corpus size. All similarities round to 6dp before comparison
+    (deterministic, oracle-parity) with vec_id tie-breaks.
+    """
+    cand = brute_force_topk(embeddings, queries, k=n_candidates, id_col=id_col, vec_col=vec_col)
+    vecs = embeddings.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    cand = (
+        cand.join(vecs, cand["vec_id"] == vecs["_vid"])
+        .select("query_id", "vec_id", "sim", F.col("_v").alias("cvec"))
+        .localCheckpoint(eager=False)
+    )
+    picked = None  # (query_id, pick_order, vec_id, mmr_score, pvec)
+    out = []
+    for step in range(1, n_select + 1):
+        if picked is None:
+            w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+            sel = (
+                cand.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(
+                    "query_id",
+                    F.lit(1).alias("pick_order"),
+                    "vec_id",
+                    F.col("sim").alias("mmr_score"),
+                    F.col("cvec").alias("pvec"),
+                )
+            )
+        else:
+            pv = picked.select(
+                F.col("query_id").alias("_q"), F.col("vec_id").alias("_pid"), "pvec"
+            )
+            rem = cand.join(
+                picked.select(F.col("query_id").alias("_q2"), F.col("vec_id").alias("_pid2")),
+                (cand["query_id"] == F.col("_q2")) & (cand["vec_id"] == F.col("_pid2")),
+                "left_anti",
+            )
+            pen = (
+                rem.join(pv, rem["query_id"] == pv["_q"])
+                .withColumn("psim", F.round(cosine(F.col("cvec"), F.col("pvec")), 6))
+                .groupBy("query_id", "vec_id", "sim")
+                .agg(F.max("psim").alias("maxp"), F.first("cvec").alias("cvec"))
+            )
+            score = F.round(
+                F.lit(lam) * F.col("sim") - F.lit(1.0 - lam) * F.col("maxp"), 6
+            )
+            w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+            sel = (
+                pen.withColumn("score", score)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(
+                    "query_id",
+                    F.lit(step).alias("pick_order"),
+                    "vec_id",
+                    F.col("score").alias("mmr_score"),
+                    F.col("cvec").alias("pvec"),
+                )
+            )
+        sel = sel.localCheckpoint(eager=False)
+        out.append(sel.select("query_id", "pick_order", "vec_id", "mmr_score"))
+        picked = sel if picked is None else picked.unionByName(sel)
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    return result

@@ -1092,3 +1092,13 @@ def test_hhi_single_pass_decimal(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1
     assert "Join" not in final
+
+
+def test_mmr_no_driver_collect_bounded_stages(spark):
+    """MMR: the greedy chain is DataFrame stages over checkpointed
+    candidate sets (RDD scans) — no cartesian, no global sort."""
+    plan = _executed_plan(bq.QUERIES["emb_mmr_select"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ExistingRDD" in final
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in final

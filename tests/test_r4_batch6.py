@@ -88,3 +88,45 @@ def test_cuped_reduces_variance_and_preserves_effect(spark):
     # both estimate the +5 effect; the adjusted one is tighter
     assert abs(adj_diff - 5.0) < 1.0
     assert abs(adj_diff - 5.0) <= abs(raw_diff - 5.0) + 0.5
+
+
+def test_mmr_promotes_diversity(spark):
+    """A redundant near-duplicate of the top hit must NOT be picked
+    second; a less-similar but novel vector wins."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.similarity import mmr_select
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.14, 0.0]),      # top hit
+        (2, [0.985, 0.17, 0.0]),     # near-duplicate of 1 (redundant)
+        (3, [0.7, -0.7, 0.1]),       # novel direction, lower sim
+        (4, [0.6, 0.8, 0.0]),        # another direction
+    ]
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows], "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.pick_order: r.vec_id
+           for r in mmr_select(df, df.filter(F.col("vec_id") == 0),
+                                n_candidates=4, n_select=3, lam=0.5).collect()}
+    assert got[1] == 1          # pure relevance first
+    # the near-duplicate of pick 1 loses slot 2 to the novel direction
+    # (hand-computed: score(3) ~ +0.053 vs score(2) ~ -0.007)
+    assert got[2] == 3
+    assert got[2] != 2 and len(got) == 3
+
+
+def test_mmr_deterministic(spark):
+    from imposm3_spark.datapipe.similarity import mmr_select
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float((i * 31) % 13) - 6, float((i * 17) % 7) - 3, 1.0], 0)
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = df.filter(F.col("vec_id") < 2)
+    a = sorted((r.query_id, r.pick_order, r.vec_id)
+               for r in mmr_select(df, q, 8, 3).collect())
+    b = sorted((r.query_id, r.pick_order, r.vec_id)
+               for r in mmr_select(df, q, 8, 3).collect())
+    assert a == b and len(a) == 6
