@@ -110,8 +110,11 @@ _DRIVER_FIRST = [
     # events_peaks, emb_silhouette, orders_percent_rank,
     # doc_source_similarity, events_heatmap, lineitem_weighted_median,
     # orders_priority_drift, events_growth_accounting, doc_lsh_pr,
-    # events_cuped. The 50 above will then all have driver rows; keep them
-    # behind the rotation.
+    # events_cuped, emb_cluster_purity, doc_lsh_pr_curve, events_hazard,
+    # doc_pii_report, orders_dup_payments, orders_cycle_time,
+    # emb_ball_query, supplier_hhi, emb_mmr_select (49 round-4 additions
+    # — within one 50-entry window). The 50 above will then all have
+    # driver rows; keep them behind the rotation.
 ]
 
 
