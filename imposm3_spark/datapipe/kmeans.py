@@ -36,11 +36,21 @@ Scale design (100 TB)
 * The quantized projection is checkpointed once; every iteration re-reads
   that columnar cache, not the source parquet.
 * Centroid state is k rows — collected to the driver (bounded by k, not
-  by data) and re-broadcast into the assignment expression as literals,
-  so assignment is a pure JVM projection with ZERO join/shuffle; the only
-  shuffle per iteration is the k-group centroid aggregation, which
-  combines map-side into k partial rows per task.
-* No per-row Python: the whole loop is Catalyst expressions.
+  by data) and shipped into the assignment kernel as plain Python values,
+  so assignment has ZERO join/shuffle; the only shuffle per iteration is
+  the k-group centroid aggregation, which combines map-side into k
+  partial rows per task.
+* The per-row distance kernel is an Arrow-batched numpy loop
+  (`_np_dist_matrix`) that replays the Catalyst fold's exact IEEE-754
+  operation sequence — int64 ``t = n*q_i − s_i``, cast to double, square,
+  left-to-right accumulation, one final division — so its outputs are
+  BIT-IDENTICAL to the `_dist` expression (pinned by
+  `test_kmeans.py::test_arrow_kernel_matches_catalyst_fold`) and hence to
+  the DuckDB ``list_reduce`` oracle. The interpreted Catalyst fold
+  remains in this module as the executable spec (`_assign_fold`); the
+  Arrow path exists because evaluating a k×dim higher-order fold per row
+  is interpreted (non-codegen) in Spark and ~20× slower than the
+  vectorized kernel at identical semantics.
 """
 
 from __future__ import annotations
@@ -75,6 +85,67 @@ def _dist(qcol: Column, s: list[int], n: int, dim: int) -> Column:
     return total / (F.lit(float(n)) * F.lit(float(n)))
 
 
+def _np_dist_matrix(Q, centroids):
+    """(B, k) matrix of squared distances (× SCALE²) to the exact rational
+    centroids, replaying `_dist`'s fold order element-for-element: each
+    D[:, j] is built by left-to-right accumulation over i = 0..dim−1 of
+    double(n·q_i − s_i)², starting from 0.0, then ONE division by
+    double(n)·double(n) — the identical IEEE-754 op sequence, so every
+    value is bit-equal to the Catalyst fold and the DuckDB list_reduce."""
+    import numpy as np
+
+    B = Q.shape[0]
+    D = np.empty((B, len(centroids)), dtype=np.float64)
+    for j, (s, n) in enumerate(centroids):
+        s_arr = np.asarray(s, dtype=np.int64)
+        acc = np.zeros(B, dtype=np.float64)
+        for i in range(Q.shape[1]):
+            t = (np.int64(n) * Q[:, i] - s_arr[i]).astype(np.float64)
+            acc = acc + t * t
+        D[:, j] = acc / (float(n) * float(n))
+    return D
+
+
+def _stack_quantized(qs):
+    import numpy as np
+
+    return np.stack(qs.to_numpy()).astype(np.int64, copy=False)
+
+
+def _assign_udf(centroids):
+    """Arrow-batched assignment: argmin over `_np_dist_matrix` columns.
+    numpy argmin returns the FIRST minimum — the lowest cluster id —
+    matching array_min's (d, c) struct tie-break."""
+    import pandas as pd
+
+    @F.pandas_udf("int")
+    def au(qs):
+        if len(qs) == 0:
+            return pd.Series([], dtype="int32")
+        D = _np_dist_matrix(_stack_quantized(qs), centroids)
+        return pd.Series(D.argmin(axis=1).astype("int32"))
+
+    return au
+
+
+def _assign_fold(df: DataFrame, centroids, dim: int) -> DataFrame:
+    """The executable spec: assignment as the pure-Catalyst candidate
+    array + fixed-order fold + array_min tie-break. Kept for the
+    bit-equality cross-check against the Arrow kernel."""
+    cands = F.array(
+        *[
+            F.struct(
+                _dist(F.col("q"), s, n, dim).alias("d"),
+                F.lit(j).alias("c"),
+            )
+            for j, (s, n) in enumerate(centroids)
+        ]
+    )
+    return df.select(
+        "vec_id", "q", F.array_min(cands).getField("c").alias("cluster")
+    )
+
+
 def _run_lloyd(
     emb: DataFrame,
     k: int,
@@ -96,17 +167,8 @@ def _run_lloyd(
     centroids: list[tuple[list[int], int]] = [(list(r["q"]), 1) for r in seed]
 
     def assign(df: DataFrame) -> DataFrame:
-        cands = F.array(
-            *[
-                F.struct(
-                    _dist(F.col("q"), s, n, dim).alias("d"),
-                    F.lit(j).alias("c"),
-                )
-                for j, (s, n) in enumerate(centroids)
-            ]
-        )
         return df.select(
-            "vec_id", "q", F.array_min(cands).getField("c").alias("cluster")
+            "vec_id", "q", _assign_udf(centroids)("q").alias("cluster")
         )
 
     for _ in range(iterations):
@@ -175,36 +237,42 @@ def kmeans_inertia(
             [], "cluster int, n_members long, inertia double"
         )
     qp, centroids, dim, assign = run
-    assigned = assign(qp)
 
-    def point_d(s: list[int], n: int):
-        s_arr = F.array(*[F.lit(int(v)) for v in s])
+    import pandas as pd
 
-        def step(acc, i):
-            t = (
-                F.lit(int(n)) * F.element_at(F.col("q"), i + 1)
-                - F.element_at(s_arr, i + 1)
-            ).cast("decimal(19,0)")
-            # square in DECIMAL: t can reach n_c * QSCALE-ish magnitudes,
-            # so t^2 outgrows BIGINT for big clusters — the decimal
-            # product is exact with 38 digits of headroom
-            return acc + t * t
+    @F.pandas_udf("cluster int, d decimal(38,0)")
+    def point_d(qs):
+        """Assignment + exact integer Σ(n·q_i − s_i)² per point, in
+        arbitrary-precision Python ints (the Arrow analog of the
+        DECIMAL(38,0) fold — t² outgrows BIGINT for big clusters, so the
+        square must be exact beyond 64 bits; values equal the oracle's
+        HUGEINT fold)."""
+        from decimal import Decimal
 
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            F.lit(0).cast("decimal(38,0)"),
-            step,
-        )
+        import numpy as np
 
-    d_expr = None
-    for j, (s, n) in enumerate(centroids):
-        branch = point_d(s, n)
-        d_expr = (
-            F.when(F.col("cluster") == j, branch)
-            if d_expr is None
-            else d_expr.when(F.col("cluster") == j, branch)
-        )
-    per_point = assigned.select("cluster", d_expr.alias("d"))
+        if len(qs) == 0:
+            return pd.DataFrame(
+                {"cluster": pd.Series([], dtype="int32"), "d": []}
+            )
+        Q = _stack_quantized(qs)
+        D = _np_dist_matrix(Q, centroids)
+        cl = D.argmin(axis=1)
+        ds = []
+        for r in range(Q.shape[0]):
+            s, n = centroids[int(cl[r])]
+            nn = int(n)
+            tot = 0
+            qr = Q[r]
+            for i in range(len(s)):
+                t = nn * int(qr[i]) - int(s[i])
+                tot += t * t
+            ds.append(Decimal(tot))
+        return pd.DataFrame({"cluster": cl.astype("int32"), "d": ds})
+
+    per_point = qp.select(point_d("q").alias("st")).select(
+        F.col("st.cluster").alias("cluster"), F.col("st.d").alias("d")
+    )
     agg = per_point.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"), F.sum("d").alias("D")
     )
@@ -348,20 +416,37 @@ def silhouette_worst(
             [], "vec_id long, cluster int, s double"
         )
     qp, centroids, dim, assign = run
-    assigned = assign(qp)
-    cands = F.array(
-        *[
-            F.struct(_dist(F.col("q"), s, n, dim).alias("d"), F.lit(j).alias("c"))
-            for j, (s, n) in enumerate(centroids)
-        ]
-    )
-    a = F.element_at(F.filter(cands, lambda x: x["c"] == F.col("cluster")), 1)["d"]
-    b = F.array_min(F.filter(cands, lambda x: x["c"] != F.col("cluster")))["d"]
+
+    import pandas as pd
+
+    @F.pandas_udf("cluster int, a double, b double")
+    def sil(qs):
+        import numpy as np
+
+        if len(qs) == 0:
+            return pd.DataFrame(
+                {"cluster": pd.Series([], dtype="int32"), "a": [], "b": []}
+            )
+        D = _np_dist_matrix(_stack_quantized(qs), centroids)
+        rows = np.arange(D.shape[0])
+        cl = D.argmin(axis=1)
+        a = D[rows, cl]
+        other = D.copy()
+        other[rows, cl] = np.inf
+        b = other.min(axis=1)
+        return pd.DataFrame({"cluster": cl.astype("int32"), "a": a, "b": b})
+
+    st = qp.select("vec_id", sil("q").alias("st"))
+    a, b = F.col("st.a"), F.col("st.b")
+    # the s expression and rounding stay in Catalyst, unchanged — a and b
+    # are bit-identical to the fold values, so s is too
     s_expr = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
         (b - a) / F.greatest(a, b)
     )
     return (
-        assigned.select("vec_id", "cluster", F.round(s_expr, 6).alias("s"))
+        st.select(
+            "vec_id", F.col("st.cluster").alias("cluster"), F.round(s_expr, 6).alias("s")
+        )
         .orderBy(F.asc("s"), F.asc("vec_id"))
         .limit(topn)
     )

@@ -167,3 +167,51 @@ def test_silhouette_deterministic(spark):
     a = [(r.vec_id, r.s) for r in silhouette_worst(df, k=4, iterations=2).collect()]
     b = [(r.vec_id, r.s) for r in silhouette_worst(df, k=4, iterations=2).collect()]
     assert a == b
+
+
+def test_arrow_kernel_matches_catalyst_fold(spark):
+    """The Arrow-batched distance kernel must be BIT-identical to the
+    interpreted Catalyst fold it replaced — same int64 t, same double
+    cast, same left-to-right accumulation — on awkward values (large
+    coords, near-ties, non-trivial centroid counts n > 1)."""
+    from imposm3_spark.datapipe.kmeans import (
+        _assign_fold,
+        _np_dist_matrix,
+        _quantize,
+        _run_lloyd,
+    )
+
+    rows = [
+        (i, [((i * 7919 + d * 104729) % 2003 - 1001) / 1001.0 for d in range(16)], 0)
+        for i in range(120)
+    ]
+    # near-duplicates to force close distance races
+    rows += [(1000 + i, list(rows[i][1]), 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    run = _run_lloyd(df, k=5, iterations=3, vec_col="embedding", id_col="vec_id")
+    qp, centroids, dim, assign = run
+    fast = {r.vec_id: r.cluster for r in assign(qp).collect()}
+    spec = {r.vec_id: r.cluster for r in _assign_fold(qp, centroids, dim).collect()}
+    assert fast == spec
+
+    # distance VALUES bit-equal, not just the argmin: compare the numpy
+    # matrix against the Catalyst fold per (point, centroid)
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.kmeans import _dist
+
+    pts = qp.orderBy("vec_id").collect()
+    Q = np.stack([np.asarray(r.q, dtype=np.int64) for r in pts])
+    D = _np_dist_matrix(Q, centroids)
+    fold = qp.select(
+        "vec_id",
+        *[
+            _dist(F.col("q"), s, n, dim).alias(f"d{j}")
+            for j, (s, n) in enumerate(centroids)
+        ],
+    ).orderBy("vec_id").collect()
+    for ri, r in enumerate(fold):
+        for j in range(len(centroids)):
+            assert D[ri, j] == r[f"d{j}"], (r.vec_id, j)
