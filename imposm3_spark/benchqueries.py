@@ -1757,3 +1757,4 @@ from imposm3_spark import benchqueries_stats as _stats  # noqa: E402,F401
 from imposm3_spark import benchqueries_mining as _mining  # noqa: E402,F401
 from imposm3_spark import benchqueries_exact as _exact  # noqa: E402,F401
 from imposm3_spark import benchqueries_r4 as _r4  # noqa: E402,F401
+from imposm3_spark import benchqueries_r4b as _r4b  # noqa: E402,F401

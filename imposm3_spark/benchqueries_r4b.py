@@ -1,0 +1,171 @@
+"""Round-4 batch 15: governance, inequality, audit, rank statistics,
+and bounded graph decomposition.
+
+Registered into the same QUERIES/ORACLES registry as benchqueries:
+
+* ``events_k_anonymity``  k-anonymity / l-diversity class-size audit of
+                          a quasi-identifier release
+* ``cust_gini``           exact Gini concentration of customer revenue
+* ``events_benford``      Benford first-digit fraud screen with exact
+                          chi-square contributions
+* ``events_spearman``     exact tie-averaged Spearman rank correlation
+                          per event type
+* ``events_kcore``        bounded k-core peeling of the user/event-type
+                          bipartite activity graph
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imposm3_spark.benchqueries import _t, register
+from imposm3_spark.datapipe import graph as gr
+from imposm3_spark.datapipe import privacy as pv
+from imposm3_spark.datapipe import stats as st
+
+
+@register(
+    "events_k_anonymity",
+    pv.k_anonymity_oracle(
+        qi_sql=[
+            "event_type",
+            "CAST(ts AS DATE)",
+            "CAST(floor(value / 100.0) AS BIGINT)",
+        ],
+        sensitive_sql="user_id",
+        table="events",
+        k=5,
+    ),
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of a hypothetical release keyed by
+    the quasi-identifiers (event_type, date, value-band): class-size
+    histogram, weakest l-diversity per size, and the below-k risk flag
+    (datapipe/privacy.py). All exact integers."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") / 100.0).cast("bigint").alias("value_band"),
+        "user_id",
+    )
+    return pv.k_anonymity_report(
+        ev, ["event_type", "day", "value_band"], "user_id", k=5
+    )
+
+
+@register(
+    "cust_gini",
+    f"""
+    WITH pc AS (
+      SELECT o_custkey AS k,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT v, row_number() OVER (ORDER BY v, k) AS rn FROM pc
+    ), g AS (
+      SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(2 * rn * CAST(v AS HUGEINT)) AS HUGEINT) AS s2iv
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_keys, sv AS total, {st.GINI} AS gini FROM g
+    """,
+)
+def cust_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-customer order revenue — the
+    revenue-concentration scalar behind the Pareto curve
+    (stats.gini_coefficient over the two-phase global-rank primitive;
+    the oracle's window row_number is the sequential mirror)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return st.gini_coefficient(orders, "k", "cents")
+
+
+@register(
+    "events_benford",
+    st.benford_oracle("value", "events"),
+)
+def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of event amounts: observed vs
+    expected shares and per-digit chi-square contributions
+    (stats.benford_digits) — first digits come from the BIGINT cent
+    string, never float log10."""
+    return st.benford_digits(_t(spark, sf_dir, "events"), "value")
+
+
+@register(
+    "events_spearman",
+    f"""
+    WITH base AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(hour(ts) AS BIGINT) AS y
+      FROM events
+    ), xr AS (
+      SELECT g, x,
+             2 * coalesce(CAST(sum(c) OVER (PARTITION BY g ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) + c + 1 AS a
+      FROM (SELECT g, x, count(*) AS c FROM base GROUP BY g, x)
+    ), yr AS (
+      SELECT g, y,
+             2 * coalesce(CAST(sum(c) OVER (PARTITION BY g ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) + c + 1 AS b
+      FROM (SELECT g, y, count(*) AS c FROM base GROUP BY g, y)
+    ), j AS (
+      SELECT base.g, a, b
+      FROM base JOIN xr ON base.g = xr.g AND base.x = xr.x
+                JOIN yr ON base.g = yr.g AND base.y = yr.y
+    ), agg AS (
+      SELECT g, count(*) AS n,
+             CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+             CAST(sum(CAST(a AS HUGEINT) * b) AS HUGEINT) AS sab,
+             CAST(sum(CAST(a AS HUGEINT) * a) AS HUGEINT) AS saa,
+             CAST(sum(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sbb
+      FROM j GROUP BY g
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n, {st.SPEARMAN_RHO} AS spearman_rho
+    FROM agg
+    WHERE n >= 3
+      AND CAST(n AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa > 0
+      AND CAST(n AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb > 0
+    """,
+)
+def events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation (tie-averaged) between event
+    amount and hour-of-day per event type — the monotone-association
+    readout (stats.spearman_by_group): doubled average ranks are exact
+    integers, sums are DECIMAL(38,0)/HUGEINT, rho is the shared
+    SPEARMAN_RHO expression."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    )
+    return st.spearman_by_group(ev, "event_type", "cents", "hr", min_n=3)
+
+
+_KCORE_EDGES = """
+  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS s,
+                  't:' || event_type AS d
+  FROM events
+"""
+
+
+@register("events_kcore", gr.kcore_oracle(_KCORE_EDGES, k=3, rounds=4))
+def events_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k=3, 4 rounds) of the user/event-type
+    bipartite activity graph: iteratively drop nodes with degree < 3 and
+    their edges, then report the surviving nodes with their in-core
+    degrees (graph.kcore_peel). The engagement-core extraction that
+    degree thresholds alone get wrong (degrees must recount after every
+    peel)."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("s"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("d"),
+    )
+    return gr.kcore_peel(edges, k=3, rounds=4)

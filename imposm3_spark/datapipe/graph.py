@@ -150,3 +150,69 @@ SELECT node, r, round(CAST(r AS DOUBLE) / {float(SCALE)}, 6) AS rank
 FROM {prev}"""
     )
     return "".join(parts)
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded k-core peeling over an undirected edge list (s, d): each
+    round drops every node of degree < k and every edge touching one,
+    `rounds` times — the distributed k-core algorithm (each round is one
+    degree aggregation + two semi-joins; the classic sequential peel is
+    its fixpoint). `rounds` is part of the operator contract so any two
+    engines agree regardless of convergence depth; with rounds >= the
+    graph's peel depth the result IS the exact k-core.
+
+    Returns (node, degree) for the surviving subgraph — degrees counted
+    within the surviving edge set. All exact integers.
+
+    Scale (100 TB): per round, one map-side-combinable degree count and
+    two semi-joins keyed on the node — edges shuffle by endpoint, never
+    materialize per-node adjacency in memory, no window. Lineage is cut
+    with a lazy checkpoint per round so the plan stays rounds-linear.
+    """
+    e = edges.select("s", "d").distinct().localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.explode(F.array("s", "d")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.where(F.col("deg") >= k).select("node")
+        e = (
+            e.join(alive.withColumnRenamed("node", "s"), "s", "left_semi")
+            .join(alive.withColumnRenamed("node", "d"), "d", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.explode(F.array("s", "d")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def kcore_oracle(edges_sql: str, k: int = 3, rounds: int = 4) -> str:
+    """DuckDB oracle for kcore_peel: the identical bounded peel unrolled
+    as one CTE triple (degrees, alive, filtered edges) per round."""
+    parts = [f"WITH e0 AS MATERIALIZED ({edges_sql})"]
+    for r in range(rounds):
+        parts.append(
+            f""", d{r} AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT s AS node FROM e{r} UNION ALL SELECT d AS node FROM e{r}
+  ) GROUP BY node
+), a{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS MATERIALIZED (
+  SELECT s, d FROM e{r}
+  WHERE s IN (SELECT node FROM a{r}) AND d IN (SELECT node FROM a{r})
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, count(*) AS degree FROM (
+  SELECT s AS node FROM e{rounds} UNION ALL SELECT d AS node FROM e{rounds}
+) GROUP BY node"""
+    )
+    return "".join(parts)

@@ -884,3 +884,240 @@ def cuped(
         F.round(F.expr(CUPED_ADJ), 4).alias("mean_post_adj"),
         F.round(F.expr(CUPED_THETA), 6).alias("theta"),
     )
+
+
+# Gini shared expression string: G = (2*Sum(i*v) - (n+1)*Sum(v)) / (n*Sum(v))
+# over columns n (BIGINT), sv (BIGINT), s2iv (exact wide integer). Both
+# engines evaluate the identical parse tree, and the wide-integer ->
+# double casts are correctly rounded on both.
+GINI = (
+    "round((CAST(s2iv AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sv AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE)), 6)"
+)
+
+
+def gini_coefficient(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact Gini concentration coefficient of an integer value per key:
+    0 = perfectly equal, (n-1)/n = one key holds everything. The
+    inequality readout for spend/revenue/token-budget concentration.
+
+    Exactness: with values sorted ascending and 1-based ranks i,
+    G = (2*Sum(i*v_i) - (n+1)*Sum(v)) / (n*Sum(v)). Every sum is an
+    exact integer — Sum(2*i*v) accumulates in DECIMAL(38,0) (HUGEINT in
+    the oracle) — and G is ONE shared expression (stats.GINI). Rank ties
+    cannot perturb the result: swapping equal values across adjacent
+    ranks leaves Sum(i*v) unchanged.
+
+    Scale: one keyed aggregation to the per-key table, then the
+    two-phase global-rank primitive (range exchange + local sort +
+    driver prefix offsets — no single-task window), then one global
+    rollup. The per-key table is keys-sized, not rows-sized.
+    """
+    from imposm3_spark.datapipe.sampling import with_global_row_numbers
+
+    per_key = (
+        df.select(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("v"))
+    )
+    ranked = with_global_row_numbers(per_key, ["v", "k"], rn_col="rn")
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(
+            F.col("rn").cast("decimal(38,0)") * F.lit(2) * F.col("v")
+        ).alias("s2iv"),
+    )
+    return g.select(
+        F.col("n").alias("n_keys"),
+        F.col("sv").alias("total"),
+        F.expr(GINI).alias("gini"),
+    )
+
+
+def benford_probs() -> list[tuple[int, float]]:
+    """Benford first-digit expected shares log10(1 + 1/d), d = 1..9, as
+    python doubles — embedded as literals on BOTH engine sides so the
+    floats are bit-identical."""
+    import math
+
+    return [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+
+
+# chi-square contribution per digit from exact counts + the literal p:
+# (obs - total*p)^2 / (total*p), over columns obs, total (BIGINT), p.
+BENFORD_CHI = (
+    "round((CAST(obs AS DOUBLE) - CAST(total AS DOUBLE) * p)"
+    " * (CAST(obs AS DOUBLE) - CAST(total AS DOUBLE) * p)"
+    " / (CAST(total AS DOUBLE) * p), 6)"
+)
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """Benford's-law first-digit audit — the classic anomaly/fraud screen
+    for naturally-occurring amounts: observed first-significant-digit
+    counts of the positive cent amounts vs the Benford expectation
+    log10(1+1/d), with the per-digit chi-square contribution.
+
+    Exactness: the first digit comes from the decimal STRING rendering
+    of the exact BIGINT cents (no float log10 edge cases at powers of
+    ten); counts are exact; expected shares are shared python-double
+    literals; the chi term is the shared BENFORD_CHI expression.
+
+    Scale: one map-side-combinable 9-group aggregation + a broadcast of
+    the 9-row expectation table. Nothing else moves.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    obs = (
+        df.select(cents.alias("c"))
+        .where(F.col("c") > 0)
+        .select(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    spark = df.sparkSession
+    probs = spark.createDataFrame(benford_probs(), "digit int, p double")
+    tot = obs.agg(F.sum("obs").alias("total"))
+    return (
+        probs.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("obs", F.lit(0)).alias("obs"),
+            "total",
+            "p",
+        )
+        .select(
+            "digit",
+            "obs",
+            F.round(F.col("obs").cast("double") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round("p", 6).alias("expected"),
+            F.expr(BENFORD_CHI).alias("chi_term"),
+        )
+    )
+
+
+def benford_oracle(value_sql: str, table: str, where: str = "TRUE") -> str:
+    """DuckDB oracle for benford_digits: identical literals + the shared
+    chi expression."""
+    ds = ", ".join(str(d) for d, _ in benford_probs())
+    ps = ", ".join(repr(p) for _, p in benford_probs())
+    return f"""
+    WITH src AS (
+      SELECT CAST(round(({value_sql}) * 100) AS BIGINT) AS c
+      FROM {table} WHERE {where}
+    ), o AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             count(*) AS obs
+      FROM src WHERE c > 0 GROUP BY 1
+    ), probs AS (
+      -- CAST: duckdb parses bare decimal literals as DECIMAL, not DOUBLE
+      SELECT unnest([{ds}]) AS digit,
+             unnest(list_transform([{ps}], v -> CAST(v AS DOUBLE))) AS p
+    ), t AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM o)
+    SELECT probs.digit,
+           CAST(coalesce(o.obs, 0) AS BIGINT) AS obs,
+           round(CAST(coalesce(o.obs, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS share,
+           round(p, 6) AS expected,
+           {BENFORD_CHI.replace("obs", "coalesce(o.obs, 0)")} AS chi_term
+    FROM probs LEFT JOIN o USING (digit), t
+    """
+
+
+# Spearman rho from exact tie-averaged rank sufficient statistics:
+# a = 2*avg_rank_x, b = 2*avg_rank_y (both exact integers), so
+# rho = (n*Sab - Sa*Sb) / sqrt((n*Saa - Sa^2) * (n*Sbb - Sb^2)) — the
+# factor 2 cancels. Wide-integer sums cast to double once, identically.
+SPEARMAN_RHO = (
+    "round((CAST(n AS DOUBLE)*CAST(sab AS DOUBLE)"
+    " - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)"
+    " - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))"
+    " * (CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)"
+    " - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))), 6)"
+)
+
+
+def _double_avg_ranks(
+    base: DataFrame, group: str, col: str, out: str
+) -> DataFrame:
+    """Per (group, value): 2*tie-averaged-rank as an exact BIGINT —
+    2*avg_rank = 2*(number of strictly smaller rows) + c + 1 where c is
+    the value's multiplicity. The window rides the (group, DISTINCT
+    value) table, which is value-cardinality-sized, not row-sized."""
+    from pyspark.sql import Window as W
+
+    vg = base.groupBy(group, col).agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        W.partitionBy(group)
+        .orderBy(col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return vg.select(
+        group,
+        col,
+        (
+            F.lit(2) * F.coalesce(F.sum("_c").over(w), F.lit(0))
+            + F.col("_c")
+            + F.lit(1)
+        ).alias(out),
+    )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    min_n: int = 3,
+) -> DataFrame:
+    """Exact Spearman rank correlation of two columns within each group —
+    the monotone-association readout Pearson misses (outlier-robust,
+    captures any monotone relation). Ties take the standard average
+    rank.
+
+    Exactness: doubled tie-averaged ranks are exact integers; the five
+    sufficient sums accumulate in DECIMAL(38,0)/HUGEINT; rho is the ONE
+    shared expression SPEARMAN_RHO. Groups with zero rank variance on
+    either side (all-equal values) are excluded by an exact integer
+    predicate, never a float compare.
+
+    Scale: two (group, distinct-value) aggregations + keyed cumulative
+    windows on those value tables, two row-table equi-joins back, one
+    final per-group rollup. No global sort, no single-task window.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    )
+    ra = _double_avg_ranks(base, "g", "x", "a")
+    rb = _double_avg_ranks(base, "g", "y", "b")
+    joined = base.join(ra, ["g", "x"]).join(rb, ["g", "y"])
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = joined.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(dec(F.col("a")) * F.col("b")).alias("sab"),
+        F.sum(dec(F.col("a")) * F.col("a")).alias("saa"),
+        F.sum(dec(F.col("b")) * F.col("b")).alias("sbb"),
+    )
+    var_x = F.col("n").cast("decimal(38,0)") * F.col("saa") - dec(F.col("sa")) * F.col("sa")
+    var_y = F.col("n").cast("decimal(38,0)") * F.col("sbb") - dec(F.col("sb")) * F.col("sb")
+    return (
+        g.where((F.col("n") >= min_n) & (var_x > 0) & (var_y > 0))
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            F.expr(SPEARMAN_RHO).alias("spearman_rho"),
+        )
+    )
