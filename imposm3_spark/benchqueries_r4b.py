@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from imposm3_spark.benchqueries import _t, register
 from imposm3_spark.datapipe import graph as gr
+from imposm3_spark.datapipe import mining as mn
 from imposm3_spark.datapipe import privacy as pv
 from imposm3_spark.datapipe import stats as st
 
@@ -169,3 +170,117 @@ def events_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("t:"), F.col("event_type")).alias("d"),
     )
     return gr.kcore_peel(edges, k=3, rounds=4)
+
+
+@register("doc_collocation_llr", mn.llr_collocations_oracle(topn=30, min_count=3))
+def doc_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 statistically-surprising adjacent word pairs by Dunning's
+    log-likelihood ratio (mining.llr_collocations) — the phrase/collocation
+    discovery step raw bigram counts get wrong."""
+    return mn.llr_collocations(_t(spark, sf_dir, "documents"), topn=30, min_count=3)
+
+
+@register("doc_zipf", mn.zipf_fit_oracle(topk=100))
+def doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit (ln freq ~ ln rank) over the top-100 terms
+    (mining.zipf_fit) — slope near -1 is the natural-language signature;
+    flat slopes flag templated corpora."""
+    return mn.zipf_fit(_t(spark, sf_dir, "documents"), topk=100)
+
+
+_TEXTRANK_EDGES = r"""
+  SELECT src, dst, CAST(sum(c) AS BIGINT) AS cnt FROM (
+    SELECT w1 AS src, w2 AS dst, count(*) AS c FROM (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT CASE WHEN trim(text) = '' THEN []
+                   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+            FROM documents),
+           unnest(range(1, len(tk))) AS u(i)
+    ) GROUP BY 1, 2
+    UNION ALL
+    SELECT w2 AS src, w1 AS dst, count(*) AS c FROM (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM (SELECT CASE WHEN trim(text) = '' THEN []
+                   ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+            FROM documents),
+           unnest(range(1, len(tk))) AS u(i)
+    ) GROUP BY 1, 2
+  ) GROUP BY src, dst"""
+
+_TEXTRANK_NODES = r"""
+  SELECT DISTINCT unnest(CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS node
+  FROM documents"""
+
+
+@register(
+    "doc_textrank",
+    "SELECT node, r, rank FROM ("
+    + gr.pagerank_oracle(_TEXTRANK_EDGES, _TEXTRANK_NODES, iterations=3)
+    + ") ORDER BY r DESC, node LIMIT 25",
+)
+def doc_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): integer
+    fixed-point PageRank over the symmetrized adjacent-word co-occurrence
+    graph, top 25 words by rank — the unsupervised keyword surfacing
+    step. Ranks are exact fixed-point BIGINTs (graph.pagerank_fixed_point),
+    so the top-n order (r DESC, node) is integer-deterministic."""
+    from imposm3_spark.datapipe.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.lower(F.col("text"))).alias("tk"))
+    seq = F.when(
+        F.size("tk") >= 2,
+        F.expr(
+            "transform(sequence(1, size(tk) - 1),"
+            " i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    pairs = toks.select(F.explode(seq).alias("p")).select("p.w1", "p.w2")
+    directed = pairs.groupBy(F.col("w1").alias("src"), F.col("w2").alias("dst")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    edges = (
+        directed.select("src", "dst", "c")
+        .unionAll(directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "c"))
+        .groupBy("src", "dst")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    nodes = toks.select(F.explode("tk").alias("node")).distinct()
+    ranks = gr.pagerank_fixed_point(edges, nodes, iterations=3)
+    return ranks.orderBy(F.desc("r"), F.asc("node")).limit(25)
+
+
+def _sql_mutual_info() -> str:
+    cs = ",\n             ".join(
+        f"CAST(sum(CASE WHEN hr = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i in range(24)
+    )
+    hs = ", ".join(f"CAST(sum(c{i}) AS BIGINT) AS h{i}" for i in range(24))
+    return f"""
+    WITH base AS (
+      SELECT event_type AS g, hour(ts) AS hr FROM events
+    ), piv AS (
+      SELECT g, count(*) AS n,
+             {cs}
+      FROM base GROUP BY g
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, {hs} FROM piv
+    )
+    SELECT g AS event_type, n, {st.mi_term_expr(24)} AS mi_term
+    FROM piv, tot
+    """
+
+
+@register("events_mutual_info", _sql_mutual_info())
+def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mutual-information contribution between type and
+    hour-of-day (stats.mutual_information_by_group): the rows sum to
+    I(type; hour) in nats — how much temporal signature each event type
+    carries. Fixed 24-category fold, exact counts, shared expression."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr")
+    )
+    return st.mutual_information_by_group(
+        ev, "event_type", "hr", list(range(24))
+    )

@@ -105,22 +105,19 @@ def pagerank_fixed_point(
     )
 
 
-def oracle_sql(iterations: int = 3) -> str:
-    """DuckDB oracle: the identical fixed-point iteration unrolled."""
+def pagerank_oracle(
+    edges_sql: str, nodes_sql: str, iterations: int = 3
+) -> str:
+    """DuckDB oracle for pagerank_fixed_point over ANY edge/node SQL:
+    `edges_sql` must yield (src, dst, cnt), `nodes_sql` one `node` row
+    per vertex. The fixed-point iteration is unrolled identically to the
+    Spark loop."""
     parts = [
         f"""
-WITH ordered AS MATERIALIZED (
-  SELECT event_type AS src,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS dst
-  FROM events
-), edges AS MATERIALIZED (
-  SELECT src, dst, count(*) AS cnt FROM ordered
-  WHERE dst IS NOT NULL GROUP BY 1, 2
+WITH edges AS MATERIALIZED ({edges_sql}
 ), outs AS MATERIALIZED (
   SELECT src, sum(cnt) AS out_cnt FROM edges GROUP BY 1
-), nodes AS MATERIALIZED (
-  SELECT DISTINCT event_type AS node FROM events
+), nodes AS MATERIALIZED ({nodes_sql}
 ), nn AS (SELECT count(*) AS n FROM nodes),
 r0 AS MATERIALIZED (
   SELECT node, CAST({SCALE} AS BIGINT) // nn.n AS r FROM nodes CROSS JOIN nn
@@ -150,6 +147,20 @@ SELECT node, r, round(CAST(r AS DOUBLE) / {float(SCALE)}, 6) AS rank
 FROM {prev}"""
     )
     return "".join(parts)
+
+
+def oracle_sql(iterations: int = 3) -> str:
+    """DuckDB oracle for events_pagerank: the event-type transition graph
+    through the generic pagerank_oracle."""
+    edges = """
+  SELECT src, dst, count(*) AS cnt FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL GROUP BY 1, 2"""
+    nodes = "\n  SELECT DISTINCT event_type AS node FROM events"
+    return pagerank_oracle(edges, nodes, iterations=iterations)
 
 
 def kcore_peel(

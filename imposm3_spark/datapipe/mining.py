@@ -413,3 +413,224 @@ def sequence_pair_support(
             "support_frac"
         ),
     )
+
+
+def _llr_xlx(k: str, row: str, col: str) -> str:
+    """One Dunning LLR cell term: k * ln(k*N / (row*col)), zero-guarded."""
+    return (
+        f"(CASE WHEN {k} > 0 THEN CAST({k} AS DOUBLE)"
+        f" * ln(CAST({k} AS DOUBLE) * CAST(nn AS DOUBLE)"
+        f" / (CAST({row} AS DOUBLE) * CAST({col} AS DOUBLE)))"
+        " ELSE 0.0 END)"
+    )
+
+
+# Dunning log-likelihood ratio over the 2x2 bigram contingency table
+# (k11 bigram, k12 = first-word remainder, k21 = second-word remainder,
+# k22 = everything else), summed in fixed cell order 11,12,21,22 — ONE
+# shared expression string, evaluated identically by Spark and DuckDB.
+LLR = (
+    "round(2.0 * ("
+    + _llr_xlx("k11", "k11 + k12", "k11 + k21")
+    + " + "
+    + _llr_xlx("k12", "k11 + k12", "k12 + k22")
+    + " + "
+    + _llr_xlx("k21", "k21 + k22", "k11 + k21")
+    + " + "
+    + _llr_xlx("k22", "k21 + k22", "k12 + k22")
+    + "), 6)"
+)
+
+
+def llr_collocations(
+    docs: DataFrame,
+    topn: int = 30,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Statistically-surprising adjacent word pairs by Dunning's
+    log-likelihood ratio (Dunning, "Accurate Methods for the Statistics
+    of Surprise and Coincidence", CL'93) — the collocation detector
+    behind phrase discovery ("new york", "machine learning") that raw
+    bigram counts get wrong (they just find frequent words).
+
+    Exactness: all four contingency cells are exact BIGINTs from two
+    aggregations over the bigram table; the LLR is the ONE shared
+    expression string (mining.LLR). Top-n orders by (llr DESC, w1, w2) —
+    a total order because llr is bit-identical on both engines.
+
+    Scale: tokens explode linearly; bigram counts and the two marginal
+    aggregations are map-side combinable; the marginals join back on the
+    word key (no skew beyond natural word frequency, which the k11 >=
+    min_count filter prunes first); top-n is a TakeOrdered, not a global
+    sort.
+    """
+    from imposm3_spark.datapipe.text import tokens
+
+    toks = docs.select(tokens(F.lower(F.col(text_col))).alias("tk"))
+    seq = F.when(
+        F.size("tk") >= 2,
+        F.expr(
+            "transform(sequence(1, size(tk) - 1),"
+            " i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    pairs = toks.select(F.explode(seq).alias("p")).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("k11"))
+    c1 = big.groupBy("w1").agg(F.sum("k11").alias("c1w"))
+    c2 = big.groupBy("w2").agg(F.sum("k11").alias("c2w"))
+    nn = big.agg(F.sum("k11").alias("nn"))
+    tab = (
+        big.where(F.col("k11") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1",
+            "w2",
+            "k11",
+            (F.col("c1w") - F.col("k11")).alias("k12"),
+            (F.col("c2w") - F.col("k11")).alias("k21"),
+            (F.col("nn") - F.col("c1w") - F.col("c2w") + F.col("k11")).alias("k22"),
+            "nn",
+        )
+    )
+    return (
+        tab.select("w1", "w2", "k11", F.expr(LLR).alias("llr"))
+        .orderBy(F.desc("llr"), F.asc("w1"), F.asc("w2"))
+        .limit(topn)
+    )
+
+
+def llr_collocations_oracle(topn: int = 30, min_count: int = 3) -> str:
+    r"""DuckDB oracle for llr_collocations: same tokenization, same
+    contingency cells, the identical LLR string."""
+    return rf"""
+    WITH toks AS (
+      SELECT CASE WHEN trim(text) = '' THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      FROM documents
+    ), pairs AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, unnest(range(1, len(tk))) AS u(i)
+    ), big AS (
+      SELECT w1, w2, count(*) AS k11 FROM pairs GROUP BY w1, w2
+    ), c1 AS (SELECT w1, CAST(sum(k11) AS BIGINT) AS c1w FROM big GROUP BY w1),
+    c2 AS (SELECT w2, CAST(sum(k11) AS BIGINT) AS c2w FROM big GROUP BY w2),
+    nt AS (SELECT CAST(sum(k11) AS BIGINT) AS nn FROM big),
+    tab AS (
+      SELECT big.w1, big.w2, k11,
+             c1w - k11 AS k12, c2w - k11 AS k21,
+             nn - c1w - c2w + k11 AS k22, nn
+      FROM big JOIN c1 ON big.w1 = c1.w1
+               JOIN c2 ON big.w2 = c2.w2, nt
+      WHERE k11 >= {min_count}
+    )
+    SELECT w1, w2, k11, {LLR} AS llr
+    FROM tab ORDER BY llr DESC, w1, w2 LIMIT {topn}
+    """
+
+
+# Zipf OLS shared expressions over the four fold sums + the top-k count:
+# slope = (n*sxy - sx*sy) / (n*sxx - sx*sx); intercept = (sy - slope*sx)/n.
+ZIPF_SLOPE = (
+    "((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx))"
+)
+ZIPF_INTERCEPT = f"((sy - {ZIPF_SLOPE} * sx) / CAST(n AS DOUBLE))"
+
+
+def zipf_fit(
+    docs: DataFrame,
+    topk: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit over the term frequency distribution: OLS of
+    ln(freq) on ln(rank) for the top-`topk` terms — slope near -1 is the
+    natural-language signature; flat slopes flag templated/synthetic
+    corpora (the corpus-health sibling of doc_ngram_diversity).
+
+    Exactness: ranks come from the (freq DESC, term) total order; the
+    four OLS sums are fixed-order folds over the top-k list (bounded,
+    collected into ONE array row); slope/intercept are shared expression
+    strings. The fold's ln terms are per-element — no order-dependent
+    float aggregation anywhere.
+
+    Scale: term counting is one map-side-combinable aggregation; top-k
+    is a TakeOrdered (bounded by topk, never vocabulary-sized); only the
+    k survivors reach the single-row fold.
+    """
+    from imposm3_spark.datapipe.text import tokens
+
+    tf = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    top = tf.orderBy(F.desc("f"), F.asc("t")).limit(topk)
+    arr = top.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("f")).alias("nf"), F.col("t").alias("t")))
+        ).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    folds = arr.select(
+        "n",
+        F.expr(
+            "aggregate(sequence(1, cast(n AS INT)), 0.0D,"
+            " (acc, i) -> acc + ln(CAST(i AS DOUBLE)))"
+        ).alias("sx"),
+        F.expr(
+            "aggregate(sequence(1, cast(n AS INT)), 0.0D,"
+            " (acc, i) -> acc + ln(CAST(-a[i-1].nf AS DOUBLE)))"
+        ).alias("sy"),
+        F.expr(
+            "aggregate(sequence(1, cast(n AS INT)), 0.0D,"
+            " (acc, i) -> acc + ln(CAST(i AS DOUBLE)) * ln(CAST(-a[i-1].nf AS DOUBLE)))"
+        ).alias("sxy"),
+        F.expr(
+            "aggregate(sequence(1, cast(n AS INT)), 0.0D,"
+            " (acc, i) -> acc + ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE)))"
+        ).alias("sxx"),
+    )
+    return folds.select(
+        F.col("n").alias("n_terms"),
+        F.round(F.expr(ZIPF_SLOPE), 6).alias("slope"),
+        F.round(F.expr(ZIPF_INTERCEPT), 6).alias("intercept"),
+    )
+
+
+def zipf_fit_oracle(topk: int = 100) -> str:
+    r"""DuckDB oracle for zipf_fit: identical top-k order, identical
+    fixed-order folds (list_reduce's first element == fold's 0.0 + t1),
+    identical shared expressions."""
+    return rf"""
+    WITH tf AS (
+      SELECT t, count(*) AS f FROM (
+        SELECT unnest(CASE WHEN trim(text) = '' THEN []
+                      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS t
+        FROM documents
+      ) GROUP BY t
+    ), top AS (
+      SELECT f, t FROM tf ORDER BY f DESC, t LIMIT {topk}
+    ), arr AS (
+      SELECT list(struct_pack(nf := -f, t := t) ORDER BY -f, t) AS a,
+             count(*) AS n
+      FROM top
+    ), folds AS (
+      SELECT n,
+        list_reduce(list_transform(range(1, CAST(n + 1 AS BIGINT)),
+          i -> ln(CAST(i AS DOUBLE))), (x, y) -> x + y) AS sx,
+        list_reduce(list_transform(range(1, CAST(n + 1 AS BIGINT)),
+          i -> ln(CAST(-a[i].nf AS DOUBLE))), (x, y) -> x + y) AS sy,
+        list_reduce(list_transform(range(1, CAST(n + 1 AS BIGINT)),
+          i -> ln(CAST(i AS DOUBLE)) * ln(CAST(-a[i].nf AS DOUBLE))), (x, y) -> x + y) AS sxy,
+        list_reduce(list_transform(range(1, CAST(n + 1 AS BIGINT)),
+          i -> ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE))), (x, y) -> x + y) AS sxx
+      FROM arr
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round({ZIPF_SLOPE}, 6) AS slope,
+           round({ZIPF_INTERCEPT}, 6) AS intercept
+    FROM folds
+    """

@@ -1121,3 +1121,58 @@ def spearman_by_group(
             F.expr(SPEARMAN_RHO).alias("spearman_rho"),
         )
     )
+
+
+def mi_term_expr(n_cats: int) -> str:
+    """Shared mutual-information contribution expression over pivoted
+    columns c0..c{n-1} (per-group category counts), h0..h{n-1} (global
+    category totals), n (group total) and nn (grand total):
+    sum_i c_i * ln(c_i*nn / (n*h_i)) / nn, terms added left-to-right in
+    category order — one string, identical parse tree on both engines."""
+    terms = [
+        (
+            f"(CASE WHEN c{i} > 0 THEN CAST(c{i} AS DOUBLE)"
+            f" * ln(CAST(c{i} AS DOUBLE) * CAST(nn AS DOUBLE)"
+            f" / (CAST(n AS DOUBLE) * CAST(h{i} AS DOUBLE)))"
+            " ELSE 0.0 END)"
+        )
+        for i in range(n_cats)
+    ]
+    return "round((" + " + ".join(terms) + ") / CAST(nn AS DOUBLE), 6)"
+
+
+def mutual_information_by_group(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    categories: list,
+) -> DataFrame:
+    """Per-group mutual-information contribution between the group column
+    and a categorical column with a KNOWN category set: the rows sum to
+    I(group; cat) in nats — the feature-association strength readout
+    (which groups have a distinctive category profile and how much they
+    carry of the total dependence).
+
+    Exactness: counts pivot into static per-category columns (the
+    categorical_entropy discipline); the contribution is the ONE shared
+    generated expression (mi_term_expr), a fixed-order fold over the
+    closed category set. Zero cells short-circuit before any division.
+
+    Scale: one map-side-combinable aggregation on the group key plus one
+    global rollup broadcast back — the category dimension is columns,
+    not a shuffle.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.when(F.col(cat_col) == c, 1).otherwise(0)).alias(f"c{i}")
+        for i, c in enumerate(categories)
+    ]
+    g = df.groupBy(group_col).agg(*aggs)
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        *[F.sum(f"c{i}").alias(f"h{i}") for i in range(len(categories))],
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n",
+        F.expr(mi_term_expr(len(categories))).alias("mi_term"),
+    )
