@@ -24,6 +24,7 @@ from imposm3_spark.datapipe import graph as gr
 from imposm3_spark.datapipe import mining as mn
 from imposm3_spark.datapipe import privacy as pv
 from imposm3_spark.datapipe import stats as st
+from imposm3_spark.sources import jsonl as _jl
 
 
 @register(
@@ -284,3 +285,13 @@ def events_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.mutual_information_by_group(
         ev, "event_type", "hr", list(range(24))
     )
+
+
+@register("doc_shard_plan", _jl.shard_plan_oracle(n_shards=16))
+def doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export manifest for a 16-shard JSONL dump of the
+    corpus (sources/jsonl.shard_plan): per-shard doc/token/char totals
+    and id ranges under the stable md5 assignment — the sizing/resume
+    artifact of a training-data export; write_sharded_jsonl produces the
+    files the manifest describes."""
+    return _jl.shard_plan(_t(spark, sf_dir, "documents"), n_shards=16)

@@ -146,3 +146,92 @@ def compact_parquet(
         out = df.repartition(parts)
     out.write.mode("overwrite").parquet(dest)
     return parts
+
+
+def shard_col(id_col: str, n_shards: int):
+    """Deterministic shard assignment: md5-hash of the id string mod
+    n_shards — stable across engines, partitionings and re-runs (the
+    property a resumable multi-job export needs; hash-partitioner shard
+    ids are engine-internal and NOT stable)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % n_shards
+    ).cast("int")
+
+
+def shard_plan(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Export manifest WITHOUT writing: per shard (shard, n_docs,
+    n_tokens, n_chars, min_doc_id, max_doc_id) under the deterministic
+    md5 assignment — the plan a training-data export is sized and
+    audited by (balanced shards, resume bookkeeping, reader fan-out).
+
+    Scale: one map-side-combinable aggregation keyed on the shard id;
+    the md5 draw balances shards regardless of id clustering.
+    """
+    from imposm3_spark.datapipe.text import token_count
+
+    return (
+        docs.select(
+            shard_col(id_col, n_shards).alias("shard"),
+            F.col(id_col).alias("_id"),
+            token_count(F.col(text_col)).alias("_tok"),
+            F.length(text_col).alias("_chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            F.sum("_chars").alias("n_chars"),
+            F.min("_id").alias("min_doc_id"),
+            F.max("_id").alias("max_doc_id"),
+        )
+    )
+
+
+def shard_plan_oracle(n_shards: int = 16) -> str:
+    r"""DuckDB oracle for shard_plan over the documents table: the same
+    md5 assignment and aggregation."""
+    return rf"""
+    WITH s AS (
+      SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % {n_shards}) AS shard,
+             doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok,
+             length(text) AS chars
+      FROM documents
+    )
+    SELECT CAST(shard AS INTEGER) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM s GROUP BY shard
+    """
+
+
+def write_sharded_jsonl(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> None:
+    """Write the corpus as shard-partitioned JSONL (shard=NN/ dirs)
+    under the same deterministic assignment shard_plan reports, so the
+    manifest and the files always agree. One exchange: repartition on
+    the shard column so each shard writes contiguously."""
+    sharded = docs.withColumn("shard", shard_col(id_col, n_shards))
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(path)
+    )
