@@ -112,9 +112,13 @@ _DRIVER_FIRST = [
     # orders_priority_drift, events_growth_accounting, doc_lsh_pr,
     # events_cuped, emb_cluster_purity, doc_lsh_pr_curve, events_hazard,
     # doc_pii_report, orders_dup_payments, orders_cycle_time,
-    # emb_ball_query, supplier_hhi, emb_mmr_select (49 round-4 additions
-    # — within one 50-entry window). The 50 above will then all have
-    # driver rows; keep them behind the rotation.
+    # emb_ball_query, supplier_hhi, emb_mmr_select, plus the batch-15/16/17
+    # additions events_k_anonymity, cust_gini, events_benford,
+    # events_spearman, events_kcore, doc_collocation_llr, doc_zipf,
+    # doc_textrank, events_mutual_info, doc_shard_plan (59 round-4
+    # additions — the round-5 window takes the first 50 in this order;
+    # the last 9 plus any round-5 additions queue for round 6). The 50
+    # above will then all have driver rows; keep them behind the rotation.
 ]
 
 
