@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from imposm3_spark.benchqueries import _t, register
+from imposm3_spark.datapipe import coreset as _cs
 from imposm3_spark.datapipe import graph as gr
 from imposm3_spark.datapipe import mining as mn
 from imposm3_spark.datapipe import privacy as pv
@@ -295,3 +296,115 @@ def doc_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact of a training-data export; write_sharded_jsonl produces the
     files the manifest describes."""
     return _jl.shard_plan(_t(spark, sf_dir, "documents"), n_shards=16)
+
+
+@register("emb_kcenter", _cs.kcenter_oracle(k=8, dim=64))
+def emb_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity coreset (Gonzalez farthest-point
+    traversal, k=8) over the embeddings: the selected exemplars with the
+    exact integer selection-radius sequence (datapipe/coreset.py) — the
+    diversity-sampling step of curation/active-learning pipelines. Pure
+    integer arithmetic end-to-end."""
+    return _cs.kcenter_greedy(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+@register(
+    "events_dispersion",
+    f"""
+    WITH pb AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS b, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), agg AS (
+      SELECT g, count(*) AS n, CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS scc
+      FROM pb GROUP BY g
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n_buckets, sc AS n_events,
+           {st.DISPERSION} AS dispersion
+    FROM agg WHERE n >= 2 AND sc > 0
+    """,
+)
+def events_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion screen per event type: variance-to-mean
+    ratio of the daily arrival counts (stats.dispersion_index) — 1 is
+    Poisson, above 1 bursty, below 1 scheduled/regular."""
+    ev = _t(spark, sf_dir, "events")
+    return st.dispersion_index(
+        ev, "event_type", F.col("ts").cast("date"), min_buckets=2
+    )
+
+
+@register(
+    "orders_burstiness",
+    f"""
+    WITH g AS (
+      SELECT o_custkey AS k,
+             CAST(epoch(o_orderdate) AS BIGINT)
+               - lag(CAST(epoch(o_orderdate) AS BIGINT))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS gap
+      FROM orders
+    ), agg AS (
+      SELECT k, count(*) AS n, CAST(sum(gap) AS BIGINT) AS s,
+             CAST(sum(gap * gap) AS BIGINT) AS ss
+      FROM g WHERE gap IS NOT NULL GROUP BY k
+    )
+    SELECT k AS o_custkey, CAST(n AS BIGINT) AS n_gaps,
+           {st.BURSTINESS} AS burstiness
+    FROM agg WHERE n >= 2 AND s > 0
+    """,
+)
+def orders_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer burstiness B = (sigma-mu)/(sigma+mu) of inter-order
+    gaps (stats.burstiness_by_key) — clockwork replenishment scores near
+    -1, Poisson near 0, bursty binge-buying positive."""
+    return st.burstiness_by_key(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_orderdate", "o_orderkey",
+        min_gaps=2,
+    )
+
+
+_TRANS_ENTROPY_ORACLE = """
+WITH t AS (
+  SELECT src, dst, count(*) AS cnt FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL GROUP BY 1, 2
+), g AS (
+  SELECT src, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN dst = 'click' THEN cnt ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN dst = 'error' THEN cnt ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN dst = 'purchase' THEN cnt ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN dst = 'signup' THEN cnt ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN dst = 'view' THEN cnt ELSE 0 END) AS BIGINT) AS c4
+  FROM t GROUP BY src
+)
+SELECT src AS event_type, n,
+       round(ln(CAST(n AS DOUBLE))
+             - (CASE WHEN c0 > 0 THEN CAST(c0 AS DOUBLE) * ln(CAST(c0 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) * ln(CAST(c1 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c2 > 0 THEN CAST(c2 AS DOUBLE) * ln(CAST(c2 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c3 > 0 THEN CAST(c3 AS DOUBLE) * ln(CAST(c3 AS DOUBLE)) ELSE 0.0 END
+                + CASE WHEN c4 > 0 THEN CAST(c4 AS DOUBLE) * ln(CAST(c4 AS DOUBLE)) ELSE 0.0 END)
+               / CAST(n AS DOUBLE), 6) AS entropy
+FROM g
+"""
+
+
+@register("events_transition_entropy", _TRANS_ENTROPY_ORACLE)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event predictability per event type: Shannon entropy of each
+    type's outgoing transition distribution, computed on the AGGREGATED
+    transition-count table via the weighted categorical_entropy — low
+    entropy = deterministic flows (funnel edges), high = branching."""
+    ev = _t(spark, sf_dir, "events")
+    edges = gr.transition_edges(ev)
+    return st.categorical_entropy(
+        edges.select(F.col("src").alias("event_type"), "dst", "cnt"),
+        "event_type",
+        "dst",
+        ["click", "error", "purchase", "signup", "view"],
+        weight_col="cnt",
+    )

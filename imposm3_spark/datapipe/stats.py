@@ -351,6 +351,7 @@ def categorical_entropy(
     key_col: str,
     cat_col: str,
     categories: list[str],
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-key Shannon entropy (nats) of a categorical distribution with
     a KNOWN category set: H = ln(n) - (sum_c count_c * ln(count_c)) / n.
@@ -361,13 +362,18 @@ def categorical_entropy(
     is bit-identical on any engine with a correctly-rounded ln (the same
     term-order-fold discipline as datapipe/nb.py).
 
+    With ``weight_col`` the counts become weight sums (entropy of a
+    pre-aggregated count table — e.g. transition counts — without
+    re-exploding to rows).
+
     The closed category set keeps the expression static; discovering it
     first (a tiny distinct aggregation) is the dynamic variant. One
     map-side-combinable shuffle on the key; the category dimension is
     pivoted into conditional counts, not a second shuffle.
     """
-    aggs = [F.count("*").alias("n")] + [
-        F.sum(F.when(F.col(cat_col) == c, 1).otherwise(0)).alias(f"_c{i}")
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    aggs = [F.sum(w).alias("n")] + [
+        F.sum(F.when(F.col(cat_col) == c, w).otherwise(0)).alias(f"_c{i}")
         for i, c in enumerate(categories)
     ]
     g = df.groupBy(key_col).agg(*aggs)
@@ -1175,4 +1181,117 @@ def mutual_information_by_group(
         group_col,
         "n",
         F.expr(mi_term_expr(len(categories))).alias("mi_term"),
+    )
+
+
+# Dispersion index (variance-to-mean ratio) from exact integer sums over
+# per-bucket counts: sample variance ((n*scc - sc^2)/(n*(n-1))) divided
+# by the mean (sc/n). 1 = Poisson; >1 overdispersed (bursty); <1
+# underdispersed (regular). One shared string.
+DISPERSION = (
+    "round(((CAST(n AS DOUBLE)*CAST(scc AS DOUBLE)"
+    " - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE))"
+    " / (CAST(n AS DOUBLE)*CAST(n - 1 AS DOUBLE)))"
+    " / (CAST(sc AS DOUBLE)/CAST(n AS DOUBLE)), 6)"
+)
+
+
+def dispersion_index(
+    df: DataFrame,
+    group_col: str,
+    bucket_col,
+    min_buckets: int = 2,
+) -> DataFrame:
+    """Per-group Poisson overdispersion test over bucket counts (e.g.
+    events per day): the variance-to-mean ratio of the per-bucket
+    arrival counts — the burstiness/regularity screen for rate data.
+    Buckets are the OBSERVED bucket values (zero-count buckets are not
+    imputed; document the bucket universe if you need them).
+
+    Exactness: per-bucket counts are integers; (n, Σc, Σc²) are exact
+    BIGINTs; the index is the shared DISPERSION expression. Groups with
+    fewer than `min_buckets` buckets or zero total drop out by integer
+    predicates.
+
+    Scale: two map-side-combinable aggregations (bucket counts, then
+    group sums) — the rows never shuffle twice.
+    """
+    per_bucket = (
+        df.select(F.col(group_col).alias("g"), bucket_col.alias("b"))
+        .groupBy("g", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = per_bucket.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    return (
+        g.where((F.col("n") >= min_buckets) & (F.col("sc") > 0))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").alias("n_buckets"),
+            F.col("sc").alias("n_events"),
+            F.expr(DISPERSION).alias("dispersion"),
+        )
+    )
+
+
+# Burstiness B = (sigma - mu)/(sigma + mu) of inter-arrival gaps from
+# exact integer sums, population sigma: with A = n*ss - s*s (exact),
+# sigma = sqrt(A)/n and mu = s/n, so B = (sqrt(A) - s) / (sqrt(A) + s)
+# after multiplying through by n. -1 = perfectly regular, 0 = Poisson,
+# -> 1 = bursty (Goh & Barabasi, EPL'08).
+BURSTINESS = (
+    "round((sqrt(CAST(n AS DOUBLE)*CAST(ss AS DOUBLE)"
+    " - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)) - CAST(s AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE)*CAST(ss AS DOUBLE)"
+    " - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)) + CAST(s AS DOUBLE)), 6)"
+)
+
+
+def burstiness_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Per-key burstiness of inter-arrival times: B = (σ−μ)/(σ+μ) over
+    the key's consecutive gaps in seconds — the bot/scheduler-vs-human
+    signature (B near -1 = clockwork, near 0 = Poisson, positive =
+    bursty). Keys need >= min_gaps gaps and a positive gap sum.
+
+    Exactness: gaps are exact integer seconds from a keyed lag window;
+    (n, Σg, Σg²) are exact BIGINTs; B is the shared BURSTINESS
+    expression (the n factors cancel, so only one sqrt of an exact
+    integer enters).
+
+    Scale: one keyed window (the same exchange the aggregation reuses),
+    no global sort.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy("_t", "_i")
+    gaps = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.unix_timestamp(F.col(ts_col).cast("timestamp")).alias("_t"),
+            F.col(id_col).alias("_i"),
+        )
+        .withColumn("_g", F.col("_t") - F.lag("_t").over(w))
+        .where(F.col("_g").isNotNull())
+    )
+    g = gaps.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_g").alias("s"),
+        F.sum(F.col("_g") * F.col("_g")).alias("ss"),
+    )
+    return (
+        g.where((F.col("n") >= min_gaps) & (F.col("s") > 0))
+        .select(
+            F.col("k").alias(key_col),
+            F.col("n").alias("n_gaps"),
+            F.expr(BURSTINESS).alias("burstiness"),
+        )
     )
