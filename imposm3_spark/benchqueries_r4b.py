@@ -408,3 +408,106 @@ def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["click", "error", "purchase", "signup", "view"],
         weight_col="cnt",
     )
+
+
+@register(
+    "events_ks_test",
+    f"""
+    WITH pv AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    ), cum AS (
+      SELECT v,
+             CAST(sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+      FROM pv
+    ), tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM pv
+    ), gaps AS (
+      SELECT v, na, nb, abs(cuma * nb - cumb * na) AS num
+      FROM cum, tot
+    ), best AS (
+      SELECT v, na, nb, num,
+             row_number() OVER (ORDER BY num DESC, v) AS rn
+      FROM gaps
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+             AS d_stat,
+           round(CAST(v AS DOUBLE) / 100.0, 2) AS at_value
+    FROM best WHERE rn = 1
+    """,
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test between the click and
+    view amount distributions (stats.ks_two_sample): the max CDF gap is
+    an exact integer argmax — the distribution-shift screen for feature
+    drift and A/B sanity."""
+    return st.ks_two_sample(
+        _t(spark, sf_dir, "events"), "event_type", "value", "click", "view"
+    )
+
+
+@register(
+    "events_conversion_ci",
+    f"""
+    WITH pu AS (
+      SELECT CAST(ts AS DATE) AS d, user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1, 2
+    ), g AS (
+      SELECT d, count(*) AS n, CAST(sum(t) AS BIGINT) AS k
+      FROM pu WHERE f = 1 GROUP BY d
+    )
+    SELECT d AS day, CAST(n AS BIGINT) AS n_trials, k AS n_conv,
+           round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+           {st.WILSON_LO} AS ci_lo,
+           {st.WILSON_HI} AS ci_hi
+    FROM g WHERE n > 0
+    """,
+)
+def events_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily view->purchase conversion rate with Wilson 95% score
+    intervals (stats.conversion_wilson): exact distinct-user counts,
+    shared CI expressions — the dashboard readout that stays honest on
+    small cells."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id", "event_type"
+    )
+    return st.conversion_wilson(
+        ev, "day", "user_id", "event_type", "view", "purchase"
+    )
+
+
+_MARKOV_EDGES = """
+  SELECT src, dst, count(*) AS cnt FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL GROUP BY 1, 2"""
+
+_MARKOV_NODES = "\n  SELECT DISTINCT event_type AS node FROM events"
+
+
+@register(
+    "events_markov_stationary",
+    gr.pagerank_oracle(_MARKOV_EDGES, _MARKOV_NODES, iterations=4, damping_pct=100),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov stationary-distribution estimate of the event-type chain:
+    4 rounds of damping-free integer power iteration from the uniform
+    start (graph.pagerank_fixed_point, damping_pct=100) — the long-run
+    event mix implied by the observed transition matrix, as opposed to
+    the observed frequency mix."""
+    ev = _t(spark, sf_dir, "events")
+    edges = gr.transition_edges(ev)
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    return gr.pagerank_fixed_point(edges, nodes, iterations=4, damping_pct=100)

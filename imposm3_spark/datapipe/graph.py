@@ -61,9 +61,15 @@ def transition_edges(
 
 
 def pagerank_fixed_point(
-    edges: DataFrame, nodes: DataFrame, iterations: int = 3
+    edges: DataFrame, nodes: DataFrame, iterations: int = 3,
+    damping_pct: int = 85,
 ) -> DataFrame:
-    """PageRank (damping 0.85) in SCALE-fixed-point integer arithmetic.
+    """PageRank (damping damping_pct/100) in SCALE-fixed-point integer
+    arithmetic. With damping_pct=100 the base term vanishes and the
+    iteration is plain transition-matrix power iteration — the Markov
+    stationary-distribution estimator (dangling nodes then leak mass;
+    fine for graphs where every node has out-edges, which the caller
+    should ensure).
 
     `edges` carries (src, dst, cnt); `nodes` one `node` row per vertex
     (so isolated vertices keep the base rank). Returns (node, r BIGINT
@@ -76,7 +82,7 @@ def pagerank_fixed_point(
         )
     outs = edges.groupBy("src").agg(F.sum("cnt").alias("out_cnt"))
     ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("r"))
-    base = (15 * SCALE) // (100 * n)
+    base = ((100 - damping_pct) * SCALE) // (100 * n)
 
     for _ in range(iterations):
         contrib = (
@@ -84,7 +90,7 @@ def pagerank_fixed_point(
             .join(outs, on="src")
             .select(
                 F.col("dst"),
-                F.expr("(85 * r * cnt) div (100 * out_cnt)").alias("c"),
+                F.expr(f"({damping_pct} * r * cnt) div (100 * out_cnt)").alias("c"),
             )
         )
         summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
@@ -106,7 +112,8 @@ def pagerank_fixed_point(
 
 
 def pagerank_oracle(
-    edges_sql: str, nodes_sql: str, iterations: int = 3
+    edges_sql: str, nodes_sql: str, iterations: int = 3,
+    damping_pct: int = 85,
 ) -> str:
     """DuckDB oracle for pagerank_fixed_point over ANY edge/node SQL:
     `edges_sql` must yield (src, dst, cnt), `nodes_sql` one `node` row
@@ -128,11 +135,11 @@ r0 AS MATERIALIZED (
         parts.append(
             f""", r{it} AS MATERIALIZED (
   SELECT n.node,
-         CAST((15 * CAST({SCALE} AS BIGINT)) // (100 * nn.n)
+         CAST(({100 - damping_pct} * CAST({SCALE} AS BIGINT)) // (100 * nn.n)
               + coalesce(c.s, 0) AS BIGINT) AS r
   FROM nodes n CROSS JOIN nn
   LEFT JOIN (
-    SELECT e.dst AS node, sum((85 * r.r * e.cnt) // (100 * o.out_cnt)) AS s
+    SELECT e.dst AS node, sum(({damping_pct} * r.r * e.cnt) // (100 * o.out_cnt)) AS s
     FROM edges e
     JOIN {prev} r ON r.node = e.src
     JOIN outs o ON o.src = e.src

@@ -399,3 +399,56 @@ def stratified_kfold(
         F.col(stratum_col),
         ((F.row_number().over(w) - 1) % k).cast("int").alias("fold"),
     )
+
+
+def with_global_cumsums(
+    df: DataFrame,
+    order_cols: list,
+    sum_cols: list,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sums of ``sum_cols`` in ``order_cols`` order
+    WITHOUT a single-task window: the same two-phase shape as
+    with_global_row_numbers — range exchange + local sort, ONE
+    materialized partitioning, per-partition totals -> driver prefix
+    offsets (bounded by partition count), then a mapInPandas pass adds
+    offset + local cumsum. Appends ``cum_<col>`` for every sum column."""
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    n_parts = num_partitions or max(df.rdd.getNumPartitions(), 1)
+    ordered = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    ordered = ordered.localCheckpoint(eager=True)
+    totals = (
+        ordered.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    by_pid = {r["_pid"]: [int(r[c] or 0) for c in sum_cols] for r in totals}
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(sum_cols)
+    for pid in sorted(by_pid):
+        offsets[pid] = list(acc)
+        acc = [a + b for a, b in zip(acc, by_pid[pid])]
+
+    schema = StructType(
+        list(ordered.schema.fields)
+        + [StructField(f"cum_{c}", LongType()) for c in sum_cols]
+    )
+
+    def run(batches):
+        pid = TaskContext.get().partitionId()
+        base = list(offsets.get(pid, [0] * len(sum_cols)))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf
+            for j, c in enumerate(sum_cols):
+                cum = pdf[c].cumsum() + base[j]
+                base[j] = int(cum.iloc[-1])
+                out = out.assign(**{f"cum_{c}": cum.astype("int64")})
+            yield out
+
+    return ordered.mapInPandas(run, schema=schema)

@@ -1295,3 +1295,134 @@ def burstiness_by_key(
             F.expr(BURSTINESS).alias("burstiness"),
         )
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two groups: D = max over x of |F_a(x) - F_b(x)| —
+    the standard distribution-shift test (feature drift, A/B sanity,
+    train/serve skew).
+
+    Exactness: with per-value counts c_a, c_b and their cumulative sums
+    over the merged value order, D = max |cum_a*n_b - cum_b*n_a| /
+    (n_a*n_b): the numerator is an exact BIGINT for every distinct
+    value, so the argmax (tie -> lowest value) never touches a float;
+    ONE final division produces the statistic. Returns (n_a, n_b,
+    d_stat, at_value — the location of the maximum gap).
+
+    Scale: one aggregation to the (value, c_a, c_b) table (distinct-
+    value-sized), then the two-phase global-cumsum primitive over it
+    (range exchange + driver prefix offsets — NO single-task window),
+    one max_by. The cumsum rides the value table, not the row table;
+    for continuous data at extreme cardinality, pre-bin values first
+    (the usual KS-on-histogram practice).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    per_val = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            cents.alias("v"),
+            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
+            F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("v")
+        .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    )
+    from imposm3_spark.datapipe.sampling import with_global_cumsums
+
+    cum = with_global_cumsums(per_val, ["v"], ["ca", "cb"]).select(
+        "v",
+        F.col("cum_ca").alias("cuma"),
+        F.col("cum_cb").alias("cumb"),
+    )
+    tot = per_val.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+        ).alias("num"),
+    )
+    pick = F.max_by(
+        F.struct(F.col("v").alias("at"), F.col("num").alias("num")),
+        F.struct(F.col("num"), (-F.col("v")).alias("_neg")),
+    )
+    out = gaps.groupBy("na", "nb").agg(pick.alias("_p"))
+    return out.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(
+            F.col("_p.num").cast("double")
+            / (F.col("na").cast("double") * F.col("nb").cast("double")),
+            6,
+        ).alias("d_stat"),
+        F.round(F.col("_p.at").cast("double") / 100.0, 2).alias("at_value"),
+    )
+
+
+# Wilson 95% score interval for a binomial proportion from exact counts
+# (k successes / n trials), z = 1.96 embedded as a literal: the
+# experimentation-grade CI that stays inside [0,1] at small n (unlike
+# the normal approximation). Shared strings over columns k, n.
+_WILSON_Z = "1.96"
+_WILSON_CENTER = (
+    f"((CAST(k AS DOUBLE) + {_WILSON_Z}*{_WILSON_Z}/2.0)"
+    f" / (CAST(n AS DOUBLE) + {_WILSON_Z}*{_WILSON_Z}))"
+)
+_WILSON_HALF = (
+    f"(({_WILSON_Z} * sqrt(CAST(k AS DOUBLE)*(CAST(n AS DOUBLE)-CAST(k AS DOUBLE))"
+    f"/CAST(n AS DOUBLE) + {_WILSON_Z}*{_WILSON_Z}/4.0))"
+    f" / (CAST(n AS DOUBLE) + {_WILSON_Z}*{_WILSON_Z}))"
+)
+WILSON_LO = f"round({_WILSON_CENTER} - {_WILSON_HALF}, 6)"
+WILSON_HI = f"round({_WILSON_CENTER} + {_WILSON_HALF}, 6)"
+
+
+def conversion_wilson(
+    df: DataFrame,
+    key_col: str,
+    user_col: str,
+    event_col: str,
+    from_event: str,
+    to_event: str,
+) -> DataFrame:
+    """Per-key conversion rate with a Wilson 95% score interval: users
+    who did `from_event` (trials) and the subset who also did `to_event`
+    (successes), CI from the shared WILSON_* expressions — the readout a
+    conversion dashboard needs to stop over-reading small cells.
+
+    Exactness: k and n are exact distinct-user counts; the CI is one
+    shared expression over them.
+
+    Scale: one aggregation to the (key, user) activity pair table, one
+    rollup per key — both map-side combinable.
+    """
+    per_user = (
+        df.where(F.col(event_col).isin([from_event, to_event]))
+        .groupBy(F.col(key_col).alias("k"), F.col(user_col).alias("u"))
+        .agg(
+            F.max(F.when(F.col(event_col) == from_event, 1).otherwise(0)).alias("f"),
+            F.max(F.when(F.col(event_col) == to_event, 1).otherwise(0)).alias("t"),
+        )
+        .where(F.col("f") == 1)
+    )
+    g = per_user.groupBy(F.col("k").alias("_key")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("t").alias("k")
+    )
+    return g.where(F.col("n") > 0).select(
+        F.col("_key").alias(key_col),
+        F.col("n").alias("n_trials"),
+        F.col("k").alias("n_conv"),
+        F.round(F.col("k").cast("double") / F.col("n").cast("double"), 6).alias("rate"),
+        F.expr(WILSON_LO).alias("ci_lo"),
+        F.expr(WILSON_HI).alias("ci_hi"),
+    )

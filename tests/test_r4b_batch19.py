@@ -1,0 +1,92 @@
+"""Round-4 batch 19 operators: exact two-sample KS, Wilson conversion
+CI, Markov stationary distribution, and the global-cumsum primitive."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_global_cumsums_across_partitions(spark):
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.sampling import with_global_cumsums
+
+    rows = [(i, 1, i % 3) for i in range(500)]
+    df = spark.createDataFrame(rows, "v long, one long, w long").repartition(13)
+    out = with_global_cumsums(df, ["v"], ["one", "w"], num_partitions=7)
+    got = {r.v: (r.cum_one, r.cum_w) for r in out.collect()}
+    acc1 = accw = 0
+    for v in range(500):
+        acc1 += 1
+        accw += v % 3
+        assert got[v] == (acc1, accw), v
+
+
+def test_ks_identical_and_disjoint(spark):
+    from imposm3_spark.datapipe.stats import ks_two_sample
+
+    # identical distributions -> D = 0
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] * 5
+    rows += [("b", float(v)) for v in (1, 2, 3, 4)] * 5
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = ks_two_sample(df, "g", "value", "a", "b").collect()[0]
+    assert r.d_stat == 0.0 and r.n_a == 20 and r.n_b == 20
+
+    # fully separated -> D = 1 at the boundary of the lower sample
+    rows2 = [("a", float(v)) for v in (1, 2, 3)]
+    rows2 += [("b", float(v)) for v in (10, 11, 12)]
+    df2 = spark.createDataFrame(rows2, "g string, value double")
+    r2 = ks_two_sample(df2, "g", "value", "a", "b").collect()[0]
+    assert r2.d_stat == 1.0
+    assert r2.at_value == 3.0  # the gap is maximal (and first) at a's max
+
+
+def test_ks_hand_value(spark):
+    from imposm3_spark.datapipe.stats import ks_two_sample
+
+    # a: [1,1,2,3]  b: [2,3,3,4]
+    rows = [("a", v) for v in (1.0, 1.0, 2.0, 3.0)]
+    rows += [("b", v) for v in (2.0, 3.0, 3.0, 4.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = ks_two_sample(df, "g", "value", "a", "b").collect()[0]
+    # CDFs at 1: 0.5 vs 0 -> gap 0.5 (max, earliest)
+    assert r.d_stat == 0.5 and r.at_value == 1.0
+
+
+def test_wilson_ci_hand_value(spark):
+    from imposm3_spark.datapipe.stats import conversion_wilson
+
+    # one key: 3 of 4 'from' users convert
+    rows = [("d1", u, "view") for u in (1, 2, 3, 4)]
+    rows += [("d1", u, "purchase") for u in (1, 2, 3)]
+    rows += [("d1", 99, "purchase")]  # converter without a view: not a trial
+    df = spark.createDataFrame(rows, "k string, user_id long, event_type string")
+    r = conversion_wilson(df, "k", "user_id", "event_type", "view", "purchase").collect()[0]
+    assert (r.n_trials, r.n_conv, r.rate) == (4, 3, 0.75)
+    z = 1.96
+    k, n = 3.0, 4.0
+    center = (k + z * z / 2) / (n + z * z)
+    half = z * math.sqrt(k * (n - k) / n + z * z / 4) / (n + z * z)
+    assert r.ci_lo == round(center - half, 6)
+    assert r.ci_hi == round(center + half, 6)
+    assert 0.0 < r.ci_lo < 0.75 < r.ci_hi < 1.0
+
+
+def test_markov_stationary_prefers_absorbing_hub(spark):
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.graph import SCALE, pagerank_fixed_point
+
+    # two nodes: a -> b always, b -> b mostly: stationary mass piles on b
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "b", 9), ("b", "a", 1)], "src string, dst string, cnt long"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",)], "node string")
+    got = {
+        r.node: r.r
+        for r in pagerank_fixed_point(edges, nodes, iterations=6, damping_pct=100).collect()
+    }
+    assert got["b"] > 4 * got["a"]
+    # no damping base: total mass stays within SCALE (floor-div leakage only)
+    assert got["a"] + got["b"] <= SCALE
+    _ = F
