@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from imposm3_spark.benchqueries import _t, register
 from imposm3_spark.datapipe import coreset as _cs
 from imposm3_spark.datapipe import graph as gr
+from imposm3_spark.datapipe import labels as _lb
 from imposm3_spark.datapipe import mining as mn
 from imposm3_spark.datapipe import privacy as pv
 from imposm3_spark.datapipe import stats as st
@@ -511,3 +512,18 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = gr.transition_edges(ev)
     nodes = ev.select(F.col("event_type").alias("node")).distinct()
     return gr.pagerank_fixed_point(edges, nodes, iterations=4, damping_pct=100)
+
+
+@register(
+    "orders_churn_labels",
+    _lb.churn_labels_oracle("2001-01-01", horizon_days=90),
+)
+def orders_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn training rows at the 2001-01-01 cutoff
+    (datapipe/labels.py): features strictly from history <= cutoff
+    (order count, spend, recency, tenure), label strictly from the
+    following 90-day window — the target-leakage discipline every
+    production training set needs, as one pass and one aggregation."""
+    return _lb.churn_labels(
+        _t(spark, sf_dir, "orders"), "2001-01-01", horizon_days=90
+    )

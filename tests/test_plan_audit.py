@@ -1102,3 +1102,54 @@ def test_mmr_no_driver_collect_bounded_stages(spark):
     assert "ExistingRDD" in final
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in final
+
+
+def test_churn_labels_single_pass_no_join(spark):
+    """Leakage-safe label construction is ONE aggregation over ONE scan —
+    the feature/label window split is a predicate, never a self-join."""
+    plan = _executed_plan(bq.QUERIES["orders_churn_labels"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final
+    assert final.count("Scan parquet") == 1
+    assert "partial" in final.lower()  # map-side combine on the key agg
+
+
+def test_ks_test_pushdown_and_no_single_task_window(spark):
+    """KS: the two-group filter reaches the parquet scan, and the global
+    cumulative sums come from the two-phase primitive — the executed plan
+    contains NO window operator at all."""
+    plan = _executed_plan(bq.QUERIES["events_ks_test"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "PushedFilters" in plan
+    assert "event_type" in plan.split("PushedFilters")[1][:300]
+    assert "Window" not in final
+    assert "CartesianProduct" not in plan
+
+
+def test_kcore_no_cartesian_and_partial_degrees(spark):
+    """k-core peeling: every round is degree-count + semi-joins — no
+    cartesian anywhere, degree counts combine map-side."""
+    plan = _executed_plan(bq.QUERIES["events_kcore"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in final or "partial" in final.lower()
+
+
+def test_collocation_broadcasts_total_not_fact(spark):
+    """LLR collocations: the 1-row grand total broadcasts onto the pair
+    table; the pair table itself never broadcasts or cartesians."""
+    plan = _executed_plan(bq.QUERIES["doc_collocation_llr"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+    # top-n is a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in final
+
+
+def test_mutual_info_two_aggregations_one_scan(spark):
+    """MI: pivoted category counts -> one keyed agg over one scan, the
+    global rollup broadcast back — no shuffle of the fact table twice."""
+    plan = _executed_plan(bq.QUERIES["events_mutual_info"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan

@@ -90,3 +90,31 @@ def test_markov_stationary_prefers_absorbing_hub(spark):
     # no damping base: total mass stays within SCALE (floor-div leakage only)
     assert got["a"] + got["b"] <= SCALE
     _ = F
+
+
+def test_churn_labels_leakage_safe(spark):
+    """Features never see past the cutoff; the label never sees before
+    it; customers without pre-cutoff history are absent."""
+    from imposm3_spark.datapipe.labels import churn_labels
+
+    rows = [
+        # c1: two orders before cutoff, returns in window -> label 1
+        (1, "2000-12-01", 10.0), (1, "2000-06-01", 20.0), (1, "2001-02-01", 99.0),
+        # c2: one order before, next outside the 90d horizon -> label 0
+        (2, "2000-11-15", 5.0), (2, "2001-07-01", 7.0),
+        # c3: only post-cutoff orders -> no row at all
+        (3, "2001-03-01", 50.0),
+    ]
+    df = spark.createDataFrame(
+        [(k, f"{d} 00:00:00", v) for k, d, v in rows],
+        "o_custkey long, o_orderdate string, o_totalprice double",
+    ).selectExpr("o_custkey", "CAST(o_orderdate AS TIMESTAMP) o_orderdate", "o_totalprice")
+    got = {r.o_custkey: r for r in churn_labels(df, "2001-01-01", 90).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    # post-cutoff 99.0 must NOT leak into the spend feature
+    assert (r1.n_orders, r1.total_cents, r1.will_return) == (2, 3000, 1)
+    assert r1.recency_days == 31  # 2000-12-01 -> 2001-01-01
+    assert r1.tenure_days == 183  # 2000-06-01 -> 2000-12-01
+    r2 = got[2]
+    assert (r2.n_orders, r2.will_return) == (1, 0)
