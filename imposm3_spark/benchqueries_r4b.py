@@ -527,3 +527,73 @@ def orders_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lb.churn_labels(
         _t(spark, sf_dir, "orders"), "2001-01-01", horizon_days=90
     )
+
+
+def _sql_kendall(n_y: int = 24) -> str:
+    cs = ",\n             ".join(
+        f"CAST(sum(CASE WHEN y = {j} THEN 1 ELSE 0 END) AS BIGINT) AS c{j}"
+        for j in range(n_y)
+    )
+    sfx = ",\n           ".join(
+        f"CAST(coalesce(sum(c{j}) OVER (ORDER BY x DESC"
+        f" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS s{j}"
+        for j in range(n_y)
+    )
+    # H_j = sum_{j'>j} s_j'; T = sum_j s_j; conc = sum_j c_j*H_j;
+    # disc = sum_j c_j*(T - s_j - H_j) — pure integers, any grouping works
+    t_expr = " + ".join(f"s{j}" for j in range(n_y))
+    conc_terms = []
+    disc_terms = []
+    for j in range(n_y):
+        h = " + ".join(f"s{k}" for k in range(j + 1, n_y)) or "0"
+        conc_terms.append(f"CAST(c{j} AS HUGEINT) * ({h})")
+        disc_terms.append(f"CAST(c{j} AS HUGEINT) * (({t_expr}) - s{j} - ({h}))")
+    us = ", ".join(f"CAST(sum(c{j}) AS BIGINT) AS u{j}" for j in range(n_y))
+    n2 = " + ".join(f"CAST((u{j} * (u{j} - 1)) // 2 AS HUGEINT)" for j in range(n_y))
+    return f"""
+    WITH base AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS x, hour(ts) AS y FROM events
+    ), xr AS (
+      SELECT x, count(*) AS t,
+             {cs}
+      FROM base GROUP BY x
+    ), sfx AS (
+      SELECT t, {', '.join(f'c{j}' for j in range(n_y))},
+           {sfx}
+      FROM xr
+    ), rowt AS (
+      SELECT t, {', '.join(f'c{j}' for j in range(n_y))},
+             ({' + '.join(conc_terms)}) AS conc,
+             ({' + '.join(disc_terms)}) AS disc
+      FROM sfx
+    ), agg AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum((t * (t - 1)) // 2) AS HUGEINT) AS n1,
+             CAST(sum(conc) AS HUGEINT) AS c,
+             CAST(sum(disc) AS HUGEINT) AS d,
+             {us}
+      FROM rowt
+    ), fin AS (
+      SELECT n, c, d,
+             CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS HUGEINT) AS n0,
+             n1, ({n2}) AS n2
+      FROM agg
+    )
+    SELECT n, CAST(c AS DOUBLE) AS concordant, CAST(d AS DOUBLE) AS discordant,
+           {st.KENDALL_TAU_B} AS tau_b
+    FROM fin
+    """
+
+
+@register("events_kendall_tau", _sql_kendall(24))
+def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kendall tau-b between event amount and hour-of-day
+    (stats.kendall_tau_b): concordant/discordant pair counts by 2D
+    suffix-sum algebra on the pivoted (distinct-amount x 24-hour) cell
+    table — integer-exact at any scale, proper tie correction, no
+    sampling. The O(n^2) pair enumeration never happens."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.hour("ts").alias("hr"),
+    )
+    return st.kendall_tau_b(ev, "cents", "hr", n_y=24)

@@ -1426,3 +1426,107 @@ def conversion_wilson(
         F.expr(WILSON_LO).alias("ci_lo"),
         F.expr(WILSON_HI).alias("ci_hi"),
     )
+
+
+# Kendall tau-b final expression over exact integer aggregates:
+# tau = (C - D) / sqrt((n0 - n1) * (n0 - n2)). One shared string.
+KENDALL_TAU_B = (
+    "round((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))"
+    " / sqrt((CAST(n0 AS DOUBLE) - CAST(n1 AS DOUBLE))"
+    " * (CAST(n0 AS DOUBLE) - CAST(n2 AS DOUBLE))), 6)"
+)
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_y: int,
+) -> DataFrame:
+    """Exact Kendall tau-b rank correlation between a high-cardinality
+    integer column x and a SMALL-category integer column y (0..n_y-1) —
+    the concordance statistic (robust monotone association with a
+    proper tie correction), exact at any scale.
+
+    Method: pivot to the (distinct-x, per-y-count) table; strict suffix
+    sums S_j(x) = #{x' > x, y' = j} come from the two-phase global
+    cumsum over x DESC (no single-task window); then per row
+    C-contribution = sum_j c_j * H_j (H_j = sum_{j'>j} S_j') and
+    D-contribution = sum_j c_j * (T - S_j - H_j) with T = sum_j S_j —
+    ALL integer arithmetic (order-free, no float discipline needed),
+    accumulated in DECIMAL(38,0). Tie terms n1 = sum_x t(t-1)/2,
+    n2 = sum_j u(u-1)/2, n0 = n(n-1)/2. tau-b is the one shared final
+    expression (KENDALL_TAU_B).
+
+    Returns ONE row: (n, concordant, discordant, tau_b) — the pair
+    counts as doubles (exact below 2^53; the tau itself only ever uses
+    the double casts both engines share).
+
+    Scale: one keyed aggregation to the distinct-x table, one range
+    exchange for the suffix sums, one global rollup. The y dimension is
+    columns, never a shuffle.
+    """
+    from imposm3_spark.datapipe.sampling import with_global_cumsums
+
+    xr = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .groupBy("x")
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            *[
+                F.sum(F.when(F.col("y") == j, 1).otherwise(0)).alias(f"c{j}")
+                for j in range(n_y)
+            ],
+        )
+        .withColumn("negx", -F.col("x"))
+    )
+    cum = with_global_cumsums(xr, ["negx"], [f"c{j}" for j in range(n_y)])
+    # strict suffix: points with x' > x (inclusive cumsum minus own row)
+    s = [
+        (F.col(f"cum_c{j}") - F.col(f"c{j}")).alias(f"s{j}") for j in range(n_y)
+    ]
+    base = cum.select("t", *[f"c{j}" for j in range(n_y)], *s)
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # H_j = sum_{j' > j} S_j'   (right-to-left running sums)
+    H: list = [None] * n_y
+    H[n_y - 1] = F.lit(0).cast("long")
+    for j in range(n_y - 2, -1, -1):
+        H[j] = H[j + 1] + F.col(f"s{j + 1}")
+    T = None
+    for j in range(n_y):
+        T = F.col(f"s{j}") if T is None else T + F.col(f"s{j}")
+    conc = None
+    disc = None
+    for j in range(n_y):
+        cterm = dec(F.col(f"c{j}")) * H[j]
+        dterm = dec(F.col(f"c{j}")) * (T - F.col(f"s{j}") - H[j])
+        conc = cterm if conc is None else conc + cterm
+        disc = dterm if disc is None else disc + dterm
+    agg = base.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.expr("(t * (t - 1)) div 2")).alias("n1"),
+        F.sum(conc).alias("c"),
+        F.sum(disc).alias("d"),
+        *[F.sum(f"c{j}").alias(f"u{j}") for j in range(n_y)],
+    )
+    n2 = None
+    for j in range(n_y):
+        term = F.expr(f"(u{j} * (u{j} - 1)) div 2").cast("decimal(38,0)")
+        n2 = term if n2 is None else n2 + term
+    full = agg.select(
+        "n",
+        "c",
+        "d",
+        (
+            dec(F.col("n")) * (F.col("n") - 1) / F.lit(2)
+        ).cast("decimal(38,0)").alias("n0"),
+        F.col("n1").cast("decimal(38,0)").alias("n1"),
+        n2.alias("n2"),
+    )
+    return full.select(
+        "n",
+        F.col("c").cast("double").alias("concordant"),
+        F.col("d").cast("double").alias("discordant"),
+        F.expr(KENDALL_TAU_B).alias("tau_b"),
+    )

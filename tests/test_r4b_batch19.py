@@ -118,3 +118,53 @@ def test_churn_labels_leakage_safe(spark):
     assert r1.tenure_days == 183  # 2000-06-01 -> 2000-12-01
     r2 = got[2]
     assert (r2.n_orders, r2.will_return) == (1, 0)
+
+
+def test_kendall_tau_b_vs_bruteforce(spark):
+    """tau-b must equal the O(n^2) brute-force pair count, including the
+    tie corrections, on awkward tied data."""
+    import itertools
+
+    from imposm3_spark.datapipe.stats import kendall_tau_b
+
+    pts = [(1, 0), (1, 1), (2, 0), (2, 2), (3, 1), (3, 2), (5, 3), (5, 3), (4, 0), (9, 3)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    r = kendall_tau_b(df, "x", "y", n_y=4).collect()[0]
+
+    C = D = 0
+    for (xa, ya), (xb, yb) in itertools.combinations(pts, 2):
+        s = (xa - xb) * (ya - yb)
+        if s > 0:
+            C += 1
+        elif s < 0:
+            D += 1
+    n = len(pts)
+    n0 = n * (n - 1) // 2
+    tx: dict = {}
+    ty: dict = {}
+    for x, y in pts:
+        tx[x] = tx.get(x, 0) + 1
+        ty[y] = ty.get(y, 0) + 1
+    n1 = sum(t * (t - 1) // 2 for t in tx.values())
+    n2 = sum(t * (t - 1) // 2 for t in ty.values())
+    tau = (C - D) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert (r.concordant, r.discordant) == (float(C), float(D))
+    assert r.tau_b == round(tau, 6)
+
+
+def test_kendall_tau_perfect_orders(spark):
+    from imposm3_spark.datapipe.stats import kendall_tau_b
+
+    up = spark.createDataFrame([(i, i % 4) for i in range(8)], "x long, y long")
+    # x strictly increasing, y cycling: not perfect; use aligned data
+    aligned = spark.createDataFrame(
+        [(i, min(i, 3)) for i in range(8)], "x long, y long"
+    )
+    r = kendall_tau_b(aligned, "x", "y", n_y=4).collect()[0]
+    assert r.discordant == 0.0 and r.tau_b > 0.7  # tie correction caps it below 1
+    rev = spark.createDataFrame(
+        [(i, min(7 - i, 3)) for i in range(8)], "x long, y long"
+    )
+    r2 = kendall_tau_b(rev, "x", "y", n_y=4).collect()[0]
+    assert r2.concordant == 0.0 and r2.tau_b < -0.7
+    _ = up
