@@ -581,7 +581,7 @@ def _sql_kendall(n_y: int = 24) -> str:
     )
     SELECT n, CAST(c AS DOUBLE) AS concordant, CAST(d AS DOUBLE) AS discordant,
            {st.KENDALL_TAU_B} AS tau_b
-    FROM fin
+    FROM fin WHERE n0 > n1 AND n0 > n2
     """
 
 

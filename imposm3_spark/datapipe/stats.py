@@ -1524,9 +1524,14 @@ def kendall_tau_b(
         F.col("n1").cast("decimal(38,0)").alias("n1"),
         n2.alias("n2"),
     )
-    return full.select(
-        "n",
-        F.col("c").cast("double").alias("concordant"),
-        F.col("d").cast("double").alias("discordant"),
-        F.expr(KENDALL_TAU_B).alias("tau_b"),
+    # zero rank variance on either side (all-tied x or y) has no defined
+    # tau: exclude by EXACT integer predicates before the float division
+    return (
+        full.where((F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2")))
+        .select(
+            "n",
+            F.col("c").cast("double").alias("concordant"),
+            F.col("d").cast("double").alias("discordant"),
+            F.expr(KENDALL_TAU_B).alias("tau_b"),
+        )
     )
