@@ -597,3 +597,42 @@ def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hr"),
     )
     return st.kendall_tau_b(ev, "cents", "hr", n_y=24)
+
+
+@register(
+    "events_did",
+    f"""
+    WITH src AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             (user_id % 2 = 1) AS treated,
+             (CAST(ts AS DATE) > DATE '2001-06-15') AS post
+      FROM events
+    ), cells AS (
+      SELECT g,
+             CAST(sum(CASE WHEN treated AND NOT post THEN cents ELSE 0 END) AS BIGINT) AS st_pre,
+             CAST(sum(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS nt_pre,
+             CAST(sum(CASE WHEN treated AND post THEN cents ELSE 0 END) AS BIGINT) AS st_post,
+             CAST(sum(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS nt_post,
+             CAST(sum(CASE WHEN NOT treated AND NOT post THEN cents ELSE 0 END) AS BIGINT) AS sc_pre,
+             CAST(sum(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS nc_pre,
+             CAST(sum(CASE WHEN NOT treated AND post THEN cents ELSE 0 END) AS BIGINT) AS sc_post,
+             CAST(sum(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS nc_post
+      FROM src GROUP BY g
+    )
+    SELECT g AS event_type, nt_pre, nt_post, nc_pre, nc_post,
+           {st.DID_EFFECT} AS did_effect
+    FROM cells
+    WHERE nt_pre > 0 AND nt_post > 0 AND nc_pre > 0 AND nc_post > 0
+    """,
+)
+def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences effect per event type at the 2001-06-15
+    cutover (stats.diff_in_diff): treated = odd user key; the causal
+    workhorse that removes the shared time trend a naive pre/post
+    comparison absorbs. Four exact integer cells, one shared effect
+    expression."""
+    return st.diff_in_diff(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value",
+        "2001-06-15", group_col="event_type",
+    )

@@ -1535,3 +1535,75 @@ def kendall_tau_b(
             F.expr(KENDALL_TAU_B).alias("tau_b"),
         )
     )
+
+
+# Difference-in-differences from four exact cell sums: the treatment
+# effect estimate (post - pre)_treated - (post - pre)_control, each mean
+# a cents/100 double from exact integers. One shared string over columns
+# (st_pre, nt_pre, st_post, nt_post, sc_pre, nc_pre, sc_post, nc_post).
+DID_EFFECT = (
+    "round(((CAST(st_post AS DOUBLE)/CAST(nt_post AS DOUBLE)"
+    " - CAST(st_pre AS DOUBLE)/CAST(nt_pre AS DOUBLE))"
+    " - (CAST(sc_post AS DOUBLE)/CAST(nc_post AS DOUBLE)"
+    " - CAST(sc_pre AS DOUBLE)/CAST(nc_pre AS DOUBLE))) / 100.0, 4)"
+)
+
+
+def diff_in_diff(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    value_col: str,
+    cutover: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Difference-in-differences effect estimate: treated units (odd
+    unit key — the stand-in for an assignment column) vs control, before
+    vs after the `cutover` date; the causal-inference workhorse for
+    staggered rollouts where a plain pre/post comparison absorbs the
+    trend.
+
+    Exactness: the four cell (sum, n) pairs are exact integers from ONE
+    aggregation; the effect and the four cell means are shared
+    expression strings. Optionally grouped by `group_col` for per-segment
+    effects.
+
+    Scale: one map-side-combinable aggregation; the cells are columns.
+    """
+    cut = F.to_date(F.lit(cutover))
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    treated = F.col(unit_col) % 2 == 1
+    post = F.col(ts_col).cast("date") > cut
+    keys = [F.col(group_col).alias("g")] if group_col else []
+
+    def cell(p, t, agg):
+        cond = (post == F.lit(p)) & (treated == F.lit(t))
+        if agg == "s":
+            return F.sum(F.when(cond, cents).otherwise(0))
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    g = df.groupBy(*keys).agg(
+        cell(False, True, "s").alias("st_pre"),
+        cell(False, True, "n").alias("nt_pre"),
+        cell(True, True, "s").alias("st_post"),
+        cell(True, True, "n").alias("nt_post"),
+        cell(False, False, "s").alias("sc_pre"),
+        cell(False, False, "n").alias("nc_pre"),
+        cell(True, False, "s").alias("sc_post"),
+        cell(True, False, "n").alias("nc_post"),
+    )
+    nonzero = (
+        (F.col("nt_pre") > 0)
+        & (F.col("nt_post") > 0)
+        & (F.col("nc_pre") > 0)
+        & (F.col("nc_post") > 0)
+    )
+    out_cols = ([F.col("g")] if group_col else []) + [
+        F.col("nt_pre"),
+        F.col("nt_post"),
+        F.col("nc_pre"),
+        F.col("nc_post"),
+        F.expr(DID_EFFECT).alias("did_effect"),
+    ]
+    res = g.where(nonzero).select(*out_cols)
+    return res.withColumnRenamed("g", group_col) if group_col else res

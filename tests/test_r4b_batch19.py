@@ -168,3 +168,26 @@ def test_kendall_tau_perfect_orders(spark):
     r2 = kendall_tau_b(rev, "x", "y", n_y=4).collect()[0]
     assert r2.concordant == 0.0 and r2.tau_b < -0.7
     _ = up
+
+
+def test_did_recovers_planted_effect(spark):
+    """Plant a trend shared by both groups plus a +5.00 treatment-only
+    post-period lift: DiD must recover exactly +5.00 while the naive
+    post-pre difference of the treated group reads trend + lift."""
+    from datetime import datetime, timedelta
+
+    from imposm3_spark.datapipe.stats import diff_in_diff
+
+    t0 = datetime(2001, 6, 1)
+    rows = []
+    for day in range(30):
+        ts = t0 + timedelta(days=day)
+        post = day >= 15
+        base = 10.0 + (2.0 if post else 0.0)  # shared time trend +2
+        for u in range(1, 5):  # users 1,3 treated; 2,4 control
+            lift = 5.0 if (post and u % 2 == 1) else 0.0
+            rows.append((u, ts, "x", base + lift))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    r = diff_in_diff(df, "user_id", "ts", "value", "2001-06-15", group_col="event_type").collect()[0]
+    assert r.did_effect == 5.0
+    assert r.nt_pre == r.nc_pre == 30 and r.nt_post == r.nc_post == 30
