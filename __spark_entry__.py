@@ -115,9 +115,12 @@ _DRIVER_FIRST = [
     # emb_ball_query, supplier_hhi, emb_mmr_select, plus the batch-15/16/17
     # additions events_k_anonymity, cust_gini, events_benford,
     # events_spearman, events_kcore, doc_collocation_llr, doc_zipf,
-    # doc_textrank, events_mutual_info, doc_shard_plan (59 round-4
+    # doc_textrank, events_mutual_info, doc_shard_plan, emb_kcenter,
+    # events_dispersion, orders_burstiness, events_transition_entropy,
+    # events_ks_test, events_conversion_ci, events_markov_stationary,
+    # events_kendall_tau, orders_churn_labels, events_did (69 round-4
     # additions — the round-5 window takes the first 50 in this order;
-    # the last 9 plus any round-5 additions queue for round 6). The 50
+    # the remainder plus any round-5 additions queue for round 6). The 50
     # above will then all have driver rows; keep them behind the rotation.
 ]
 
