@@ -636,3 +636,50 @@ def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"), "user_id", "ts", "value",
         "2001-06-15", group_col="event_type",
     )
+
+
+def _sql_cluster_ari() -> str:
+    from imposm3_spark.datapipe import kmeans as km
+
+    r1 = km.oracle_sql(k=8, iterations=3, dim=64, seed_skip=0)
+    r2 = km.oracle_sql(k=8, iterations=3, dim=64, seed_skip=8)
+    return f"""
+    WITH r1 AS MATERIALIZED (SELECT * FROM ({r1})),
+    r2 AS MATERIALIZED (SELECT * FROM ({r2})),
+    ct AS (
+      SELECT r1.cluster AS c1, r2.cluster AS c2, count(*) AS m
+      FROM r1 JOIN r2 USING (vec_id) GROUP BY 1, 2
+    ), s AS (
+      SELECT CAST(sum(CAST(m AS HUGEINT) * (m - 1) // 2) AS HUGEINT) AS idx,
+             CAST(sum(m) AS BIGINT) AS n
+      FROM ct
+    ), sa AS (
+      SELECT CAST(sum(CAST(a AS HUGEINT) * (a - 1) // 2) AS HUGEINT) AS aa
+      FROM (SELECT CAST(sum(m) AS BIGINT) AS a FROM ct GROUP BY c1)
+    ), sb AS (
+      SELECT CAST(sum(CAST(b AS HUGEINT) * (b - 1) // 2) AS HUGEINT) AS bb
+      FROM (SELECT CAST(sum(m) AS BIGINT) AS b FROM ct GROUP BY c2)
+    ), g AS (
+      SELECT n, idx, aa, bb,
+             CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS HUGEINT) AS tt
+      FROM s, sa, sb
+    )
+    SELECT n, {km.ARI} AS ari
+    FROM g
+    WHERE n > 1 AND tt * (aa + bb) != 2 * aa * bb
+    """
+
+
+@register("emb_cluster_ari", _sql_cluster_ari())
+def emb_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering seed-stability: exact Adjusted Rand Index between two
+    Lloyd runs seeded from disjoint deterministic windows (ranks 0..7 vs
+    8..15 in id order) — ARI near 1 means the structure is real, near 0
+    means the 'clusters' are seed artifacts (kmeans.adjusted_rand_index;
+    every term an exact pair count)."""
+    from imposm3_spark.datapipe import kmeans as km
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a1 = km.lloyd_kmeans(emb, k=8, iterations=3)
+    a2 = km.lloyd_kmeans(emb, k=8, iterations=3, seed_skip=8)
+    return km.adjusted_rand_index(a1, a2)

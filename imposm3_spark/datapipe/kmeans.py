@@ -152,15 +152,18 @@ def _run_lloyd(
     iterations: int,
     vec_col: str,
     id_col: str,
+    seed_skip: int = 0,
 ):
     """Shared Lloyd loop: returns (qp, centroids, dim) after `iterations`
-    rounds, or None for an empty input."""
+    rounds, or None for an empty input. `seed_skip` offsets the
+    deterministic seed window (ranks seed_skip..seed_skip+k-1 in id
+    order) — the second-run knob for seed-stability evaluation."""
     # One source scan; iterations re-read the quantized columnar cache.
     qp = _quantize(emb, vec_col, id_col).localCheckpoint(eager=True)
 
-    # Deterministic seed: k lowest-id points, cluster = rank in id order.
-    # The seed rows also carry the dimensionality — one driver job, not two.
-    seed = qp.orderBy("vec_id").limit(k).collect()
+    # Deterministic seed: k lowest-id points (after the skip), cluster =
+    # rank in id order. Seed rows also carry the dimensionality.
+    seed = qp.orderBy("vec_id").limit(k + seed_skip).collect()[seed_skip:]
     if not seed:
         return None
     dim = len(seed[0]["q"])
@@ -202,11 +205,12 @@ def lloyd_kmeans(
     iterations: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seed_skip: int = 0,
 ) -> DataFrame:
     """Run `iterations` rounds of (assign, centroid-update) from the
     deterministic seed, then return the final assignment against the last
     centroids: (vec_id, cluster)."""
-    run = _run_lloyd(emb, k, iterations, vec_col, id_col)
+    run = _run_lloyd(emb, k, iterations, vec_col, id_col, seed_skip=seed_skip)
     if run is None:
         return emb.sparkSession.createDataFrame([], "vec_id long, cluster int")
     qp, _, _, assign = run
@@ -289,7 +293,9 @@ def kmeans_inertia(
     )
 
 
-def oracle_sql(k: int = 8, iterations: int = 3, dim: int = 64) -> str:
+def oracle_sql(
+    k: int = 8, iterations: int = 3, dim: int = 64, seed_skip: int = 0
+) -> str:
     """Generate the DuckDB oracle: the identical computation unrolled as
     materialized CTE stages (same quantization, same fixed-order fold,
     same tie-break, same empty-cluster coalesce)."""
@@ -310,7 +316,7 @@ WITH qp AS MATERIALIZED (
 ), c0 AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, q AS s,
          CAST(1 AS BIGINT) AS n
-  FROM (SELECT vec_id, q FROM qp ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id, q FROM qp ORDER BY vec_id LIMIT {k} OFFSET {seed_skip})
 )"""
     ]
     prev = "c0"
@@ -488,4 +494,67 @@ SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
        round(CASE WHEN greatest(a, b) = 0.0 THEN 0.0
                   ELSE (b - a) / greatest(a, b) END, 6) AS s
 FROM dists ORDER BY s ASC, vec_id LIMIT {topn}"""
+    )
+
+
+# Adjusted Rand Index from exact pair-count sums: with idx = sum_ij
+# C(n_ij,2), aa = sum_i C(a_i,2), bb = sum_j C(b_j,2), tt = C(n,2),
+# ARI = (idx - aa*bb/tt) / ((aa+bb)/2 - aa*bb/tt). One shared string.
+ARI = (
+    "round((CAST(idx AS DOUBLE) - CAST(aa AS DOUBLE)*CAST(bb AS DOUBLE)/CAST(tt AS DOUBLE))"
+    " / ((CAST(aa AS DOUBLE) + CAST(bb AS DOUBLE))/2.0"
+    " - CAST(aa AS DOUBLE)*CAST(bb AS DOUBLE)/CAST(tt AS DOUBLE)), 6)"
+)
+
+
+def adjusted_rand_index(
+    a1: DataFrame, a2: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact Adjusted Rand Index between two (id, cluster) assignments —
+    the seed-stability / reproducibility readout for any clustering
+    (ARI 1 = identical partitions up to relabeling, ~0 = chance
+    agreement; Hubert & Arabie '85).
+
+    Exactness: every term is a pair count C(m,2) = m(m-1) div 2 from the
+    k x k contingency table — exact integers accumulated in
+    DECIMAL(38,0)/HUGEINT; the ARI is the ONE shared expression (ARI).
+    Degenerate partitions (both trivial, expected == max) are excluded
+    by an exact integer predicate.
+
+    Scale: one id-keyed equi-join, one k*k-group aggregation, two
+    marginal rollups — all map-side combinable; nothing driver-sized.
+    """
+    j = a1.select(F.col(id_col).alias("i"), F.col("cluster").alias("c1")).join(
+        a2.select(F.col(id_col).alias("i"), F.col("cluster").alias("c2")), "i"
+    )
+    ct = j.groupBy("c1", "c2").agg(F.count(F.lit(1)).alias("m")).localCheckpoint(
+        eager=False
+    )
+    dec = "decimal(38,0)"
+    pairs = lambda c: (F.col(c).cast(dec) * (F.col(c) - 1) / 2).cast(dec)  # noqa: E731
+    idx = ct.agg(
+        F.sum(pairs("m")).alias("idx"), F.sum("m").alias("n")
+    )
+    aa = (
+        ct.groupBy("c1").agg(F.sum("m").alias("a"))
+        .agg(F.sum(pairs("a")).alias("aa"))
+    )
+    bb = (
+        ct.groupBy("c2").agg(F.sum("m").alias("b"))
+        .agg(F.sum(pairs("b")).alias("bb"))
+    )
+    g = idx.crossJoin(F.broadcast(aa)).crossJoin(F.broadcast(bb)).select(
+        "n",
+        "idx",
+        "aa",
+        "bb",
+        (F.col("n").cast(dec) * (F.col("n") - 1) / 2).cast(dec).alias("tt"),
+    )
+    # exclude the degenerate case max == expected (2*aa*bb == tt*(aa+bb))
+    keep = (
+        F.col("tt").cast(dec) * (F.col("aa") + F.col("bb"))
+        != F.lit(2).cast(dec) * F.col("aa") * F.col("bb")
+    )
+    return g.where(F.col("n") > 1).where(keep).select(
+        "n", F.expr(ARI).alias("ari")
     )

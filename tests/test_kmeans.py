@@ -215,3 +215,37 @@ def test_arrow_kernel_matches_catalyst_fold(spark):
     for ri, r in enumerate(fold):
         for j in range(len(centroids)):
             assert D[ri, j] == r[f"d{j}"], (r.vec_id, j)
+
+
+def test_adjusted_rand_index_hand_values(spark):
+    from imposm3_spark.datapipe.kmeans import adjusted_rand_index
+
+    # identical partitions -> ARI 1
+    a = spark.createDataFrame([(i, i % 3) for i in range(12)], "vec_id long, cluster int")
+    r = adjusted_rand_index(a, a).collect()[0]
+    assert r.ari == 1.0 and r.n == 12
+    # relabeled identical partition -> still 1 (label-invariance)
+    b = spark.createDataFrame([(i, (i % 3 + 1) % 3) for i in range(12)], "vec_id long, cluster int")
+    assert adjusted_rand_index(a, b).collect()[0].ari == 1.0
+    # known textbook case: [0,0,1,1] vs [0,1,0,1] -> idx=0, aa=bb=2, tt=6
+    # ARI = (0 - 4/6) / (2 - 4/6) = -0.5
+    x = spark.createDataFrame([(0, 0), (1, 0), (2, 1), (3, 1)], "vec_id long, cluster int")
+    y = spark.createDataFrame([(0, 0), (1, 1), (2, 0), (3, 1)], "vec_id long, cluster int")
+    assert adjusted_rand_index(x, y).collect()[0].ari == -0.5
+
+
+def test_seed_skip_changes_seed_only(spark):
+    """seed_skip shifts the deterministic seed window; the quantized data
+    and the iteration machinery are shared, so both runs cluster the
+    same separated blobs identically (ARI 1 on clean data)."""
+    from imposm3_spark.datapipe.kmeans import adjusted_rand_index, lloyd_kmeans
+
+    pts = []
+    for c in range(3):
+        for i in range(12):
+            pts.append((c * 100 + i, [c * 50.0 + 0.01 * i, 0.0]))
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    a1 = lloyd_kmeans(df, k=3, iterations=4)
+    a2 = lloyd_kmeans(df, k=3, iterations=4, seed_skip=3)
+    r = adjusted_rand_index(a1, a2).collect()[0]
+    assert r.ari == 1.0
