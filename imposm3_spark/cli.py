@@ -368,10 +368,32 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_gate(args) -> int:
+    """Replay the correctness gate: run each registered query AND its
+    DuckDB oracle side-by-side on the same parquet tables, compare row
+    count / schema / sorted-value hash — the operational self-check a
+    deployment runs after an upgrade (same comparison as the driver's
+    CORRECTNESS gate; scripts/check_oracle.py is the scripted form)."""
+    import runpy
+
+    sys.argv = ["check_oracle.py", args.sf_dir] + (
+        args.only.split(",") if args.only else []
+    )
+    script = os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts", "check_oracle.py")
+    if not os.path.exists(script):
+        print("scripts/check_oracle.py not found", file=sys.stderr)
+        return 2
+    try:
+        runpy.run_path(script, run_name="__main__")
+    except SystemExit as e:
+        return int(e.code or 0)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
-        print("usage: imposm3_spark import|diff|run|query|curate|analyze|version [args]", file=sys.stderr)
+        print("usage: imposm3_spark import|diff|run|query|curate|analyze|gate|version [args]", file=sys.stderr)
         return 2
     cmd, rest = argv[0], argv[1:]
     if cmd == "version":
@@ -447,6 +469,11 @@ def main(argv: list[str] | None = None) -> int:
         if not args.diffdir:
             p.error("missing -diffdir (flag or config diffdir)")
         return cmd_run(args)
+    if cmd == "gate":
+        p = argparse.ArgumentParser(prog="imposm3_spark gate")
+        p.add_argument("-sf-dir", dest="sf_dir", default="/root/testdata/sf0.01")
+        p.add_argument("-only", default="", help="comma-separated query names")
+        return cmd_gate(p.parse_args(rest))
     if cmd == "analyze":
         p = argparse.ArgumentParser(prog="imposm3_spark analyze")
         p.add_argument("-name", default="", help="registered query name")

@@ -307,3 +307,14 @@ def test_analyze_subcommand(tmp_path, capsys):
 
     n = duckdb.connect().execute(f"SELECT count(*) FROM '{dest}/*.parquet'").fetchone()[0]
     assert n > 0
+
+
+def test_cli_gate_subcommand(capsys):
+    """The gate subcommand replays the oracle comparison for selected
+    queries and exits 0 on all-green."""
+    from imposm3_spark.cli import main
+
+    rc = main(["gate", "-sf-dir", "/root/testdata/sf0.001", "-only", "tpch_q6"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "PASS tpch_q6" in out and "0 fail" in out
