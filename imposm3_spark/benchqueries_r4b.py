@@ -683,3 +683,90 @@ def emb_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = km.lloyd_kmeans(emb, k=8, iterations=3)
     a2 = km.lloyd_kmeans(emb, k=8, iterations=3, seed_skip=8)
     return km.adjusted_rand_index(a1, a2)
+
+
+@register(
+    "doc_tokenizer_fertility",
+    r"""
+    WITH per AS (
+      SELECT lang,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+               AS words,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+               AS BIGINT) AS pieces
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(words) AS BIGINT) AS n_words,
+           CAST(sum(pieces) AS BIGINT) AS n_pieces,
+           round(CAST(sum(pieces) AS DOUBLE) / CAST(sum(words) AS DOUBLE), 4)
+             AS fertility
+    FROM per GROUP BY lang
+    HAVING sum(words) > 0
+    """,
+)
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pieces per whitespace
+    word — the tokenizer-efficiency metric (high fertility = the
+    vocabulary fragments that language, inflating sequence lengths and
+    training cost). One map-side aggregation over exact counts."""
+    from imposm3_spark.datapipe.text import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        token_count(F.col("text")).cast("bigint").alias("words"),
+        bpe_token_count(F.col("text")).cast("bigint").alias("pieces"),
+    )
+    g = per.groupBy("lang").agg(
+        F.sum("words").alias("n_words"), F.sum("pieces").alias("n_pieces")
+    )
+    return g.where(F.col("n_words") > 0).select(
+        "lang",
+        "n_words",
+        "n_pieces",
+        F.round(
+            F.col("n_pieces").cast("double") / F.col("n_words").cast("double"), 4
+        ).alias("fertility"),
+    )
+
+
+def _sql_eta() -> str:
+    cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN hr = {j} THEN cents ELSE 0 END) AS BIGINT) AS t{j},\n"
+        f"             CAST(sum(CASE WHEN hr = {j} THEN 1 ELSE 0 END) AS BIGINT) AS m{j}"
+        for j in range(24)
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type AS g, hour(ts) AS hr,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), piv AS (
+      SELECT g, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss,
+             {cols}
+      FROM base GROUP BY g
+    )
+    SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+           {st.eta_squared_expr(24)} AS eta_sq
+    FROM piv
+    WHERE n >= 2 AND CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s > 0
+    """
+
+
+@register("events_eta_squared", _sql_eta())
+def events_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength per event type: ANOVA eta-squared of
+    hour-of-day on the amount (stats.eta_squared_by_group) — the share
+    of value variance the clock explains; the factor-importance screen
+    before building hour features."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return st.eta_squared_by_group(
+        ev, "event_type", "hr", F.col("cents"), list(range(24))
+    )

@@ -359,6 +359,12 @@ def cmd_analyze(args) -> int:
     spark = get_spark("analyze")
     spark.sparkContext.setLogLevel("ERROR")
     df = bq.QUERIES[args.name](spark, args.sf_dir)
+    if args.explain:
+        # executed (post-AQE) plan: run, then print — the plan a user
+        # should inspect before scaling the query up
+        df.collect()
+        print(df._jdf.queryExecution().executedPlan().toString())
+        return 0
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
         print(f"wrote {args.out}")
@@ -482,6 +488,8 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("-out", default="", help="write result parquet here instead of stdout")
         p.add_argument("-limit", type=int, default=20, help="stdout row cap")
         p.add_argument("-list", action="store_true", help="list registered queries")
+        p.add_argument("-explain", action="store_true",
+                       help="print the executed (post-AQE) physical plan instead of rows")
         args = p.parse_args(rest)
         if not args.list and not args.name:
             p.error("missing -name (or -list)")

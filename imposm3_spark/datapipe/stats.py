@@ -1607,3 +1607,65 @@ def diff_in_diff(
     ]
     res = g.where(nonzero).select(*out_cols)
     return res.withColumnRenamed("g", group_col) if group_col else res
+
+
+def eta_squared_expr(n_cats: int) -> str:
+    """Shared ANOVA eta-squared expression over pivoted columns t0..t{n-1}
+    (per-category value sums), m0..m{n-1} (per-category counts), s (group
+    value sum), ss (group sum of squares, wide-int), n (group count):
+    eta2 = (sum_j t_j^2/m_j - s^2/n) / (ss - s^2/n), terms in fixed
+    category order — identical parse tree on both engines."""
+    between = " + ".join(
+        f"(CASE WHEN m{j} > 0 THEN CAST(t{j} AS DOUBLE)*CAST(t{j} AS DOUBLE)"
+        f"/CAST(m{j} AS DOUBLE) ELSE 0.0 END)"
+        for j in range(n_cats)
+    )
+    return (
+        f"round((({between})"
+        " - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))"
+        " / (CAST(ss AS DOUBLE)"
+        " - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE)), 6)"
+    )
+
+
+def eta_squared_by_group(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    value_col,
+    categories: list,
+) -> DataFrame:
+    """Per-group ANOVA effect size (eta-squared) of a categorical factor
+    on an integer value: the share of the value's variance the category
+    explains — the seasonality-strength / factor-importance readout
+    (eta2 near 0: the factor is noise; near 1: the factor determines the
+    value).
+
+    Exactness: per-(group, category) sums and counts are exact BIGINTs,
+    the sum of squares is DECIMAL(38,0)/HUGEINT, and eta2 is the ONE
+    generated shared expression (eta_squared_expr) — fixed-order terms,
+    zero-variance groups excluded by an exact integer predicate.
+
+    Scale: one map-side-combinable aggregation; the category dimension
+    is columns.
+    """
+    dec = "decimal(38,0)"
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("s"),
+        F.sum(value_col.cast(dec) * value_col).alias("ss"),
+    ]
+    for j, c in enumerate(categories):
+        cond = F.col(cat_col) == c
+        aggs.append(F.sum(F.when(cond, value_col).otherwise(0)).alias(f"t{j}"))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"m{j}"))
+    g = df.groupBy(group_col).agg(*aggs)
+    var_pos = (
+        F.col("n").cast(dec) * F.col("ss")
+        - F.col("s").cast(dec) * F.col("s")
+    ) > 0
+    return g.where((F.col("n") >= 2) & var_pos).select(
+        group_col,
+        "n",
+        F.expr(eta_squared_expr(len(categories))).alias("eta_sq"),
+    )

@@ -191,3 +191,34 @@ def test_did_recovers_planted_effect(spark):
     r = diff_in_diff(df, "user_id", "ts", "value", "2001-06-15", group_col="event_type").collect()[0]
     assert r.did_effect == 5.0
     assert r.nt_pre == r.nc_pre == 30 and r.nt_post == r.nc_post == 30
+
+
+def test_eta_squared_extremes(spark):
+    """Category fully determines the value -> eta2 = 1; category
+    irrelevant (same values in every category) -> eta2 = 0."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.stats import eta_squared_by_group
+
+    det = [("d", c, 100 * (c + 1)) for c in (0, 1, 2) for _ in range(4)]
+    irr = [("i", c, v) for c in (0, 1, 2) for v in (10, 20, 30)]
+    df = spark.createDataFrame(det + irr, "g string, cat int, v long")
+    got = {
+        r.g: r.eta_sq
+        for r in eta_squared_by_group(df, "g", "cat", F.col("v"), [0, 1, 2]).collect()
+    }
+    assert got["d"] == 1.0
+    assert got["i"] == 0.0
+
+
+def test_eta_squared_hand_value(spark):
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.stats import eta_squared_by_group
+
+    # groups: cat0 = [1, 3], cat1 = [5, 7]
+    rows = [("k", 0, 1), ("k", 0, 3), ("k", 1, 5), ("k", 1, 7)]
+    df = spark.createDataFrame(rows, "g string, cat int, v long")
+    r = eta_squared_by_group(df, "g", "cat", F.col("v"), [0, 1]).collect()[0]
+    # ss_between = 2*(2-4)^2 + 2*(6-4)^2 = 16; ss_total = 9+1+1+9 = 20
+    assert r.eta_sq == round(16 / 20, 6)
