@@ -118,7 +118,8 @@ _DRIVER_FIRST = [
     # doc_textrank, events_mutual_info, doc_shard_plan, emb_kcenter,
     # events_dispersion, orders_burstiness, events_transition_entropy,
     # events_ks_test, events_conversion_ci, events_markov_stationary,
-    # events_kendall_tau, orders_churn_labels, events_did (69 round-4
+    # events_kendall_tau, orders_churn_labels, events_did,
+    # emb_cluster_ari, doc_tokenizer_fertility, events_eta_squared (72 round-4
     # additions — the round-5 window takes the first 50 in this order;
     # the remainder plus any round-5 additions queue for round 6). The 50
     # above will then all have driver rows; keep them behind the rotation.

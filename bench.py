@@ -59,6 +59,8 @@ def main() -> None:
         except Exception:
             pass  # warmup must never fail the bench
 
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in bq.QUERIES.items():
         start = time.perf_counter()
@@ -69,6 +71,12 @@ def main() -> None:
         # full-precision floats overflowed the driver's capture window)
         timings[name] = round(time.perf_counter() - start, 3)
         _ = n
+        # drop the query's DataFrame refs and let the ContextCleaner
+        # unpersist its localCheckpoint blocks — 200+ checkpointing
+        # queries in one JVM otherwise accumulate block-manager memory
+        # and late queries pay the GC pressure as timing noise
+        df = None
+        gc.collect()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # summary keys first so even a head-truncated capture shows the totals

@@ -235,3 +235,64 @@ def write_sharded_jsonl(
         .partitionBy("shard")
         .json(path)
     )
+
+
+def read_csv_docs(
+    spark: SparkSession,
+    path: str,
+    mode: str = "PERMISSIVE",
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """Read a CSV corpus (header: doc_id,text,lang,source) into the
+    canonical documents shape — the same contract as read_jsonl:
+    returns (docs, quarantine), doc_id backfilled from xxhash64(text)
+    when absent, empty-text rows dropped, malformed lines quarantined
+    raw. CSV is the interchange format JSONL pipelines still receive
+    from spreadsheets/exports; the quarantine keeps bad quoting from
+    silently dropping rows.
+
+    Scale: spark.read.csv is splittable (multiLine stays off, so quoted
+    newlines are rejected into the quarantine rather than serializing
+    the scan); both views are lazy single scans.
+    """
+    schema = StructType(
+        list(DOC_SCHEMA.fields) + [StructField("_corrupt", StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("sep", sep)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    docs = (
+        raw.where(F.col("_corrupt").isNull())
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            F.coalesce(F.col("doc_id"), F.abs(F.xxhash64(F.col("text")))).alias(
+                "doc_id"
+            ),
+            "text",
+            F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("unknown")).alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+    )
+    # same restriction as read_jsonl: a file-source projection of ONLY
+    # the corrupt column is disallowed, so the quarantine view re-parses
+    # raw lines with from_csv (lazy; runs only if inspected)
+    txt = spark.read.text(path)
+    header = f"doc_id{sep}text{sep}lang{sep}source"
+    reparsed = txt.where(F.col("value") != header).select(
+        "value",
+        F.from_csv(
+            "value",
+            schema.simpleString(),
+            {"sep": sep, "mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("c"),
+    )
+    quarantine = reparsed.where(F.col("c._corrupt").isNotNull()).select(
+        F.col("value").alias("raw_line")
+    )
+    return docs, quarantine
