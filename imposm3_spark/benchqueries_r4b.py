@@ -770,3 +770,106 @@ def events_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.eta_squared_by_group(
         ev, "event_type", "hr", F.col("cents"), list(range(24))
     )
+
+
+@register(
+    "doc_simpson_diversity",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(CASE WHEN trim(lower(text)) = '' THEN []
+             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS t
+      FROM documents
+    ), tc AS (
+      SELECT source, t, count(*) AS c FROM tok GROUP BY source, t
+    ), g AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS rep
+      FROM tc GROUP BY source
+    )
+    SELECT source, n, n_distinct,
+           round(CAST(rep AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS simpson,
+           round(1.0 - CAST(rep AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS gini_simpson
+    FROM g WHERE n >= 2
+    """,
+)
+def doc_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of each source's vocabulary: the probability two
+    random token draws are the SAME word — the log-free exact diversity
+    index (entropy's integer-only sibling; high simpson = repetitive/
+    templated source). rep = sum c*(c-1) is an exact HUGEINT/DECIMAL
+    pair count; one final division."""
+    from imposm3_spark.datapipe.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g = tc.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c").cast("decimal(38,0)") * (F.col("c") - 1)).alias("rep"),
+    )
+    denom = F.col("n").cast("double") * (F.col("n") - 1).cast("double")
+    return g.where(F.col("n") >= 2).select(
+        "source",
+        "n",
+        "n_distinct",
+        F.round(F.col("rep").cast("double") / denom, 6).alias("simpson"),
+        F.round(F.lit(1.0) - F.col("rep").cast("double") / denom, 6).alias(
+            "gini_simpson"
+        ),
+    )
+
+
+@register(
+    "events_runs_test",
+    f"""
+    WITH base AS (
+      SELECT event_type AS g, ts, event_id AS id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ), vc AS (
+      SELECT g, v, count(*) AS c FROM base GROUP BY g, v
+    ), med AS (
+      SELECT g, min(v) AS med FROM (
+        SELECT g, v,
+               CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS tot
+        FROM vc
+      ) WHERE 2 * cum >= tot GROUP BY g
+    ), signed AS (
+      SELECT base.g, ts, id, v > med AS up
+      FROM base JOIN med ON base.g = med.g
+      WHERE v != med
+    ), flagged AS (
+      SELECT g, up,
+             CASE WHEN lag(up) OVER (PARTITION BY g ORDER BY ts, id) IS NULL
+                    OR lag(up) OVER (PARTITION BY g ORDER BY ts, id) != up
+                  THEN 1 ELSE 0 END AS chg
+      FROM signed
+    ), agg AS (
+      SELECT g, CAST(sum(chg) AS BIGINT) AS r,
+             CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN NOT up THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM flagged GROUP BY g
+    )
+    SELECT g AS event_type, r AS n_runs, n1, n2, {st.RUNS_Z} AS z
+    FROM agg
+    WHERE n1 > 0 AND n2 > 0 AND 2 * n1 * n2 - n1 - n2 > 0
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: do above/below-median
+    amounts clump in time (regimes/trend, z < 0) or alternate
+    (oscillation, z > 0)? Exact median dichotomy, exact run counts,
+    shared z expression (stats.runs_test_by_group)."""
+    return st.runs_test_by_group(
+        _t(spark, sf_dir, "events"), "event_type", "ts", "event_id", "value"
+    )

@@ -1669,3 +1669,94 @@ def eta_squared_by_group(
         "n",
         F.expr(eta_squared_expr(len(categories))).alias("eta_sq"),
     )
+
+
+# Wald-Wolfowitz runs-test z from exact integers: with r runs, n1 above-
+# median rows and n2 below, mu = 2*n1*n2/(n1+n2) + 1 and
+# var = 2*n1*n2*(2*n1*n2 - n1 - n2) / ((n1+n2)^2 * (n1+n2-1)).
+RUNS_Z = (
+    "round((CAST(r AS DOUBLE)"
+    " - (2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)/CAST(n1 + n2 AS DOUBLE) + 1.0))"
+    " / sqrt(2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)"
+    "*(2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))"
+    " / (CAST(n1 + n2 AS DOUBLE)*CAST(n1 + n2 AS DOUBLE)*CAST(n1 + n2 - 1 AS DOUBLE))), 6)"
+)
+
+
+def runs_test_by_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per group: are the above/below-median
+    excursions of the value sequence random, or do they clump (trend/
+    regime) or alternate (negative feedback/oscillation)? z < 0 = fewer
+    runs than chance (clumping), z > 0 = more (alternation).
+
+    Exactness: the dichotomizing median is the exact lower median from
+    the (group, distinct-cents) cumulative table (ties with the median
+    drop, the standard treatment); the run count is an exact keyed-lag
+    sum; z is the ONE shared expression (RUNS_Z) over exact integers.
+    Degenerate groups (one-sided, or variance zero) excluded by integer
+    predicates.
+
+    Scale: one keyed window on the distinct-value table (median), one
+    row-table join, one keyed-lag window, one rollup — all partitioned
+    by the group key.
+    """
+    from pyspark.sql import Window as W
+
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        cents.alias("v"),
+    )
+    vc = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    wc = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.partitionBy("g")
+    med = (
+        vc.select(
+            "g",
+            "v",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wt).alias("tot"),
+        )
+        .where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("g")
+        .agg(F.min("v").alias("med"))
+    )
+    signed = (
+        base.join(med, "g")
+        .where(F.col("v") != F.col("med"))
+        .select("g", "_ts", "_id", (F.col("v") > F.col("med")).alias("up"))
+    )
+    wl = W.partitionBy("g").orderBy("_ts", "_id")
+    flagged = signed.withColumn(
+        "_chg",
+        F.when(
+            F.lag("up").over(wl).isNull() | (F.lag("up").over(wl) != F.col("up")),
+            1,
+        ).otherwise(0),
+    )
+    g = flagged.groupBy("g").agg(
+        F.sum("_chg").alias("r"),
+        F.sum(F.when(F.col("up"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("up"), 1).otherwise(0)).alias("n2"),
+    )
+    var_pos = (
+        F.lit(2) * F.col("n1") * F.col("n2") - F.col("n1") - F.col("n2")
+    ) > 0
+    return (
+        g.where((F.col("n1") > 0) & (F.col("n2") > 0) & var_pos)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("r").alias("n_runs"),
+            "n1",
+            "n2",
+            F.expr(RUNS_Z).alias("z"),
+        )
+    )

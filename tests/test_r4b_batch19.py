@@ -222,3 +222,51 @@ def test_eta_squared_hand_value(spark):
     r = eta_squared_by_group(df, "g", "cat", F.col("v"), [0, 1]).collect()[0]
     # ss_between = 2*(2-4)^2 + 2*(6-4)^2 = 16; ss_total = 9+1+1+9 = 20
     assert r.eta_sq == round(16 / 20, 6)
+
+
+def test_runs_test_clumped_vs_alternating(spark):
+    """Perfectly alternating above/below -> max runs, z > 0; perfectly
+    clumped -> 2 runs, z < 0; both match the textbook z by hand."""
+    from datetime import datetime, timedelta
+
+    from imposm3_spark.datapipe.stats import runs_test_by_group
+
+    t0 = datetime(2001, 1, 1)
+
+    def seq(g, vals, base):
+        return [
+            (g, t0 + timedelta(minutes=i), base + i, float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    # values 1 and 3 around median 1 (lower median of {1,3} repeated);
+    # ties with the median drop, so use 1,3,5: median=3 over odd counts.
+    alt = seq("alt", [1, 5] * 8, 0)      # median in {1,5}: lower med 1 -> drops 1s?
+    clump = seq("clump", [1] * 8 + [5] * 8, 100)
+    df = spark.createDataFrame(alt + clump, "event_type string, ts timestamp, event_id long, value double")
+    got = {r.event_type: r for r in runs_test_by_group(df, "event_type", "ts", "event_id", "value").collect()}
+
+    import math
+
+    def z(r, n1, n2):
+        mu = 2 * n1 * n2 / (n1 + n2) + 1
+        var = 2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+        return round((r - mu) / math.sqrt(var), 6)
+
+    # 'alt': 16 rows of 1,5 -> lower median = 1 -> the eight 1s drop (== med),
+    # leaving eight 5s: one-sided -> excluded entirely
+    assert "alt" not in got
+    # 'clump': median = 1 -> 1s drop, only 5s left -> also excluded; make a
+    # three-level clumped series instead
+    assert "clump" not in got
+
+    tri = seq("tri", [1] * 6 + [9] * 6 + [5], 200)  # median 5 drops one row
+    alt3 = seq("alt3", [1, 9] * 6 + [5], 300)
+    df2 = spark.createDataFrame(tri + alt3, "event_type string, ts timestamp, event_id long, value double")
+    got2 = {r.event_type: r for r in runs_test_by_group(df2, "event_type", "ts", "event_id", "value").collect()}
+    rt = got2["tri"]
+    assert (rt.n_runs, rt.n1, rt.n2) == (2, 6, 6)
+    assert rt.z == z(2, 6, 6) and rt.z < -2
+    ra = got2["alt3"]
+    assert (ra.n_runs, ra.n1, ra.n2) == (12, 6, 6)
+    assert ra.z == z(12, 6, 6) and ra.z > 2
