@@ -365,14 +365,8 @@ def orders_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TRANS_ENTROPY_ORACLE = """
-WITH t AS (
-  SELECT src, dst, count(*) AS cnt FROM (
-    SELECT event_type AS src,
-           lead(event_type) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS dst
-    FROM events
-  ) WHERE dst IS NOT NULL GROUP BY 1, 2
+_TRANS_ENTROPY_ORACLE = f"""
+WITH t AS ({gr.TRANSITION_EDGES_SQL}
 ), g AS (
   SELECT src, CAST(sum(cnt) AS BIGINT) AS n,
          CAST(sum(CASE WHEN dst = 'click' THEN cnt ELSE 0 END) AS BIGINT) AS c0,
@@ -487,20 +481,12 @@ def events_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MARKOV_EDGES = """
-  SELECT src, dst, count(*) AS cnt FROM (
-    SELECT event_type AS src,
-           lead(event_type) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS dst
-    FROM events
-  ) WHERE dst IS NOT NULL GROUP BY 1, 2"""
-
-_MARKOV_NODES = "\n  SELECT DISTINCT event_type AS node FROM events"
-
-
 @register(
     "events_markov_stationary",
-    gr.pagerank_oracle(_MARKOV_EDGES, _MARKOV_NODES, iterations=4, damping_pct=100),
+    gr.pagerank_oracle(
+        gr.TRANSITION_EDGES_SQL, gr.TRANSITION_NODES_SQL,
+        iterations=4, damping_pct=100,
+    ),
 )
 def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov stationary-distribution estimate of the event-type chain:

@@ -13,9 +13,10 @@ Why it hash-matches a SQL oracle exactly
 ----------------------------------------
 Everything is INTEGER arithmetic: inputs quantize to q_i = round(e_i *
 SCALE) BIGINTs (the kmeans discipline), centers are actual data points,
-and the squared L2 distance Σ(q_i − c_i)² stays inside int64 for
-|e| <= ~1e3 at SCALE 1e6 and dim 64 (|diff| <= 2e9 → term <= 4e18/dim
-headroom; the synthetic embeddings are unit-scale). Integer sums are
+and the squared L2 distance Σ(q_i − c_i)² stays inside int64 while
+dim · (2·max|e|·SCALE)² < 2^63 — i.e. max|e| <= ~190 at SCALE 1e6 and
+dim 64 (the synthetic embeddings are unit-scale, ~190x inside the
+envelope; for larger coordinate ranges lower SCALE). Integer sums are
 order-free — numpy, Catalyst and DuckDB all agree without any float
 discipline. Ties (equal farthest distance) break to the lowest vec_id;
 the seed is the lowest vec_id.
@@ -104,9 +105,11 @@ def kcenter_greedy(
 def kcenter_oracle(k: int = 8, dim: int = 64) -> str:
     """DuckDB oracle: the greedy traversal unrolled — one (selection,
     min-fold) CTE pair per rank, HUGEINT-safe integer distances."""
+    # cast BEFORE the multiply: a BIGINT product of two large diffs would
+    # overflow before the HUGEINT cast could save it
     dist = (
         "list_reduce(list_transform(range(1, {hi}), i -> "
-        "CAST((p.q[i] - c.q[i]) * (p.q[i] - c.q[i]) AS HUGEINT)), "
+        "CAST(p.q[i] - c.q[i] AS HUGEINT) * (p.q[i] - c.q[i])), "
         "(a, b) -> a + b)"
     ).format(hi=dim + 1)
     parts = [

@@ -156,18 +156,26 @@ FROM {prev}"""
     return "".join(parts)
 
 
-def oracle_sql(iterations: int = 3) -> str:
-    """DuckDB oracle for events_pagerank: the event-type transition graph
-    through the generic pagerank_oracle."""
-    edges = """
+# The SQL mirror of transition_edges / the distinct node set — ONE
+# definition shared by every oracle that walks the event-type transition
+# graph (pagerank, markov stationary, transition entropy).
+TRANSITION_EDGES_SQL = """
   SELECT src, dst, count(*) AS cnt FROM (
     SELECT event_type AS src,
            lead(event_type) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS dst
     FROM events
   ) WHERE dst IS NOT NULL GROUP BY 1, 2"""
-    nodes = "\n  SELECT DISTINCT event_type AS node FROM events"
-    return pagerank_oracle(edges, nodes, iterations=iterations)
+
+TRANSITION_NODES_SQL = "\n  SELECT DISTINCT event_type AS node FROM events"
+
+
+def oracle_sql(iterations: int = 3) -> str:
+    """DuckDB oracle for events_pagerank: the event-type transition graph
+    through the generic pagerank_oracle."""
+    return pagerank_oracle(
+        TRANSITION_EDGES_SQL, TRANSITION_NODES_SQL, iterations=iterations
+    )
 
 
 def kcore_peel(

@@ -26,6 +26,8 @@ from collections.abc import Iterable, Iterator
 from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
+
+from imposm3_spark.datapipe.cents import half_up_cents
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -62,7 +64,7 @@ def _make_group_fn(window: int, min_periods: int, z_threshold: float):
         out: list[tuple[int, int, int, float]] = []
         uid = int(key[0])
         for r in rows.itertuples():
-            c = int(round(r.value * 100))
+            c = half_up_cents(r.value)
             n = len(hist)
             if n >= min_periods:
                 s = sum(hist)

@@ -27,6 +27,8 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
+
+from imposm3_spark.datapipe.cents import half_up_cents
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -63,7 +65,7 @@ def _group_fn(
     uid = int(key[0])
     for r in rows.itertuples():
         if r.event_type == CONVERSION:
-            cents = int(round(r.value * 100))
+            cents = half_up_cents(r.value)
             out.append(
                 (int(r.event_id), uid, touch if touch else "(none)", cents / 100.0)
             )

@@ -31,6 +31,8 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
+
+from imposm3_spark.datapipe.cents import half_up_cents
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -87,7 +89,7 @@ def make_group_fn(mu0_cents: int, k_cents: int, h_cents: int):
         out: list[tuple[int, str, str, float]] = []
         kk = str(key[0])
         for r in rows.itertuples():
-            c = int(round(r.value * 100))
+            c = half_up_cents(r.value)
             spos = max(0, spos + (c - mu0_cents - k_cents))
             sneg = max(0, sneg - (c - mu0_cents + k_cents))
             if spos > h_cents:
@@ -114,7 +116,7 @@ def streaming_cusum(
     STREAMING DataFrame with (event_id, ts, event_type, value); returns
     the append-mode alarm stream (id, key, direction, stat)."""
     fn = make_group_fn(
-        int(round(mu0 * 100)), int(round(k * 100)), int(round(h * 100))
+        half_up_cents(mu0), half_up_cents(k), half_up_cents(h)
     )
     return events.groupBy(key_col).applyInPandasWithState(
         fn,

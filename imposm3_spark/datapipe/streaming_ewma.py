@@ -23,6 +23,8 @@ from __future__ import annotations
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
+
+from imposm3_spark.datapipe.cents import half_up_cents
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -53,7 +55,7 @@ def _group_fn(
     out: list[tuple[int, int, float]] = []
     k = int(key[0])
     for r in rows.itertuples():
-        c = int(round(r.value * 100))
+        c = half_up_cents(r.value)
         assert c >= 0, "ewma requires non-negative values"
         e = c if not seen else (3 * e + c) // 4
         seen = 1

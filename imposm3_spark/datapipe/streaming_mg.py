@@ -15,9 +15,12 @@ replay equals the sequential reference on the concatenated in-order
 input (pinned by the e2e test). MG guarantees hold at every point:
 counter <= exact count <= counter + floor(N/(k+1)).
 
-Each micro-batch emits the key's post-batch summary snapshot tagged with
-the max event_id processed (append mode) — the consumer keeps the row
-set with the highest snapshot id per key.
+Each micro-batch emits the key's post-batch summary snapshot tagged
+with a MONOTONE per-key snapshot counter carried in the state (append
+mode) — the consumer keeps the row set with the highest snapshot_id per
+key. A batch that empties the summary emits one null-item row so the
+shrink is observable (an absent snapshot would leave the consumer stuck
+on the previous one).
 
 Scale notes: the grouping shuffle is on the key; state is O(k) longs +
 strings per key regardless of cardinality of the tracked items.
@@ -42,7 +45,7 @@ OUTPUT_SCHEMA = StructType(
     [
         StructField("key", StringType(), False),
         StructField("snapshot_id", LongType(), False),
-        StructField("item", StringType(), False),
+        StructField("item", StringType(), True),
         StructField("est_lower", LongType(), False),
     ]
 )
@@ -51,6 +54,7 @@ STATE_SCHEMA = StructType(
     [
         StructField("items", ArrayType(StringType()), True),
         StructField("counts", ArrayType(LongType()), True),
+        StructField("snap", LongType(), True),
     ]
 )
 
@@ -82,23 +86,24 @@ def make_group_fn(k: int):
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            items, counts = state.get
+            items, counts, snap = state.get
             summary = dict(zip(list(items or []), list(counts or [])))
+            snap = int(snap or 0)
         else:
-            summary = {}
+            summary, snap = {}, 0
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        last_id = 0
         for r in rows.itertuples():
             mg_update(summary, str(r.item), k)
-            last_id = int(r.event_id)
-        state.update((list(summary.keys()), [int(v) for v in summary.values()]))
+        snap += 1  # monotone per-key snapshot counter, survives checkpoint
+        state.update(
+            (list(summary.keys()), [int(v) for v in summary.values()], snap)
+        )
         kk = str(key[0])
-        out = [
-            (kk, last_id, it, int(c))
-            for it, c in sorted(summary.items())
-        ]
-        if out:
-            yield pd.DataFrame(out, columns=["key", "snapshot_id", "item", "est_lower"])
+        out = [(kk, snap, it, int(c)) for it, c in sorted(summary.items())]
+        if not out:
+            # summary emptied by decrements: emit the shrink explicitly
+            out = [(kk, snap, None, 0)]
+        yield pd.DataFrame(out, columns=["key", "snapshot_id", "item", "est_lower"])
 
     return _group_fn
 

@@ -83,3 +83,29 @@ def test_summary_state_spans_batches_and_matches_reference(spark, tmp_path):
         assert est <= exact[it] <= est + n // 4
     # the genuinely heavy item (> N/(k+1) = 25%) must be tracked
     assert "7" in final
+
+
+def test_empty_summary_is_observable(spark, tmp_path):
+    """A batch whose decrements empty the summary must emit a null-item
+    snapshot — otherwise the consumer stays stuck on the stale one —
+    and snapshot ids stay monotone even when late event_ids are small."""
+    # k=3: batch1 gives {1:1, 2:1, 3:1}; batch2's single new item 4
+    # (with a SMALLER event_id) decrements everything away.
+    b1 = _rows(100, [("a", 1), ("a", 2), ("a", 3)])
+    b2 = _rows(0, [("a", 4)])
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(b1, SCHEMA).write.parquet(str(src / "b1"))
+    got1 = _drain(spark, src / "b1", tmp_path / "ck", tmp_path / "out")
+    snap1 = max(r.snapshot_id for r in got1.collect())
+
+    staging = tmp_path / "staging"
+    spark.createDataFrame(b2, SCHEMA).write.parquet(str(staging))
+    for i, f in enumerate(sorted(staging.glob("part-*.parquet"))):
+        shutil.move(str(f), str(src / "b1" / f"late-{i}.parquet"))
+    got2 = _drain(spark, src / "b1", tmp_path / "ck", tmp_path / "out")
+    rows = got2.collect()
+    snap2 = max(r.snapshot_id for r in rows)
+    assert snap2 > snap1  # monotone despite smaller event ids in batch 2
+    final = [(r.item, r.est_lower) for r in rows if r.snapshot_id == snap2]
+    assert final == [(None, 0)]  # the shrink to empty is visible
