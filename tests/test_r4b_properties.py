@@ -162,3 +162,34 @@ def test_cusum_reference_resets_and_bounds(series):
         assert stat * 100 <= h + max_step
     # determinism
     assert alarms == cusum_reference(rows, mu0, k, h)
+
+
+@given(
+    vals=st_.lists(
+        st_.one_of(
+            st_.floats(min_value=0.0, max_value=1e6, allow_nan=False),
+            # exact half-cent doubles and the classic +0.5-trick breaker
+            st_.sampled_from([10.125, 0.005, 2.675, 0.49999999999999994 / 100]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_half_up_cents_matches_spark_round(spark, vals):
+    """cents.half_up_cents must equal Spark's F.round(value*100) on every
+    double — including exact half-cent values where python round() gives
+    half-even and floor(x+0.5) mis-rounds."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.cents import half_up_cents
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", F.round(F.col("v") * 100).cast("bigint").alias("c")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == half_up_cents(v), (v,)
