@@ -1153,3 +1153,40 @@ def test_mutual_info_two_aggregations_one_scan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """100 TB lever: with a selective dimension filter on a shuffle join,
+    Spark's runtime bloom filter (injected from the filtered creation
+    side) must appear on the fact-side scan path — at cluster scale this
+    drops most fact rows BEFORE the exchange. Local data sits under the
+    default 10GB application-side threshold, so the test lowers it to
+    exercise the very rewrite production would apply."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _executed_plan(j)
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
