@@ -342,6 +342,37 @@ def _base_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("-dbschema-backup", dest="dbschema_backup", default="backup")
 
 
+def cmd_sql(args) -> int:
+    """Run arbitrary Spark SQL with the testdata-shaped parquet tables
+    pre-registered as temp views — the ad-hoc SQL surface next to the
+    named-query registry (analyze). Catalyst plans the statement like
+    any registered query; -explain prints the executed plan instead of
+    rows."""
+    from imposm3_spark.session import get_spark
+
+    spark = get_spark("sql")
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        path = os.path.join(args.sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+    df = spark.sql(args.execute)
+    if args.explain:
+        df.collect()
+        print(df._jdf.queryExecution().executedPlan().toString())
+        return 0
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        for row in df.limit(args.limit).collect():
+            print("\t".join("" if v is None else str(v) for v in row))
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """Run a registered analytics query by name against a testdata-shaped
     parquet directory and write/print the result — the ad-hoc execution
@@ -399,7 +430,7 @@ def cmd_gate(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
-        print("usage: imposm3_spark import|diff|run|query|curate|analyze|gate|version [args]", file=sys.stderr)
+        print("usage: imposm3_spark import|diff|run|query|curate|analyze|sql|gate|version [args]", file=sys.stderr)
         return 2
     cmd, rest = argv[0], argv[1:]
     if cmd == "version":
@@ -475,6 +506,15 @@ def main(argv: list[str] | None = None) -> int:
         if not args.diffdir:
             p.error("missing -diffdir (flag or config diffdir)")
         return cmd_run(args)
+    if cmd == "sql":
+        p = argparse.ArgumentParser(prog="imposm3_spark sql")
+        p.add_argument("-e", dest="execute", required=True, help="SQL statement")
+        p.add_argument("-sf-dir", dest="sf_dir", default="/root/testdata/sf0.01")
+        p.add_argument("-out", default="", help="write result parquet here instead of stdout")
+        p.add_argument("-limit", type=int, default=20, help="stdout row cap")
+        p.add_argument("-explain", action="store_true",
+                       help="print the executed (post-AQE) physical plan instead of rows")
+        return cmd_sql(p.parse_args(rest))
     if cmd == "gate":
         p = argparse.ArgumentParser(prog="imposm3_spark gate")
         p.add_argument("-sf-dir", dest="sf_dir", default="/root/testdata/sf0.01")

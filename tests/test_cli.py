@@ -318,3 +318,22 @@ def test_cli_gate_subcommand(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "PASS tpch_q6" in out and "0 fail" in out
+
+
+def test_cli_sql_subcommand(capsys):
+    """Ad-hoc SQL runs against the pre-registered testdata views and the
+    result matches a direct duckdb evaluation."""
+    import duckdb
+
+    from imposm3_spark.cli import main
+
+    rc = main([
+        "sql", "-sf-dir", "/root/testdata/sf0.001",
+        "-e", "SELECT count(*) AS n, count(DISTINCT o_custkey) AS c FROM orders",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    n, c = duckdb.sql(
+        "SELECT count(*), count(DISTINCT o_custkey) FROM '/root/testdata/sf0.001/orders.parquet'"
+    ).fetchall()[0]
+    assert out == f"{n}\t{c}"
