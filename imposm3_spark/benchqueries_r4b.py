@@ -859,3 +859,147 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.runs_test_by_group(
         _t(spark, sf_dir, "events"), "event_type", "ts", "event_id", "value"
     )
+
+
+_CHAR_CATS = [chr(c) for c in range(ord("a"), ord("z") + 1)] + ["0", " "]
+
+
+def _sql_char_entropy() -> str:
+    cs = ",\n             ".join(
+        "CAST(sum(CASE WHEN ch = "
+        + ("'" + c.replace("'", "''") + "'" if c != "0" else "'0'")
+        + f" THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i, c in enumerate(_CHAR_CATS)
+    )
+    terms = "\n                + ".join(
+        f"CASE WHEN c{i} > 0 THEN CAST(c{i} AS DOUBLE) * ln(CAST(c{i} AS DOUBLE)) ELSE 0.0 END"
+        for i in range(len(_CHAR_CATS))
+    )
+    return f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(regexp_extract_all(
+        replace(regexp_replace(lower(text), '[^a-z ]', '0', 'g'), '', ''),
+        '.')) AS ch
+      FROM documents
+    ), g AS (
+      SELECT doc_id, count(*) AS n,
+             {cs}
+      FROM ch GROUP BY doc_id
+    )
+    SELECT doc_id, n,
+           round(ln(CAST(n AS DOUBLE))
+                 - ({terms})
+                   / CAST(n AS DOUBLE), 6) AS char_entropy
+    FROM g WHERE n > 0
+    ORDER BY char_entropy ASC, doc_id LIMIT 20
+    """
+
+
+@register("doc_char_entropy", _sql_char_entropy())
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class entropy gibberish screen: per-doc Shannon entropy
+    over the 28-class alphabet (a-z, space, other->'0'), bottom-20 —
+    near-zero entropy flags repeated-character/templated garbage the
+    word-level quality rules miss. Static category pivot + the
+    categorical_entropy fixed-order fold (exact counts, shared term
+    order)."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "0"), ""
+            )
+        ).alias("ch"),
+    ).where(F.col("ch") != "")
+    ent = st.categorical_entropy(ch, "doc_id", "ch", _CHAR_CATS)
+    return (
+        ent.withColumnRenamed("entropy", "char_entropy")
+        .orderBy(F.asc("char_entropy"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "cust_palma",
+    f"""
+    WITH pc AS (
+      SELECT o_custkey AS k,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT v, row_number() OVER (ORDER BY v, k) AS rn FROM pc
+    ), g AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv FROM r),
+    agg AS (
+      SELECT n, sv,
+             CAST(sum(CASE WHEN rn <= floor(0.4 * n) THEN v ELSE 0 END) AS BIGINT)
+               AS s_bot,
+             CAST(sum(CASE WHEN rn > n - floor(0.1 * n) THEN v ELSE 0 END) AS BIGINT)
+               AS s_top
+      FROM r, g GROUP BY n, sv
+    )
+    SELECT CAST(n AS BIGINT) AS n_keys, s_top, s_bot, {st.PALMA} AS palma
+    FROM agg WHERE s_bot > 0 AND sv > 0
+    """,
+)
+def cust_palma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma inequality ratio of per-customer revenue — top-10% share
+    over bottom-40% share (stats.palma_ratio): the tail-sensitive
+    inequality readout next to cust_gini, on the same two-phase
+    global-rank primitive."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return st.palma_ratio(orders, "k", "cents")
+
+
+@register(
+    "events_qq_drift",
+    """
+    WITH base AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+    ), vc AS (
+      SELECT g, v, count(*) AS c FROM base GROUP BY g, v
+    ), cum AS (
+      SELECT g, v,
+             CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS tot
+      FROM vc
+    ), qs AS (SELECT unnest(range(1, 10)) AS q),
+    dec AS (
+      SELECT g, q, min(v) AS v
+      FROM cum CROSS JOIN qs
+      WHERE 10 * cum >= q * tot
+      GROUP BY g, q
+    )
+    SELECT a.q AS decile,
+           round(CAST(a.v AS DOUBLE) / 100.0, 2) AS v_click,
+           round(CAST(b.v AS DOUBLE) / 100.0, 2) AS v_view,
+           CAST(a.v - b.v AS BIGINT) AS gap_cents
+    FROM dec a JOIN dec b ON a.q = b.q AND a.g = 'click' AND b.g = 'view'
+    """,
+)
+def events_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift table: exact deciles of the click vs view
+    amount distributions side by side with the per-decile gap
+    (stats.group_deciles) — WHERE the two distributions diverge, the
+    location detail the scalar KS statistic summarizes away."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin(["click", "view"])
+    )
+    dec = st.group_deciles(
+        ev, "event_type", F.round(F.col("value") * 100).cast("bigint"), n_q=10
+    )
+    a = dec.where(F.col("g") == "click").select(
+        F.col("q").alias("decile"), F.col("v").alias("va")
+    )
+    b = dec.where(F.col("g") == "view").select("q", F.col("v").alias("vb"))
+    return a.join(b, a["decile"] == b["q"]).select(
+        "decile",
+        F.round(F.col("va").cast("double") / 100.0, 2).alias("v_click"),
+        F.round(F.col("vb").cast("double") / 100.0, 2).alias("v_view"),
+        (F.col("va") - F.col("vb")).cast("bigint").alias("gap_cents"),
+    )

@@ -1760,3 +1760,91 @@ def runs_test_by_group(
             F.expr(RUNS_Z).alias("z"),
         )
     )
+
+
+# Palma ratio from exact rank-partitioned sums: top-10% share divided by
+# bottom-40% share of the total. Columns: s_top, s_bot (BIGINT), sv.
+PALMA = (
+    "round(CAST(s_top AS DOUBLE) / CAST(sv AS DOUBLE)"
+    " / (CAST(s_bot AS DOUBLE) / CAST(sv AS DOUBLE)), 6)"
+)
+
+
+def palma_ratio(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Palma inequality ratio of an integer value per key: the share
+    held by the top 10% of keys divided by the share of the bottom 40% —
+    the inequality readout that tracks the distribution's TAILS, where
+    Gini is least sensitive (Palma, 2011; Cobham & Sumner 2013).
+
+    Cutoffs: with keys ranked ascending by (value, key), the bottom-40%
+    set is ranks 1..floor(0.4*n) and the top-10% set is ranks
+    n - floor(0.1*n) + 1..n — exact integer rank predicates, so both
+    partitions and their sums are exact.
+
+    Scale: one keyed aggregation, the two-phase global-rank primitive,
+    one rollup. Keys-sized, never rows-sized.
+    """
+    from imposm3_spark.datapipe.sampling import with_global_row_numbers
+
+    per_key = (
+        df.select(F.col(key_col).alias("k"), F.col(value_col).alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("v"))
+    )
+    ranked = with_global_row_numbers(per_key, ["v", "k"], rn_col="rn")
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+    )
+    j = ranked.crossJoin(F.broadcast(g))
+    bot = F.col("rn") <= F.floor(F.lit(0.4) * F.col("n"))
+    top = F.col("rn") > F.col("n") - F.floor(F.lit(0.1) * F.col("n"))
+    agg = j.groupBy("n", "sv").agg(
+        F.sum(F.when(bot, F.col("v")).otherwise(0)).alias("s_bot"),
+        F.sum(F.when(top, F.col("v")).otherwise(0)).alias("s_top"),
+    )
+    return agg.where((F.col("s_bot") > 0) & (F.col("sv") > 0)).select(
+        F.col("n").alias("n_keys"),
+        "s_top",
+        "s_bot",
+        F.expr(PALMA).alias("palma"),
+    )
+
+
+def group_deciles(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    n_q: int = 10,
+) -> DataFrame:
+    """Exact lower quantile values per group: for q = 1..n_q-1, the
+    smallest value whose cumulative count covers q/n_q of the group —
+    from the (group, distinct-value) cumulative table (the
+    weighted-median discipline; the window rides value cardinality,
+    never rows). Returns (group, q, v)."""
+    from pyspark.sql import Window as W
+
+    vc = (
+        df.select(F.col(group_col).alias("g"), value_col.alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.partitionBy("g")
+    cum = vc.select(
+        "g",
+        "v",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wt).alias("tot"),
+    )
+    qs = df.sparkSession.range(1, n_q).select(F.col("id").alias("q"))
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .where(F.lit(n_q) * F.col("cum") >= F.col("q") * F.col("tot"))
+        .groupBy("g", "q")
+        .agg(F.min("v").alias("v"))
+    )

@@ -270,3 +270,33 @@ def test_runs_test_clumped_vs_alternating(spark):
     ra = got2["alt3"]
     assert (ra.n_runs, ra.n1, ra.n2) == (12, 6, 6)
     assert ra.z == z(12, 6, 6) and ra.z > 2
+
+
+def test_palma_hand_value(spark):
+    from imposm3_spark.datapipe.stats import palma_ratio
+
+    # 10 keys, values 1..9 and 100: bottom-40% = ranks 1-4 (1+2+3+4=10),
+    # top-10% = rank 10 (100)
+    rows = [(k, v) for k, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 100])]
+    df = spark.createDataFrame(rows, "k long, v long")
+    r = palma_ratio(df, "k", "v").collect()[0]
+    assert (r.n_keys, r.s_top, r.s_bot) == (10, 100, 10)
+    sv = 145
+    assert r.palma == round((100 / sv) / (10 / sv), 6) == 10.0
+
+
+def test_group_deciles_exact(spark):
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.stats import group_deciles
+
+    # 1..10: lower decile q is the smallest v with cum >= q
+    rows = [("a", v) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.q: r.v for r in group_deciles(df, "g", F.col("v")).collect()}
+    assert got == {q: q for q in range(1, 10)}
+    # with ties the covering value repeats
+    rows2 = [("b", v) for v in [1, 1, 1, 1, 1, 9, 9, 9, 9, 9]]
+    df2 = spark.createDataFrame(rows2, "g string, v long")
+    got2 = {r.q: r.v for r in group_deciles(df2, "g", F.col("v")).collect()}
+    assert got2 == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 9, 7: 9, 8: 9, 9: 9}
