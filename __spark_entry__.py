@@ -119,7 +119,9 @@ _DRIVER_FIRST = [
     # events_dispersion, orders_burstiness, events_transition_entropy,
     # events_ks_test, events_conversion_ci, events_markov_stationary,
     # events_kendall_tau, orders_churn_labels, events_did,
-    # emb_cluster_ari, doc_tokenizer_fertility, events_eta_squared (72 round-4
+    # emb_cluster_ari, doc_tokenizer_fertility, events_eta_squared,
+    # doc_simpson_diversity, events_runs_test, doc_char_entropy,
+    # cust_palma, events_qq_drift (77 round-4
     # additions — the round-5 window takes the first 50 in this order;
     # the remainder plus any round-5 additions queue for round 6). The 50
     # above will then all have driver rows; keep them behind the rotation.
