@@ -77,7 +77,10 @@ def roc_auc(
 ) -> DataFrame:
     """Exact tie-corrected ROC AUC of `score_col` as a ranking of the
     binary `label_col` (1 = positive). Returns ONE row:
-    (pos_cnt, neg_cnt, auc)."""
+    (pos_cnt, neg_cnt, auc_num, auc_den, auc) where
+    auc == auc_num / auc_den exactly — the integer pair is the exact
+    rank-statistic rational (2*sum_pos_ranks - pc*(pc+1)) / (2*pc*nc),
+    the representation the oracle gate compares."""
     g = (
         df.select(
             F.col(score_col).alias("score"),
@@ -92,15 +95,16 @@ def roc_auc(
         F.sum("p").alias("pc"),
         F.sum(F.col("t") - F.col("p")).alias("nc"),
     )
+    nonzero = (F.col("pc") > 0) & (F.col("nc") > 0)
+    num = (F.col("s2") - F.col("pc") * (F.col("pc") + F.lit(1))).cast("bigint")
+    den = (F.lit(2) * F.col("pc") * F.col("nc")).cast("bigint")
     return agg.select(
         F.col("pc").alias("pos_cnt"),
         F.col("nc").alias("neg_cnt"),
+        F.when(nonzero, num).alias("auc_num"),
+        F.when(nonzero, den).alias("auc_den"),
         F.when(
-            (F.col("pc") > 0) & (F.col("nc") > 0),
-            F.round(
-                (F.col("s2") - F.col("pc") * (F.col("pc") + F.lit(1))).cast("double")
-                / (F.lit(2) * F.col("pc") * F.col("nc")).cast("double"),
-                6,
-            ),
+            nonzero,
+            F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("auc"),
     )

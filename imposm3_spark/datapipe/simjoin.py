@@ -227,6 +227,7 @@ def cosine_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    threshold_ratio: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact bag-of-terms cosine similarity self-join: all pairs with
     ``dot(A,B) / sqrt(|A|^2 * |B|^2) >= threshold`` over term-count
@@ -276,6 +277,23 @@ def cosine_pairs(
             F.first("b.nrm").alias("nb"),
         )
     )
+    if threshold_ratio is not None:
+        # Pure-integer threshold: dot/sqrt(na*nb) >= p/q  <=>
+        # q^2 * dot^2 >= p^2 * na * nb (dot >= 0: counts are
+        # non-negative). DECIMAL(38,0) keeps the quartic products exact
+        # at any corpus scale; no float, no sqrt, no rounding — immune
+        # to engine-version skew in round()/printf paths.
+        p, q = threshold_ratio
+        d38 = "decimal(38,0)"
+        lhs = F.col("dot").cast(d38) * F.col("dot").cast(d38) * F.lit(q * q)
+        rhs = F.col("na").cast(d38) * F.col("nb").cast(d38) * F.lit(p * p)
+        return pairs.where(lhs >= rhs).select(
+            "id_a",
+            "id_b",
+            "dot",
+            F.col("na").alias("nrm_a"),
+            F.col("nb").alias("nrm_b"),
+        )
     cos = F.col("dot").cast("double") / F.sqrt(
         F.col("na").cast("double") * F.col("nb").cast("double")
     )

@@ -40,12 +40,17 @@ def gapfill_hourly(
     key_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    exact: bool = False,
 ) -> DataFrame:
     """Dense hourly series per key over each key's own [min, max] hour
     range: observed hours carry the exact bucket sum, missing hours the
     linear interpolation between the neighbouring observed hours.
 
-    Output: (key, hour_ts, value, filled).
+    Output: (key, hour_ts, value, filled), or with ``exact=True`` the
+    all-integer form (key, hr, value_num, value_den, filled) where
+    value == value_num / value_den exactly (num/den are the interpolation
+    numerator and denominator in cents) — the representation the oracle
+    gate compares, immune to float-rounding and engine-version skew.
     """
     hr = (
         F.unix_date(F.to_date(ts_col)) * F.lit(24) + F.hour(ts_col)
@@ -84,6 +89,21 @@ def gapfill_hourly(
     den = (next_h - prev_h) * F.lit(100)
     interp = num.cast("double") / den.cast("double")
     observed = F.col("c").cast("double") / F.lit(100.0)
+
+    if exact:
+        return series.select(
+            F.col("key").alias(key_col),
+            F.col("hr"),
+            F.when(F.col("c").isNotNull(), F.col("c"))
+            .otherwise(num)
+            .cast("bigint")
+            .alias("value_num"),
+            F.when(F.col("c").isNotNull(), F.lit(100))
+            .otherwise(den)
+            .cast("bigint")
+            .alias("value_den"),
+            F.col("c").isNull().cast("int").alias("filled"),
+        )
 
     out = series.select(
         F.col("key").alias(key_col),
