@@ -38,94 +38,102 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records at most 50 entries per round, taken
-# in dict order. Rounds 1-3 produced driver rows for 109 queries (59 in
-# r01+r02, 50 via round 3's rotated window); this list front-loads the
-# remaining 50 round-3 additions without a driver row (batches 5-14 — all
-# green on the local replica of the gate at sf0.001/0.01/0.1) so round 4's
-# window yields driver-recorded proof for every registered query.
+# in dict order. ROUND-6 WINDOW (rotated per the round-5 verdict):
+#   * the 8 round-4/5 driver-red queries, now re-registered with exact
+#     integer compared cells and HUGEINT-free oracles (the round-5
+#     forensics: every red had a DuckDB HUGEINT output column) — re-check;
+#   * tpch_q12_priority (red r02 — HUGEINT counts, now cast) and
+#     emb_ivf_topk_probe (no_oracle r02 — oracle since added) — re-check;
+#   * 7 never-driver-checked queries whose oracles carried the same latent
+#     HUGEINT/DECIMAL outputs, fixed this round — fresh rows;
+#   * the first 33 of the queued round-4 additions — fresh rows.
+# All 50 green on the round-6 STRICT local gate (full-precision repr float
+# hash + banned-type audit) at sf0.01 before this list was committed.
 _DRIVER_FIRST = [
-    "events_zscore_anomaly",
-    "events_user_trend",
-    "events_value_hour_corr",
-    "events_value_histogram",
-    "events_cms_heavy",
-    "events_approx_distinct",
-    "doc_weighted_sample",
-    "events_hll_rollup",
-    "doc_gopher_rules",
-    "doc_contamination_score",
-    "doc_minhash_clusters",
-    "doc_rag_retrieve",
-    "lineitem_approx_quantiles",
-    "doc_bigram_nll",
-    "doc_bpe_merges",
-    "lineitem_basket_pairs",
-    "emb_kmeans",
+    # --- re-checks: round-4/5 reds, fixed this round ---
     "events_gapfill",
-    "events_pagerank",
-    "doc_bpe_encode",
-    "events_ewma",
-    "emb_knn_graph",
     "doc_score_auc",
-    "orders_rfm",
-    "doc_lang_confusion",
-    "emb_pca_top",
-    "cust_fuzzy_pairs",
-    "doc_bm25_topk",
-    "events_hll_intersect",
-    "events_scd2",
-    "emb_kmeans_inertia",
+    "doc_cosine_pairs",
     "orders_rollup_sets",
-    "events_seasonal_naive",
-    "doc_minhash_accuracy",
-    "events_sliding_topk",
     "orders_customer_reconcile",
     "events_markov_accuracy",
     "lineitem_validate",
-    "emb_lsh_recall",
-    "events_mad_outliers",
-    "doc_nb_confusion",
-    "doc_ppjoin",
-    "doc_substring_dedup",
-    "events_scd2_join",
     "lineitem_skyline",
-    "events_cusum",
-    "doc_cosine_pairs",
-    "doc_winnow_pairs",
-    "events_entropy",
-    "events_autocorr",
-    # ROUND-5 NOTE: after this window lands, every query registered through
-    # round 3 has a driver row. Rotate the 42 round-4 additions (all
-    # local-gate green at sf0.001/0.01/0.1; timestamp-sensitive ones also
-    # hostile-session green) into this window next round:
-    # events_ols2, events_user_paths, events_attribution,
-    # events_bot_cadence, doc_cdc_chunks, doc_cdc_dedup,
-    # emb_hard_negatives, doc_ngram_diversity, events_interval_overlap,
-    # events_mg_heavy, events_holt, doc_containment, events_funnel_window,
-    # events_wau, emb_drift, orders_pareto, doc_dedup_report,
-    # events_seq_pairs, doc_distinctive_terms, orders_profile, emb_ood,
-    # doc_pmi_pairs, lineitem_join_size, doc_kfold, orders_backlog,
-    # events_ab_test, doc_make_batches, emb_mips_topk, orders_cohort_ltv,
-    # emb_pq_recall, emb_matryoshka_recall, emb_hamming_recall,
-    # events_peaks, emb_silhouette, orders_percent_rank,
+    # --- re-checks: stale reds from r02 ---
+    "tpch_q12_priority",
+    "emb_ivf_topk_probe",
+    # --- fresh: latent HUGEINT/DECIMAL oracles fixed this round ---
+    "osm_spatial_grid_join",
+    "osm_spatial_grid_join_poly",
+    "doc_span_dedup",
+    "doc_budget_select",
+    "doc_pack_sequences",
+    "events_funnel",
+    "events_pivot",
+    # --- fresh: round-4 additions, queue positions 1-33 ---
+    "events_ols2",
+    "events_user_paths",
+    "events_attribution",
+    "events_bot_cadence",
+    "doc_cdc_chunks",
+    "doc_cdc_dedup",
+    "emb_hard_negatives",
+    "doc_ngram_diversity",
+    "events_interval_overlap",
+    "events_mg_heavy",
+    "events_holt",
+    "doc_containment",
+    "events_funnel_window",
+    "events_wau",
+    "emb_drift",
+    "orders_pareto",
+    "doc_dedup_report",
+    "events_seq_pairs",
+    "doc_distinctive_terms",
+    "orders_profile",
+    "emb_ood",
+    "doc_pmi_pairs",
+    "lineitem_join_size",
+    "doc_kfold",
+    "orders_backlog",
+    "events_ab_test",
+    "doc_make_batches",
+    "emb_mips_topk",
+    "orders_cohort_ltv",
+    "emb_pq_recall",
+    "emb_matryoshka_recall",
+    "emb_hamming_recall",
+    "events_peaks",
+    # ROUND-7 QUEUE (44 never-driver-checked remain; take the first 50-N
+    # after any round-6 re-checks): emb_silhouette, orders_percent_rank,
     # doc_source_similarity, events_heatmap, lineitem_weighted_median,
     # orders_priority_drift, events_growth_accounting, doc_lsh_pr,
     # events_cuped, emb_cluster_purity, doc_lsh_pr_curve, events_hazard,
     # doc_pii_report, orders_dup_payments, orders_cycle_time,
-    # emb_ball_query, supplier_hhi, emb_mmr_select, plus the batch-15/16/17
-    # additions events_k_anonymity, cust_gini, events_benford,
-    # events_spearman, events_kcore, doc_collocation_llr, doc_zipf,
-    # doc_textrank, events_mutual_info, doc_shard_plan, emb_kcenter,
-    # events_dispersion, orders_burstiness, events_transition_entropy,
-    # events_ks_test, events_conversion_ci, events_markov_stationary,
-    # events_kendall_tau, orders_churn_labels, events_did,
-    # emb_cluster_ari, doc_tokenizer_fertility, events_eta_squared,
-    # doc_simpson_diversity, events_runs_test, doc_char_entropy,
-    # cust_palma, events_qq_drift (77 round-4
-    # additions — the round-5 window takes the first 50 in this order;
-    # the remainder plus any round-5 additions queue for round 6). The 50
-    # above will then all have driver rows; keep them behind the rotation.
+    # emb_ball_query, supplier_hhi, emb_mmr_select, events_k_anonymity,
+    # cust_gini, events_benford, events_spearman, events_kcore,
+    # doc_collocation_llr, doc_zipf, doc_textrank, events_mutual_info,
+    # doc_shard_plan, emb_kcenter, events_dispersion, orders_burstiness,
+    # events_transition_entropy, events_ks_test, events_conversion_ci,
+    # events_markov_stationary, events_kendall_tau, orders_churn_labels,
+    # events_did, emb_cluster_ari, doc_tokenizer_fertility,
+    # events_eta_squared, doc_simpson_diversity, events_runs_test,
+    # doc_char_entropy, cust_palma, events_qq_drift, then any round-6+
+    # additions.
 ]
+
+# A typo here would silently shrink the driver's 50-row window (unknown
+# names are filtered out in queries()) — fail loudly at import instead.
+assert len(_DRIVER_FIRST) == 50, len(_DRIVER_FIRST)
+assert len(set(_DRIVER_FIRST)) == 50
+
+
+def _check_driver_first() -> None:
+    missing = [n for n in _DRIVER_FIRST if n not in _bq.QUERIES]
+    assert not missing, f"_DRIVER_FIRST names not registered: {missing}"
+
+
+_check_driver_first()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,8 +1,11 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+Output contract (driver captures the stdout TAIL): the FINAL stdout line
+is the compact JSON summary {"metric", "value", "unit", "n_queries",
+"sf"}; the line above it is {"queries": {name: sec}} for human runs; the
+full summary+detail is also written to BENCH_DETAIL.json next to this
+file.
 """
 
 from __future__ import annotations
@@ -79,20 +82,25 @@ def main() -> None:
         gc.collect()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # summary keys first so even a head-truncated capture shows the totals
-    print(
-        json.dumps(
-            {
-                "metric": "benchqueries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "queries": timings,
-            }
-        ),
-        flush=True,
+    summary = {
+        "metric": "benchqueries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver captures the TAIL of stdout, so the compact summary must
+    # be the FINAL line (a 236-entry per-query dict printed after it would
+    # push the summary out of the capture window — the r02/r04/r05
+    # "parsed": null failure mode). Per-query timings go to a sidecar file
+    # plus stdout ABOVE the summary for human runs.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
+    print(json.dumps({"queries": timings}), flush=True)
+    print(json.dumps(summary), flush=True)
     spark.stop()
 
 

@@ -167,7 +167,7 @@ def events_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKYLINE_ORACLE = """
 WITH p AS MATERIALIZED (
   SELECT l_partkey,
-         sum(CAST(l_quantity AS BIGINT)) AS qty,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
          min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c
   FROM lineitem GROUP BY 1
 )
@@ -246,30 +246,33 @@ WITH toks AS (
 ), norms AS (
   SELECT doc_id, sum(c * c) AS nrm FROM tc GROUP BY 1
 ), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.c * b.c) AS dot
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(a.c * b.c) AS BIGINT) AS dot
   FROM tc a JOIN tc b ON a.t = b.t AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, dot,
-       round(CAST(dot AS DOUBLE)
-             / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)), 6)
-         AS cosine
+       CAST(na.nrm AS BIGINT) AS nrm_a,
+       CAST(nb.nrm AS BIGINT) AS nrm_b
 FROM pairs
 JOIN norms na ON na.doc_id = id_a
 JOIN norms nb ON nb.doc_id = id_b
-WHERE CAST(dot AS DOUBLE)
-      / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.9
+WHERE CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT) * 100
+      >= CAST(na.nrm AS HUGEINT) * CAST(nb.nrm AS HUGEINT) * 81
 """
 
 
 @register("doc_cosine_pairs", _COSINE_PAIRS_ORACLE)
 def doc_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle-count cosine >= 0.9 similarity self-join via
-    the inverted-index term join: BIGINT dot/norm sums, one fixed-order
-    double expression with IEEE sqrt — bit-identical threshold compare.
-    Shingle terms (not unigrams) keep the inverted-index fanout
-    sub-quadratic (datapipe/simjoin.py cosine_pairs)."""
-    return sj.cosine_pairs(_t(spark, sf_dir, "documents"), threshold=0.9, k=3)
+    """Exact 3-gram-shingle-count cosine >= 9/10 similarity self-join via
+    the inverted-index term join, thresholded and compared as PURE
+    integers: dot^2 * q^2 >= nrm_a * nrm_b * p^2 — no float, no sqrt, no
+    round, so no engine-version skew in the compared cells. Shingle terms
+    (not unigrams) keep the inverted-index fanout sub-quadratic
+    (datapipe/simjoin.py cosine_pairs)."""
+    return sj.cosine_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold_ratio=(9, 10)
+    )
 
 
 _WINNOW_ORACLE = """

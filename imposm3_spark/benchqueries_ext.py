@@ -1194,7 +1194,7 @@ from imposm3_spark.datapipe.sampling import pack_sequences  # noqa: E402
     )
     SELECT doc_id, bucket,
            CAST(floor(cb / 2048) AS BIGINT) AS pack_id,
-           cb % 2048 AS pack_offset
+           CAST(cb % 2048 AS BIGINT) AS pack_offset
     FROM c
     """,
 )

@@ -104,9 +104,11 @@ WITH src AS (
 )
 SELECT key AS user_id,
        TIMESTAMP '1970-01-01 00:00:00' + to_hours(hr) AS hour_ts,
-       round(CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE) / 100.0
-             ELSE CAST(prev_c * (next_h - hr) + next_c * (hr - prev_h) AS DOUBLE)
-                  / CAST((next_h - prev_h) * 100 AS DOUBLE) END, 6) AS value,
+       CAST(CASE WHEN c IS NOT NULL THEN c
+            ELSE prev_c * (next_h - hr) + next_c * (hr - prev_h)
+            END AS BIGINT) AS value_num,
+       CAST(CASE WHEN c IS NOT NULL THEN 100
+            ELSE (next_h - prev_h) * 100 END AS BIGINT) AS value_den,
        c IS NULL AS filled
 FROM w
 """
@@ -115,12 +117,14 @@ FROM w
 @register("events_gapfill", _GAPFILL_ORACLE)
 def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly per-user series (every 10th user: pushed-down scan
-    filter) with exact bucket sums and fixed-order linear interpolation
-    over gaps (see datapipe/timeseries.py)."""
+    filter) with exact bucket sums and linear interpolation over gaps,
+    compared in the EXACT integer form value_num/value_den — the rounded
+    double hits real round-half ties that Spark (HALF_UP) and DuckDB
+    resolve differently (see datapipe/timeseries.py gapfill_hourly)."""
     from pyspark.sql import functions as F
 
     src = _t(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
-    return ts_.gapfill_hourly(src)
+    return ts_.gapfill_hourly(src, exact=True)
 
 
 @register("events_pagerank", gr.oracle_sql(iterations=3))
@@ -294,11 +298,11 @@ def _sql_auc() -> str:
     ), a AS (
       SELECT sum(p * (2 * less + t + 1)) AS s2, sum(p) AS pc, sum(t - p) AS nc FROM c
     )
-    SELECT pc AS pos_cnt, nc AS neg_cnt,
+    SELECT CAST(pc AS BIGINT) AS pos_cnt, CAST(nc AS BIGINT) AS neg_cnt,
            CASE WHEN pc > 0 AND nc > 0
-                THEN round(CAST(s2 - pc * (pc + 1) AS DOUBLE)
-                           / CAST(2 * pc * nc AS DOUBLE), 6)
-           END AS auc
+                THEN CAST(s2 - pc * (pc + 1) AS BIGINT) END AS auc_num,
+           CASE WHEN pc > 0 AND nc > 0
+                THEN CAST(2 * pc * nc AS BIGINT) END AS auc_den
     FROM a
     """
 
@@ -307,7 +311,9 @@ def _sql_auc() -> str:
 def doc_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-corrected ROC AUC of the English-stopword ratio as a
     predictor of lang='en' — rank statistics via the two-phase prefix-sum
-    pattern, no global sort (see datapipe/evaluation.py)."""
+    pattern, no global sort (see datapipe/evaluation.py). Compared in the
+    exact rational form (auc_num, auc_den); the derived rounded double
+    `auc` stays library-side only (round-half ties are engine-skewed)."""
     from pyspark.sql import functions as F
 
     from imposm3_spark.datapipe.evaluation import roc_auc
@@ -317,7 +323,9 @@ def doc_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_ratio(F.col("text")).alias("score"),
         (F.col("lang") == "en").cast("long").alias("pos"),
     )
-    return roc_auc(d, "score", "pos")
+    return roc_auc(d, "score", "pos").select(
+        "pos_cnt", "neg_cnt", "auc_num", "auc_den"
+    )
 
 
 _RFM_ORACLE = """
@@ -586,7 +594,7 @@ SELECT n_name,
        grouping(n_name) AS g_nation,
        grouping(EXTRACT(year FROM o_orderdate)) AS g_year,
        count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM orders
 JOIN customer ON c_custkey = o_custkey
 JOIN nation ON n_nationkey = c_nationkey
@@ -843,8 +851,8 @@ SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
             WHEN k IS NULL THEN 'customer_only'
             ELSE 'matched' END AS side,
        count(*) AS n,
-       coalesce(sum(n_orders), 0) AS total_orders,
-       round(CAST(coalesce(sum(cents), 0) AS DOUBLE) / 100.0, 2) AS total_value
+       CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS total_orders,
+       CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents
 FROM j GROUP BY 1
 """
 
@@ -856,6 +864,8 @@ def orders_customer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders —
     the standard data-quality audit join family (aggregate-then-join so
     the outer join runs at customer cardinality, not order cardinality).
+    Monetary totals are exact integer cents (total_cents) — the compared
+    representation stays float-free.
     """
     from pyspark.sql import functions as F
 
@@ -877,9 +887,7 @@ def orders_customer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("n_orders"), F.lit(0)).alias("total_orders"),
-            F.round(
-                F.coalesce(F.sum("cents"), F.lit(0)).cast("double") / F.lit(100.0), 2
-            ).alias("total_value"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("total_cents"),
         )
     )
 
@@ -904,9 +912,7 @@ WITH seq AS (
   SELECT src, dst FROM pairs WHERE d >= DATE '2024-01-24'
 )
 SELECT t.src, count(*) AS n_test,
-       sum(CASE WHEN t.dst = p.p THEN 1 ELSE 0 END) AS n_correct,
-       round(CAST(sum(CASE WHEN t.dst = p.p THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 6) AS acc
+       CAST(sum(CASE WHEN t.dst = p.p THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
 FROM test t JOIN pred p USING (src) GROUP BY 1
 """
 
@@ -948,27 +954,21 @@ def events_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = test.join(F.broadcast(pred), on="src").groupBy("src").agg(
         F.count(F.lit(1)).alias("n_test"), correct
     )
-    return g.select(
-        "src",
-        "n_test",
-        "n_correct",
-        F.round(
-            F.col("n_correct").cast("double") / F.col("n_test").cast("double"),
-            6,
-        ).alias("acc"),
-    )
+    # accuracy stays derivable as n_correct / n_test; the compared
+    # representation is the exact integer pair (float-division skew-proof)
+    return g.select("src", "n_test", "n_correct")
 
 
 _VALIDATE_ORACLE = """
 WITH a AS (
   SELECT count(*) AS total,
-         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS v_null,
-         sum(CASE WHEN l_quantity IS NOT NULL
-                   AND NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS v_range,
-         sum(CASE WHEN l_returnflag IS NOT NULL
-                   AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS v_member,
-         sum(CASE WHEN l_linestatus IS NOT NULL
-                   AND NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) AS v_regex,
+         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+         CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                   AND NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+         CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                   AND l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS v_member,
+         CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+                   AND NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) AS BIGINT) AS v_regex,
          count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_unique
   FROM lineitem
 )

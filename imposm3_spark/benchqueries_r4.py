@@ -976,7 +976,7 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, bucket,
            CAST(floor(cb / 512) AS BIGINT) AS pack_id,
-           cb % 512 AS pack_offset
+           CAST(cb % 512 AS BIGINT) AS pack_offset
     FROM c
     """,
 )
@@ -1915,7 +1915,8 @@ def _sql_lsh_pr_curve() -> str:
     return f"""
     WITH lsh AS ({lsh}),
     truth04 AS (SELECT id_a, id_b, jaccard FROM ({truth04})),
-    thr AS (SELECT unnest([0.4, 0.5, 0.6]) AS threshold),
+    thr AS (SELECT unnest([CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                           CAST(0.6 AS DOUBLE)]) AS threshold),
     t AS (
       SELECT thr.threshold, tr.id_a, tr.id_b
       FROM truth04 tr JOIN thr ON tr.jaccard >= thr.threshold

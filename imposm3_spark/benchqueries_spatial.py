@@ -39,7 +39,8 @@ _GRID_ORACLE = """
              CAST((s_suppkey * 17) % 170 + 10 + (s_suppkey % 7) * 4 AS DOUBLE) AS y1
       FROM supplier
     )
-    SELECT poly_id, count(*) AS n_points, sum(point_id) AS sum_ids
+    SELECT poly_id, count(*) AS n_points,
+           CAST(sum(point_id) AS BIGINT) AS sum_ids
     FROM pts JOIN boxes
       ON x >= x0 AND x <= x1 AND y >= y0 AND y <= y1
     GROUP BY poly_id

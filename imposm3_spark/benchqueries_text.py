@@ -46,7 +46,7 @@ toks AS (
     )
     SELECT doc_id,
            count(*) AS n_spans,
-           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            coalesce(
              array_to_string(list(span ORDER BY span_idx) FILTER (WHERE rn = 1), ' '),
              '') AS dedup_text
@@ -364,8 +364,9 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT doc_id, n_tokens, pri,
-             sum(n_tokens) OVER (ORDER BY pri DESC, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             CAST(sum(n_tokens) OVER (ORDER BY pri DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
       FROM scored
     )
     SELECT doc_id, n_tokens, pri, cum_tokens
@@ -509,11 +510,11 @@ def doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       count(*) AS n_users,
-      sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
-      sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-               THEN 1 ELSE 0 END) AS step_click,
-      sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click
-               THEN 1 ELSE 0 END) AS step_purchase
+      CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+      CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+               THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+      CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click
+               THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
     FROM per_user
     """,
 )
@@ -544,11 +545,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_pivot",
     """
     SELECT CAST(date_part('day', ts) AS INT) AS d,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
     FROM events GROUP BY 1
     """,
 )

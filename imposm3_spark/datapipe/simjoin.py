@@ -281,9 +281,16 @@ def cosine_pairs(
         # Pure-integer threshold: dot/sqrt(na*nb) >= p/q  <=>
         # q^2 * dot^2 >= p^2 * na * nb (dot >= 0: counts are
         # non-negative). DECIMAL(38,0) keeps the quartic products exact
-        # at any corpus scale; no float, no sqrt, no rounding — immune
-        # to engine-version skew in round()/printf paths.
+        # while q^2 * na * nb < 10^38 — i.e. per-doc squared norms below
+        # ~10^18/q, which a document would only exceed past ~10^9/q
+        # occurrences of one shingle (multi-GB single documents). Within
+        # that bound: no float, no sqrt, no rounding — immune to
+        # engine-version skew in round()/printf paths.
         p, q = threshold_ratio
+        if p < 0 or q <= 0:
+            raise ValueError(
+                f"threshold_ratio must satisfy p >= 0, q > 0, got ({p}, {q})"
+            )
         d38 = "decimal(38,0)"
         lhs = F.col("dot").cast(d38) * F.col("dot").cast(d38) * F.lit(q * q)
         rhs = F.col("na").cast(d38) * F.col("nb").cast(d38) * F.lit(p * p)

@@ -47,10 +47,12 @@ def gapfill_hourly(
     linear interpolation between the neighbouring observed hours.
 
     Output: (key, hour_ts, value, filled), or with ``exact=True`` the
-    all-integer form (key, hr, value_num, value_den, filled) where
+    exact form (key, hour_ts, value_num, value_den, filled) where
     value == value_num / value_den exactly (num/den are the interpolation
     numerator and denominator in cents) — the representation the oracle
-    gate compares, immune to float-rounding and engine-version skew.
+    gate compares, immune to float-rounding and engine-version skew
+    (round-5 forensics: at sf0.01 the interpolated tie 33.0115625 rounds
+    HALF_UP to 33.011563 in Spark but to 33.011562 in DuckDB).
     """
     hr = (
         F.unix_date(F.to_date(ts_col)) * F.lit(24) + F.hour(ts_col)
@@ -93,7 +95,7 @@ def gapfill_hourly(
     if exact:
         return series.select(
             F.col("key").alias(key_col),
-            F.col("hr"),
+            F.expr(f"timestampadd(HOUR, hr, {_EPOCH_NTZ})").alias("hour_ts"),
             F.when(F.col("c").isNotNull(), F.col("c"))
             .otherwise(num)
             .cast("bigint")
@@ -102,7 +104,7 @@ def gapfill_hourly(
             .otherwise(den)
             .cast("bigint")
             .alias("value_den"),
-            F.col("c").isNull().cast("int").alias("filled"),
+            F.col("c").isNull().alias("filled"),
         )
 
     out = series.select(

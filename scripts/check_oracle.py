@@ -2,6 +2,21 @@
 in Spark AND its oracle SQL in DuckDB on the same parquet, compare row count,
 column names, and an order-insensitive value hash.
 
+Gate integrity (round-6 hardening, after the events_gapfill 33.0115625 tie
+survived four rounds behind a lossy float format):
+
+* ``norm_cell`` hashes floats at FULL precision via ``repr`` — a local red
+  now reproduces any driver red caused by float value skew, and the
+  representation is TYPE-SENSITIVE (``3.0`` != ``3``), matching the driver's
+  observed behavior (round-5 evidence: every driver-red query had a DuckDB
+  HUGEINT output column while locals compared equal as Python ints).
+* Every oracle's DuckDB OUTPUT TYPES are audited: HUGEINT / UHUGEINT /
+  DECIMAL columns FAIL the gate outright. DuckDB silently widens
+  ``sum(BIGINT)`` to HUGEINT, and the driver's comparator renders HUGEINT
+  differently from Spark's BIGINT — oracles must CAST aggregate outputs.
+* A version banner (DuckDB + PySpark) prints up front so driver-vs-local
+  engine-version skew is visible in every gate log.
+
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -22,6 +37,10 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
 
+# DuckDB result types the driver's comparator is known (round-5 forensics)
+# to render differently from the matching Spark type. Oracles must cast.
+_BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
 
 def norm_cell(v) -> str:
     import datetime
@@ -29,16 +48,16 @@ def norm_cell(v) -> str:
 
     if v is None:
         return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
-    if isinstance(v, (datetime.datetime,)):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
-    if isinstance(v, bool):
-        return str(int(v))
+        # FULL precision, type-marked: repr(3.0) == '3.0' (distinct from
+        # int 3), repr keeps all 17 significant digits when needed.
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     if isinstance(v, list):
@@ -56,9 +75,27 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def banned_duck_types(con, sql: str) -> list[tuple[str, str]]:
+    """Column (name, type) pairs of the oracle's output that the driver's
+    comparator renders incompatibly with Spark (see _BANNED_DUCK_TYPES)."""
+    rel = con.sql(sql)
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(str(t).startswith(b) for b in _BANNED_DUCK_TYPES)
+    ]
+
+
 def main() -> int:
+    import pyspark
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    print(
+        f"gate versions: duckdb={duckdb.__version__} pyspark={pyspark.__version__} "
+        f"python={sys.version.split()[0]} sf_dir={sf_dir}",
+        flush=True,
+    )
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -84,15 +121,24 @@ def main() -> int:
             n_weak += 1
             continue
         try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(sql)
+            ocols = list(rel.columns)
+            otypes = [
+                (c, str(t))
+                for c, t in zip(rel.columns, rel.types)
+                if any(str(t).startswith(b) for b in _BANNED_DUCK_TYPES)
+            ]
+            orows = rel.fetchall()
         except Exception:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc(limit=3)
             n_fail += 1
             continue
         problems = []
+        if otypes:
+            problems.append(
+                f"oracle emits driver-incompatible types {otypes} — CAST them"
+            )
         if sorted(cols) != sorted(ocols):
             problems.append(f"schema {sorted(cols)} != {sorted(ocols)}")
         if len(rows) != len(orows):
@@ -101,7 +147,7 @@ def main() -> int:
             h1, h2 = value_hash(cols, rows), value_hash(ocols, orows)
             if h1 != h2:
                 problems.append(f"hash {h1} != {h2}")
-                # show first differing line for debugging
+                # show first differing line at FULL repr for debugging
                 order1 = sorted(range(len(cols)), key=lambda i: cols[i])
                 order2 = sorted(range(len(ocols)), key=lambda i: ocols[i])
                 l1 = sorted("|".join(norm_cell(r[i]) for i in order1) for r in rows)

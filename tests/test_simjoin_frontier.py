@@ -373,3 +373,44 @@ def test_autocorr_drops_constant_series(spark):
         for i in range(10)
     ]
     assert ts_.hourly_lag_autocorr(spark.createDataFrame(rows)).count() == 0
+
+
+def test_cosine_pairs_threshold_ratio_matches_float(spark):
+    """The exact-integer threshold path (p/q) must select the same pairs
+    as the float-threshold path at the same cutoff, and its (dot, nrm_a,
+    nrm_b) must reproduce the float path's cosine exactly."""
+    import math
+
+    texts = [
+        "a a b c",
+        "a a b d",
+        "x y z w q",
+        "a a a a b b c",
+        "a a b c",  # exact duplicate of 0: cosine 1.0 boundary
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    flo = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sj.cosine_pairs(docs, threshold=0.7, k=1).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): (r.dot, r.nrm_a, r.nrm_b)
+        for r in sj.cosine_pairs(docs, k=1, threshold_ratio=(7, 10)).collect()
+    }
+    assert set(flo) == set(exact)
+    for key, (dot, na, nb) in exact.items():
+        assert flo[key] == round(dot / math.sqrt(na * nb), 6)
+        # integer predicate itself: q^2 dot^2 >= p^2 na nb
+        assert 100 * dot * dot >= 49 * na * nb
+
+
+def test_cosine_pairs_threshold_ratio_validation(spark):
+    import pytest
+
+    docs = spark.createDataFrame([Row(doc_id=0, text="a b")])
+    with pytest.raises(ValueError):
+        sj.cosine_pairs(docs, k=1, threshold_ratio=(-1, 10))
+    with pytest.raises(ValueError):
+        sj.cosine_pairs(docs, k=1, threshold_ratio=(1, 0))

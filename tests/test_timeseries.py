@@ -105,3 +105,30 @@ def test_scd2_intervals(spark):
     assert u1 == [("A", 0, 2, False), ("B", 2, 3, False), ("A", 3, None, True)]
     u2 = [(r.value, r.is_current) for r in out if r.user_id == 2]
     assert u2 == [("X", True)]
+
+
+def test_gapfill_exact_form_consistency(spark):
+    """exact=True returns the same grid with value_num/value_den such that
+    round(num/den, 6) equals the float path's value on BOTH observed and
+    interpolated rows, keeps hour_ts, and keeps `filled` boolean."""
+    rows = [
+        _ev(1, 0, 10.0, 1),
+        _ev(1, 3, 40.17, 2),
+        _ev(2, 5, 5.0, 3),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    flo = {
+        (r.user_id, r.hour_ts): (r.value, r.filled)
+        for r in gapfill_hourly(df).collect()
+    }
+    exact = {
+        (r.user_id, r.hour_ts): (r.value_num, r.value_den, r.filled)
+        for r in gapfill_hourly(df, exact=True).collect()
+    }
+    assert set(flo) == set(exact)
+    for key, (num, den, filled) in exact.items():
+        value, f_filled = flo[key]
+        assert isinstance(filled, bool) and filled == f_filled
+        assert value == round(num / den, 6)
+        if not filled:
+            assert den == 100
