@@ -118,31 +118,103 @@ def gapfill_hourly(
     return out
 
 
+def _step_major_scan(src: DataFrame, init, step, n_out: int, out_names, n_buckets: int):
+    """Run a per-key integer recurrence VECTORIZED ACROSS KEYS.
+
+    ``src`` must have columns (id, key, _o1, _o2, c). Per key, rows are
+    ordered by (_o1, _o2) and a recurrence advances over them; the naive
+    shape (one applyInPandas group per key, Python loop per row) pays per-
+    group pandas overhead plus a Python-interpreter op per ROW. This runs
+    the IDENTICAL op order in step-major form instead:
+
+    * keys are hash-bucketed so each applyInPandas group holds MANY keys
+      (one keyed exchange, n_buckets-way parallelism; bucket size = rows /
+      n_buckets — raise n_buckets with data volume, the kernel is O(rows)
+      memory);
+    * inside a bucket, rows sort by (key, _o1, _o2), keys are ranked by
+      run LENGTH DESCENDING so the keys still active at step t are always
+      a PREFIX of the state arrays, and rows re-order step-major;
+    * the recurrence then advances with ONE numpy int64 slice op per TIME
+      STEP across all keys (numpy ``//`` floors exactly like Python's),
+      so the per-key arithmetic sequence — and therefore the result — is
+      bit-identical to the per-row reference, ~(rows/steps)x fewer
+      interpreter ops (the kmeans Arrow-kernel playbook).
+
+    ``init(c0) -> [state arrays]`` seeds step 0; ``step(ct, states) ->
+    None`` advances the length-m prefix views in place.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = "id long, key long, " + ", ".join(f"{n} long" for n in out_names)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame({c: [] for c in ("id", "key", *out_names)})
+        key = pdf["key"].to_numpy()
+        order = np.lexsort((pdf["_o2"].to_numpy(), pdf["_o1"].to_numpy(), key))
+        c = pdf["c"].to_numpy()[order].astype(np.int64)
+        ks = key[order]
+        newgrp = np.empty(n, dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = ks[1:] != ks[:-1]
+        gidx = np.cumsum(newgrp) - 1
+        starts = np.flatnonzero(newgrp)
+        lens = np.diff(np.append(starts, n))
+        ng = len(lens)
+        rn = np.arange(n) - starts[gidx]
+        # rank groups by length desc (stable on group order) -> at any
+        # step t the active groups are ranks [0, counts[t])
+        grp_order = np.lexsort((np.arange(ng), -lens))
+        grp_rank = np.empty(ng, dtype=np.int64)
+        grp_rank[grp_order] = np.arange(ng)
+        pos = np.lexsort((grp_rank[gidx], rn))
+        c_sm = c[pos]
+        counts = np.bincount(rn)
+        back = order[pos]  # step-major row j -> original pdf row
+        outs = [np.empty(n, dtype=np.int64) for _ in range(n_out)]
+        states = init(c_sm[:ng])
+        for i in range(n_out):
+            outs[i][back[:ng]] = states[i]
+        off = ng
+        for t in range(1, len(counts)):
+            m = counts[t]
+            step(c_sm[off : off + m], [s[:m] for s in states])
+            for i in range(n_out):
+                outs[i][back[off : off + m]] = states[i][:m]
+            off += m
+        res = {"id": pdf["id"].to_numpy(), "key": key}
+        for name, arr in zip(out_names, outs):
+            res[name] = arr
+        return pd.DataFrame(res)
+
+    bucket = F.pmod(F.hash(F.col("key")), F.lit(n_buckets))
+    return src.groupBy(bucket.alias("_bkt")).applyInPandas(scan, schema)
+
+
 def ewma_fixed_point(
     events: DataFrame,
     key_col: str = "user_id",
     order_cols: tuple[str, str] = ("ts", "event_id"),
     value_col: str = "value",
     id_col: str = "event_id",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Per-key exponentially weighted moving average (alpha = 1/4) as an
     exact integer recursion:
 
         e_1 = c_1,   e_t = (3*e_{t-1} + c_t) div 4      (cents BIGINT)
 
-    EWMA is inherently sequential per key — the one operator family where
-    a per-key imperative scan is the right tool. It runs as an Arrow-
-    batched applyInPandas over key groups (state O(1), group size bounded
-    by the key's own history, never corpus size); everything before it is
-    one keyed exchange. The integer recursion makes the result
-    bit-identical to the oracle's recursive CTE: every step is exact
-    multiply-add + integer division (values are non-negative, so
-    truncating and flooring division agree — asserted).
+    EWMA is inherently sequential per key, but NOT across keys: the scan
+    runs step-major, one vectorized numpy int64 op per time step across
+    every key in a hash bucket (see _step_major_scan) — bit-identical to
+    the oracle's recursive CTE (same multiply-add + floor division in the
+    same order; values are non-negative so truncating and flooring
+    division agree), with one keyed exchange and no per-row Python.
 
     Output: (id, key, ewma) with ewma = e/100 as ONE fixed division.
     """
-    import pandas as pd
-
     cents = F.round(F.col(value_col) * 100).cast("bigint")
     src = events.select(
         F.col(id_col).alias("id"),
@@ -152,21 +224,16 @@ def ewma_fixed_point(
         cents.alias("c"),
     )
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_o1", "_o2"], kind="mergesort")
-        e = 0
-        out = []
-        first = True
-        for c in pdf["c"].tolist():
-            c = int(c)
-            assert c >= 0, "ewma_fixed_point requires non-negative values"
-            e = c if first else (3 * e + c) // 4
-            first = False
-            out.append(e)
-        pdf = pdf.assign(e=out)
-        return pdf[["id", "key", "e"]]
+    def init(c0):
+        return [c0.copy()]
 
-    scanned = src.groupBy("key").applyInPandas(scan, "id long, key long, e long")
+    def step(ct, states):
+        (e,) = states
+        e *= 3
+        e += ct
+        e //= 4
+
+    scanned = _step_major_scan(src, init, step, 1, ("e",), n_buckets)
     return scanned.select(
         "id",
         "key",
@@ -362,6 +429,7 @@ def holt_fixed_point(
     order_cols: tuple[str, str] = ("ts", "event_id"),
     value_col: str = "value",
     id_col: str = "event_id",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Per-key Holt double exponential smoothing (level + trend) as an
     exact integer recursion with alpha = 1/4, beta = 1/2:
@@ -371,18 +439,18 @@ def holt_fixed_point(
         b_t = ((l_t - l_{t-1}) + b_{t-1}) fdiv 2
 
     where fdiv is FLOOR division (trend goes negative, so truncating and
-    flooring differ — the oracle's CTE uses the same floor explicitly).
+    flooring differ — the oracle's CTE uses the same floor explicitly,
+    and numpy's int64 ``//`` floors identically).
     The one-step-ahead forecast l + b tracks a drifting series where the
     plain EWMA lags by design — the classic anomaly baseline for metrics
     with trend.
 
-    Same execution shape as ewma_fixed_point: one keyed exchange into an
-    Arrow-batched per-key scan, O(1) state, group size bounded by the
-    key's history. Output: (id, key, level, trend) in cents — exact
-    BIGINTs, bit-identical to the recursive-CTE oracle.
+    Same execution shape as ewma_fixed_point: one keyed exchange into the
+    step-major vectorized scan (_step_major_scan) — one numpy op per time
+    step across all keys in a bucket, no per-row Python. Output:
+    (id, key, level, trend) in cents — exact BIGINTs, bit-identical to
+    the recursive-CTE oracle.
     """
-    import pandas as pd
-
     cents = F.round(F.col(value_col) * 100).cast("bigint")
     src = events.select(
         F.col(id_col).alias("id"),
@@ -392,25 +460,26 @@ def holt_fixed_point(
         cents.alias("c"),
     )
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_o1", "_o2"], kind="mergesort")
-        lvl = trend = 0
-        out_l, out_b = [], []
-        first = True
-        for c in pdf["c"].tolist():
-            c = int(c)
-            if first:
-                lvl, trend, first = c, 0, False
-            else:
-                prev = lvl
-                lvl = (c + 3 * (lvl + trend)) // 4   # python // floors
-                trend = ((lvl - prev) + trend) // 2
-            out_l.append(lvl)
-            out_b.append(trend)
-        pdf = pdf.assign(l=out_l, b=out_b)
-        return pdf[["id", "key", "l", "b"]]
+    def init(c0):
+        import numpy as np
 
-    scanned = src.groupBy("key").applyInPandas(scan, "id long, key long, l long, b long")
+        return [c0.copy(), np.zeros(len(c0), dtype=np.int64)]
+
+    def step(ct, states):
+        lvl, trend = states
+        prev = lvl.copy()
+        # l_t = (c_t + 3*(l + b)) fdiv 4 ; b_t = ((l_t - l_prev) + b) fdiv 2
+        lvl += trend
+        lvl *= 3
+        lvl += ct
+        lvl //= 4
+        trend += lvl
+        trend -= prev
+        trend //= 2
+
+    scanned = _step_major_scan(
+        src, init, step, 2, ("l", "b"), n_buckets
+    )
     return scanned.select(
         "id", "key", F.col("l").alias("level_cents"), F.col("b").alias("trend_cents")
     )
