@@ -735,6 +735,22 @@ def _sql_minhash_accuracy() -> str:
     )
 
 
+def _sampled_docs_sql(sql: str) -> str:
+    """Shadow `documents` with the deterministic 1/2 sample (see
+    benchqueries_r4._sampled_docs_sql — duplicated to avoid an import
+    cycle between the benchquery modules)."""
+    from imposm3_spark.datapipe.evaluation import deterministic_sample_sql
+
+    cte = (
+        "WITH documents AS (SELECT * FROM main.documents WHERE "
+        + deterministic_sample_sql(mod=2)
+        + "), "
+    )
+    head, _, tail = sql.partition("WITH ")
+    assert tail, "oracle has no WITH clause to merge into"
+    return head + cte + tail
+
+
 @register("doc_minhash_accuracy", _sql_minhash_accuracy())
 def doc_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy evaluation: per LSH candidate pair, the MinHash
@@ -742,11 +758,26 @@ def doc_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-set Jaccard — both exactly reproducible (md5 minhash, one
     distinct-shingle intersect/union per pair), every value a fixed
     division over integers."""
+    return _minhash_accuracy(_t(spark, sf_dir, "documents"))
+
+
+@register("doc_minhash_accuracy_sampled", _sampled_docs_sql(_sql_minhash_accuracy()))
+def doc_minhash_accuracy_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_minhash_accuracy on the deterministic 1/2 document sample —
+    the sample_frac scale path: the exact shingle-set truth join is
+    quadratic in candidate count, so at 100 TB the accuracy eval runs on
+    a hash-deterministic subsample while staying oracle-checkable
+    (datapipe.evaluation.deterministic_sample; see docs/SCALE.md)."""
+    from imposm3_spark.datapipe.evaluation import deterministic_sample
+
+    return _minhash_accuracy(deterministic_sample(_t(spark, sf_dir, "documents"), mod=2))
+
+
+def _minhash_accuracy(docs: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     from imposm3_spark.datapipe import dedup as dd
 
-    docs = _t(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_pairs(docs)
     sigs = dd.minhash_signatures_relational(docs)
     shs = docs.select(

@@ -1750,10 +1750,31 @@ def _sql_lsh_pr() -> str:
     nl AS (SELECT count(*) AS n_cand FROM lsh),
     nt AS (SELECT count(*) AS n_truth FROM truth)
     SELECT n_truth, n_cand, tp,
-           round(CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) AS precision,
-           round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall
+           CASE WHEN n_cand > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
+           END AS precision,
+           CASE WHEN n_truth > 0
+                THEN round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+           END AS recall
     FROM tp, nl, nt
     """
+
+
+def _sampled_docs_sql(sql: str) -> str:
+    """Rewrite an oracle that reads `documents` to read the deterministic
+    1/4 sample instead: merge a shadowing CTE (schema-qualified base so
+    DuckDB doesn't see a circular reference) into the first WITH clause —
+    the exact same rows deterministic_sample() keeps on the Spark side."""
+    from imposm3_spark.datapipe.evaluation import deterministic_sample_sql
+
+    cte = (
+        "WITH documents AS (SELECT * FROM main.documents WHERE "
+        + deterministic_sample_sql(mod=2)
+        + "), "
+    )
+    head, _, tail = sql.partition("WITH ")
+    assert tail, "oracle has no WITH clause to merge into"
+    return head + cte + tail
 
 
 @register("doc_lsh_pr", _sql_lsh_pr())
@@ -1762,12 +1783,27 @@ def doc_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact Jaccard >= 0.5 truth (ppjoin) — the band-tuning
     readout that says whether the sketch over- or under-generates,
     value-checked because both sides are deterministic."""
+    return _lsh_pr(_t(spark, sf_dir, "documents"))
+
+
+@register("doc_lsh_pr_sampled", _sampled_docs_sql(_sql_lsh_pr()))
+def doc_lsh_pr_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_lsh_pr on the deterministic 1/2 document sample — the
+    sample_frac scale path: exact pairwise truth (ppjoin) is quadratic
+    in corpus size, so at 100 TB the eval runs on a hash-deterministic
+    subsample (pair cost /4; raise mod with corpus size) while staying oracle-checkable bit-for-bit
+    (datapipe.evaluation.deterministic_sample; see docs/SCALE.md)."""
+    from imposm3_spark.datapipe.evaluation import deterministic_sample
+
+    return _lsh_pr(deterministic_sample(_t(spark, sf_dir, "documents"), mod=2))
+
+
+def _lsh_pr(docs: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     from imposm3_spark.datapipe import dedup as dd
     from imposm3_spark.datapipe import simjoin as sj
 
-    docs = _t(spark, sf_dir, "documents")
     cand = dd.minhash_lsh_pairs(docs).select("id_a", "id_b").localCheckpoint(
         eager=False
     )
@@ -1784,12 +1820,14 @@ def doc_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_truth",
             "n_cand",
             "tp",
-            F.round(F.col("tp").cast("double") / F.col("n_cand").cast("double"), 6).alias(
-                "precision"
-            ),
-            F.round(F.col("tp").cast("double") / F.col("n_truth").cast("double"), 6).alias(
-                "recall"
-            ),
+            F.when(
+                F.col("n_cand") > 0,
+                F.round(F.col("tp").cast("double") / F.col("n_cand").cast("double"), 6),
+            ).alias("precision"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("tp").cast("double") / F.col("n_truth").cast("double"), 6),
+            ).alias("recall"),
         )
     )
 
@@ -1928,8 +1966,10 @@ def _sql_lsh_pr_curve() -> str:
     ), nc AS (SELECT count(*) AS n_cand FROM lsh)
     SELECT nt.threshold, nt.n_truth, nc.n_cand,
            CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
-           round(CAST(coalesce(tp.tp, 0) AS DOUBLE) / CAST(nc.n_cand AS DOUBLE), 6)
-             AS precision,
+           CASE WHEN nc.n_cand > 0
+                THEN round(CAST(coalesce(tp.tp, 0) AS DOUBLE)
+                           / CAST(nc.n_cand AS DOUBLE), 6)
+           END AS precision,
            round(CAST(coalesce(tp.tp, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE), 6)
              AS recall
     FROM nt LEFT JOIN tp USING (threshold), nc
@@ -1942,12 +1982,25 @@ def doc_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     against exact Jaccard truths at 0.4/0.5/0.6 — the threshold-sweep
     readout for band tuning (one ppjoin at the loosest threshold feeds
     all three truth sets)."""
+    return _lsh_pr_curve(_t(spark, sf_dir, "documents"))
+
+
+@register("doc_lsh_pr_curve_sampled", _sampled_docs_sql(_sql_lsh_pr_curve()))
+def doc_lsh_pr_curve_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_lsh_pr_curve on the deterministic 1/2 document sample — the
+    sample_frac scale path for the quadratic exact-truth sweep
+    (datapipe.evaluation.deterministic_sample; see docs/SCALE.md)."""
+    from imposm3_spark.datapipe.evaluation import deterministic_sample
+
+    return _lsh_pr_curve(deterministic_sample(_t(spark, sf_dir, "documents"), mod=2))
+
+
+def _lsh_pr_curve(docs: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     from imposm3_spark.datapipe import dedup as dd
     from imposm3_spark.datapipe import simjoin as sj
 
-    docs = _t(spark, sf_dir, "documents")
     cand = dd.minhash_lsh_pairs(docs).select("id_a", "id_b").localCheckpoint(eager=False)
     truth04 = (
         sj.ppjoin_pairs(docs, threshold=0.4, k=3)
@@ -1975,8 +2028,13 @@ def doc_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_truth",
             "n_cand",
             F.coalesce("tp", F.lit(0)).alias("tp"),
-            F.round(
-                F.coalesce("tp", F.lit(0)).cast("double") / F.col("n_cand").cast("double"), 6
+            F.when(
+                F.col("n_cand") > 0,
+                F.round(
+                    F.coalesce("tp", F.lit(0)).cast("double")
+                    / F.col("n_cand").cast("double"),
+                    6,
+                ),
             ).alias("precision"),
             F.round(
                 F.coalesce("tp", F.lit(0)).cast("double") / F.col("n_truth").cast("double"), 6

@@ -108,3 +108,46 @@ def roc_auc(
             F.round(num.cast("double") / den.cast("double"), 6),
         ).alias("auc"),
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    mod: int = 4,
+    keep: int = 0,
+    salt: str = "sample:",
+) -> DataFrame:
+    """Engine-portable deterministic row sample (the `sample_frac` knob
+    for exact-truth evaluations): keep rows whose salted-id md5 bucket
+    equals ``keep`` — a keep-rate of 1/mod. The hash is the first 8 hex
+    digits of md5(salt || id) as an integer, reproducible bit-for-bit in
+    any engine (pair with :func:`deterministic_sample_sql` in oracles).
+
+    Scale rationale: exact pairwise truth sets (ppjoin, exact Jaccard)
+    are quadratic in corpus size by definition. Evaluations don't need
+    the full corpus — a deterministic 1/mod document sample bounds the
+    truth-set cost by 1/mod^2 while keeping the eval reproducible and
+    oracle-checkable, unlike rand()-based sampling. See docs/SCALE.md.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.where(h % mod == keep)
+
+
+def deterministic_sample_sql(
+    id_col: str = "doc_id",
+    mod: int = 4,
+    keep: int = 0,
+    salt: str = "sample:",
+) -> str:
+    """DuckDB predicate computing the identical sample as
+    :func:`deterministic_sample` (same md5-prefix hash, same bucket)."""
+    return (
+        f"CAST(concat('0x', substr(md5('{salt}' || CAST({id_col} AS VARCHAR)),"
+        f" 1, 8)) AS BIGINT) % {mod} = {keep}"
+    )
