@@ -49,7 +49,9 @@ def norm_cell(v) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, bool):  # before int: bool is an int subclass
-        return str(int(v))
+        # type-marked (distinct from int 0/1): a Spark boolean against a
+        # DuckDB integer column must show up as a local mismatch
+        return "T" if v else "F"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
