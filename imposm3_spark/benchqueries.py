@@ -1637,17 +1637,24 @@ def tpch_q22_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q2_mincost",
     """
     WITH ps AS (
+      -- struct-min: the double ratio picks the min (identical IEEE
+      -- division on both engines); the exact integer pair (cents, qty)
+      -- of the winning row rides along for the COMPARED output, with
+      -- (cents, qty) breaking ratio ties deterministically.
       SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-             min(l_extendedprice / l_quantity) AS ps_supplycost
+             min({'r': l_extendedprice / l_quantity,
+                  'c': CAST(round(l_extendedprice * 100) AS BIGINT),
+                  'q': CAST(l_quantity AS BIGINT)}) AS m
       FROM lineitem GROUP BY 1, 2
     ), eu AS (
-      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+      SELECT ps_partkey, ps_suppkey, m.r AS ps_supplycost,
+             m.c AS cost_cents, m.q AS cost_qty, s_name, s_acctbal, n_name
       FROM ps, supplier, nation, region
       WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
         AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
     )
     SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name,
-           p_partkey, p_type, round(ps_supplycost, 4) AS cost
+           p_partkey, p_type, cost_cents, cost_qty
     FROM eu JOIN part ON p_partkey = ps_partkey
     WHERE p_size <= 15 AND p_type = 'STANDARD'
       AND ps_supplycost = (SELECT min(e2.ps_supplycost) FROM eu e2
@@ -1664,14 +1671,34 @@ def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost at scale: one shuffle on (partkey, suppkey) for the ps aggregate +
     one narrower shuffle on partkey for the correlated-min window — both on
     the already-aggregated (much smaller) part-supplier set, never a second
-    pass over lineitem."""
+    pass over lineitem.
+
+    Exactness: the min-cost pick and the correlated-min filter compare the
+    double ratio (one IEEE division, identical on both engines), but the
+    COMPARED output is the winning row's exact integer pair (cost_cents,
+    cost_qty) — round(ratio, 4) hit a real round-half tie at sf0.001
+    (26.24125: Spark shortest-repr HALF_UP down, DuckDB up)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
     p = _t(spark, sf_dir, "part")
     ps = li.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
-    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    ).agg(
+        F.min(
+            F.struct(
+                (F.col("l_extendedprice") / F.col("l_quantity")).alias("r"),
+                F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+                F.col("l_quantity").cast("bigint").alias("q"),
+            )
+        ).alias("m")
+    ).select(
+        "ps_partkey",
+        "ps_suppkey",
+        F.col("m.r").alias("ps_supplycost"),
+        F.col("m.c").alias("cost_cents"),
+        F.col("m.q").alias("cost_qty"),
+    )
     eu_supp = (
         s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -1693,7 +1720,8 @@ def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_type",
-            F.round("ps_supplycost", 4).alias("cost"),
+            "cost_cents",
+            "cost_qty",
         )
         .orderBy(F.desc("acctbal"), F.asc("s_name"), F.asc("p_partkey"))
         .limit(100)
