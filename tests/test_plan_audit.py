@@ -1190,3 +1190,40 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q2_struct_min_partial_agg(spark):
+    """tpch_q2_mincost (round-6 exactified): the lexicographic struct-min
+    that carries the exact (cost_cents, cost_qty) pair must still be a
+    partial-aggregable hash aggregate over lineitem (map-side combine
+    before the (partkey, suppkey) shuffle), with no cartesian product."""
+    plan = _executed_plan(bq.QUERIES["tpch_q2_mincost"](spark, SF_DIR))
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_step_major_scan_single_keyed_exchange(spark):
+    """events_ewma (round-6 vectorized): the bucketed step-major scan
+    must stay ONE keyed exchange into one Python groups stage — the
+    bucketing must not add a second shuffle, and no global sort may
+    appear (ordering happens inside the numpy kernel)."""
+    plan = _executed_plan(bq.QUERIES["events_ewma"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FlatMapGroupsInPandas") == 1
+    assert "Exchange rangepartitioning" not in final
+    assert "CartesianProduct" not in plan
+
+
+def test_sampled_eval_filter_before_pair_stages(spark):
+    """doc_lsh_pr_sampled: the deterministic md5-bucket sample must
+    filter documents BEFORE the shingle explode / pair joins (the whole
+    point is shrinking the quadratic stages), and the eval keeps the
+    no-cartesian property of the unsampled form."""
+    df = bq.QUERIES["doc_lsh_pr_sampled"](spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = _executed_plan(df)
+    # the sample predicate (conv(substring(md5(...))) % 2 = 0) survives
+    # into the optimized plan as a Filter (Catalyst even pushes it
+    # through the pair joins onto both join sides)
+    assert "md5" in optimized and "% 2) = 0)" in optimized
+    assert "CartesianProduct" not in plan
