@@ -56,6 +56,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact money aggregation (round-6 discipline)
+#
+# Price/value columns hold exactly-2-decimal data, so every money SUM runs
+# on scaled BIGINTs — order-free and engine-free — and each emitted float
+# is ONE fixed-order division of the exact sum. round(<float sum>) is
+# banned from compared cells: float sums are order-dependent across
+# engines, and round()'s half-tie behavior differs between Spark
+# (HALF_UP on the shortest decimal repr) and DuckDB (on the binary value)
+# even for the SAME double. Scaled int64 sums hold to ~9e14 dollars at e4
+# (switch to DECIMAL(38,0)/HUGEINT-with-final-CAST beyond).
+# ---------------------------------------------------------------------------
+
+# sum of l_extendedprice * (1 - l_discount) as exact 1e-4-scaled BIGINT,
+# emitted as dollars (one division). The inner product is 4-decimal exact,
+# so round(x * 10000) sits ~1e-6 from an integer — unambiguous everywhere.
+_REV_E4_SQL = (
+    "CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))"
+    " AS DOUBLE) / 10000.0"
+)
+
+
+def _rev_e4():
+    return F.sum(
+        F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000).cast(
+            "bigint"
+        )
+    ).cast("double") / F.lit(10000.0)
+
+
+def _cents_sum_sql(col: str) -> str:
+    """Exact dollars: sum of a 2-decimal column via integer cents."""
+    return f"CAST(sum(CAST(round({col} * 100) AS BIGINT)) AS DOUBLE) / 100.0"
+
+
+def _cents_sum(col: str):
+    return F.sum(F.round(F.col(col) * 100).cast("bigint")).cast("double") / F.lit(100.0)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-ish relational surface
 # ---------------------------------------------------------------------------
 
@@ -64,11 +103,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_discount), 6) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_base_price,
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100.0 AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -76,19 +118,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exactness (round-6 discipline): money terms are exactly-2-decimal
+    # data, so every sum runs on scaled BIGINTs (order-free, engine-free)
+    # and each emitted float is ONE fixed-order division of the exact sum
+    # — no round(<float sum>) anywhere (float sums are order-dependent
+    # and round() half-tie behavior differs across engines).
     li = _t(spark, sf_dir, "lineitem")
+    qty = F.sum(F.col("l_quantity").cast("bigint"))
+    base_c = F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+    disc_e4 = F.sum(
+        F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000).cast(
+            "bigint"
+        )
+    )
+    disc_c = F.sum(F.round(F.col("l_discount") * 100).cast("bigint"))
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            qty.cast("double").alias("sum_qty"),
+            (base_c.cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (disc_e4.cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            (qty.cast("double") / n).alias("avg_qty"),
+            (disc_c.cast("double") / n / F.lit(100.0)).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -97,7 +151,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -122,9 +177,14 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            (
+                F.sum(
+                    F.round(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -135,7 +195,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -168,11 +230,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_rev_e4().alias("revenue"))
     )
 
 
@@ -202,7 +260,9 @@ def events_top_types_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly",
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,
-           count(*) AS n, round(sum(value), 4) AS total_value
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -210,7 +270,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    ).agg(F.count("*").alias("n"), _cents_sum("value").alias("total_value"))
 
 
 # ---------------------------------------------------------------------------
@@ -218,22 +278,42 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # shared synthetic lon/lat derivation (integer arithmetic -> exact doubles)
-_LON_SQL = "(c_custkey % 36000) / 100.0 - 180.0"
-_LAT_SQL = "(c_custkey % 17000) / 100.0 - 85.0"
+# CAST the literals: bare 100.0/180.0 parse as DECIMAL in DuckDB, making
+# the subtraction exact-decimal there but double-ulp arithmetic in Spark —
+# a 1-ulp lon/lat skew that surfaced at sf0.1 under the strict gate. The
+# same string feeds F.expr() and the oracle, so both engines run identical
+# DOUBLE ops (IEEE division/subtraction are correctly rounded -> bit-equal).
+_LON_SQL = ("(c_custkey % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE)")
+_LAT_SQL = ("(c_custkey % 17000) / CAST(100.0 AS DOUBLE) - CAST(85.0 AS DOUBLE)")
 
 
 @register(
     "osm_merc_roundtrip",
+    # The oracle mirrors geom/proj.py EXPRESSION BY EXPRESSION — same
+    # precomputed constant literals, same association order. Pure-
+    # arithmetic cells (merc_x, lon_rt) are then bit-identical across
+    # engines and compare RAW. Transcendental cells differ by a few ulps
+    # between JVM Math.* and DuckDB's libm, so merc_y compares floor-
+    # quantized to whole meters (straddle probability ~1e-4 corpus-wide)
+    # and the latitude ROUNDTRIP as a boolean error bound with 1e5 margin
+    # (|lat_rt - lat| < 1e-9 vs ~1e-14 actual). round()ed projections hit
+    # shortest-repr half-ties (caught by the round-6 strict gate at
+    # sf0.1) and are banned from compared cells.
     f"""
     WITH pts AS (
       SELECT c_custkey AS id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat FROM customer
+    ), m AS (
+      SELECT id, lat,
+             lon * {POLE / 180.0!r} AS mx,
+             ln(tan((lat + 90.0) * {math.pi / 360.0!r})) * {POLE / math.pi!r} AS my
+      FROM pts
     )
-    SELECT id,
-           round(lon * {POLE!r} / 180.0, 4) AS merc_x,
-           round(ln(tan((lat + 90.0) * pi() / 360.0)) / pi() * {POLE!r}, 4) AS merc_y,
-           round((lon * {POLE!r} / 180.0) / {POLE!r} * 180.0, 6) AS lon_rt,
-           round(180.0 / pi() * (2 * atan(exp((ln(tan((lat + 90.0) * pi() / 360.0)) / pi() * {POLE!r}) / {POLE!r} * pi())) - pi() / 2), 6) AS lat_rt
-    FROM pts
+    SELECT id, mx AS merc_x,
+           CAST(floor(my) AS BIGINT) AS merc_y_m,
+           mx * {180.0 / POLE!r} AS lon_rt,
+           abs((((atan(exp(my * {math.pi / POLE!r})) * 2.0) - {math.pi / 2.0!r})
+                * {180.0 / math.pi!r}) - lat) < 1e-9 AS lat_rt_ok
+    FROM m
     """,
 )
 def osm_merc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,10 +327,10 @@ def osm_merc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = wgs_to_merc_y(F.col("lat"))
     return c.select(
         "id",
-        F.round(x, 4).alias("merc_x"),
-        F.round(y, 4).alias("merc_y"),
-        F.round(merc_to_wgs_lon(x), 6).alias("lon_rt"),
-        F.round(merc_to_wgs_lat(y), 6).alias("lat_rt"),
+        x.alias("merc_x"),
+        F.floor(y).cast("bigint").alias("merc_y_m"),
+        merc_to_wgs_lon(x).alias("lon_rt"),
+        (F.abs(merc_to_wgs_lat(y) - F.col("lat")) < F.lit(1e-9)).alias("lat_rt_ok"),
     )
 
 
@@ -596,7 +676,8 @@ def osm_hstore_render(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING count(*) = count(p_retailprice)
     )
     SELECT rel_id, count(*) AS n_members,
-           round(sum(p_retailprice), 2) AS total_price
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_price
     FROM resolved WHERE rel_id IN (SELECT rel_id FROM complete)
     GROUP BY rel_id
     """,
@@ -627,7 +708,7 @@ def osm_rel_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rel_id")
         .agg(
             F.count("*").alias("n_members"),
-            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+            _cents_sum("p_retailprice").alias("total_price"),
         )
     )
 
@@ -1370,7 +1451,8 @@ def emb_ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(sum(CAST(round((l_extendedprice * l_discount) * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -1389,7 +1471,16 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") >= 0.04)
         & (F.col("l_discount") <= 0.08)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(
+        (
+            F.sum(
+                F.round((F.col("l_extendedprice") * F.col("l_discount")) * 10000).cast(
+                    "bigint"
+                )
+            ).cast("double")
+            / F.lit(10000.0)
+        ).alias("revenue")
+    )
 
 
 @register(
@@ -1423,7 +1514,7 @@ def tpch_q4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
       SELECT year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) AS volume,
              n2.n_name AS supp_nation
       FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
@@ -1433,8 +1524,9 @@ def tpch_q4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND p_type = 'ECONOMY'
     )
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
     FROM v GROUP BY o_year
     """,
 )
@@ -1457,15 +1549,20 @@ def tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), s["s_nationkey"] == F.col("s_nk"))
         .select(
             F.year("o_orderdate").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000)
+            .cast("bigint")
+            .alias("volume"),
             "supp_nation",
         )
     )
     return v.groupBy("o_year").agg(
-        F.round(
-            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-            / F.sum("volume"),
-            6,
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).cast("double")
+            / F.sum("volume").cast("double")
         ).alias("mkt_share")
     )
 
