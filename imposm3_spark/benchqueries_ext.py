@@ -23,7 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from imposm3_spark.benchqueries import ORACLES, QUERIES, _t, register
+from imposm3_spark.benchqueries import (
+    ORACLES,
+    QUERIES,
+    _REV_E4_SQL,
+    _cents_sum,
+    _cents_sum_sql,
+    _rev_e4,
+    _t,
+    register,
+)
 from imposm3_spark.datapipe import similarity as sim
 from imposm3_spark.datapipe.asof import asof_join, range_count_join
 from imposm3_spark.datapipe.cluster import connected_components
@@ -43,7 +52,7 @@ def _ts(s: str):
     """
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(year(l_shipdate) AS INT) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -76,7 +85,7 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
         )
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_rev_e4().alias("revenue"))
     )
 
 
@@ -84,8 +93,9 @@ def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9_profit",
     """
     SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.4 * p_retailprice * l_quantity), 2) AS profit
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                     - 0.4 * p_retailprice * l_quantity) * 10000) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS profit
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -110,12 +120,17 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(
+            (
                 F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
-                ),
-                2,
+                    F.round(
+                        (
+                            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                            - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+                        )
+                        * 10000
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(10000.0)
             ).alias("profit")
         )
     )
@@ -125,7 +140,7 @@ def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returns",
     """
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
            n_name, c_mktsegment
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
@@ -152,7 +167,7 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_rev_e4().alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name", "c_mktsegment")
@@ -218,7 +233,7 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT l_suppkey AS suppkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+             CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -240,7 +255,7 @@ def tpch_q15_topsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     rev = (
         li.groupBy(F.col("l_suppkey").alias("suppkey"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+        .agg(_rev_e4().alias("total_rev"))
     )
     w = Window.partitionBy()
     top = rev.withColumn("__mx", F.max("total_rev").over(w)).filter(
@@ -282,10 +297,12 @@ def tpch_q16_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17_smallqty",
     """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / 7.0 AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
-      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+      AND l_quantity < (SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS BIGINT))
+                                            AS DOUBLE) / count(*))
                         FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
     """,
 )
@@ -295,20 +312,23 @@ def tpch_q17_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
-        (0.5 * F.avg("l_quantity")).alias("half_avg")
+        (
+            0.5
+            * (F.sum(F.col("l_quantity").cast("bigint")).cast("double") / F.count("*"))
+        ).alias("half_avg")
     )
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(avg_qty, F.col("ak") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg((_cents_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
 @register(
     "tpch_q19_disjunct",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -328,7 +348,7 @@ def tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        _rev_e4().alias("revenue")
     )
 
 
@@ -370,7 +390,9 @@ def tpch_q20_nested_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (
       SELECT event_type, CAST(date_part('hour', ts) AS INT) AS hr, value FROM events
     )
-    SELECT event_type, hr, count(*) AS n, round(sum(value), 4) AS total_value,
+    SELECT event_type, hr, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value,
            CAST(grouping(event_type) AS INT) AS g_type,
            CAST(grouping(hr) AS INT) AS g_hr
     FROM ev GROUP BY ROLLUP (event_type, hr)
@@ -384,7 +406,7 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.rollup("event_type", "hr").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        _cents_sum("value").alias("total_value"),
         F.grouping("event_type").cast("int").alias("g_type"),
         F.grouping("hr").cast("int").alias("g_hr"),
     )
@@ -443,7 +465,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(l_quantity, 0.25), 4) AS q25,
            round(quantile_cont(l_quantity, 0.5), 4) AS q50,
            round(quantile_cont(l_quantity, 0.75), 4) AS q75,
-           round(avg(l_quantity), 6) AS mean
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS mean
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -455,7 +477,12 @@ def lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
     return (
         li.groupBy("l_returnflag")
-        .agg(qs.alias("q"), F.round(F.avg("l_quantity"), 6).alias("mean"))
+        .agg(
+            qs.alias("q"),
+            (F.sum(F.col("l_quantity").cast("bigint")).cast("double") / F.count("*")).alias(
+                "mean"
+            ),
+        )
         .select(
             "l_returnflag",
             F.round(F.col("q")[0], 4).alias("q25"),
@@ -574,8 +601,8 @@ def cust_new_in_2001(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(event_id) AS n,
-           round(sum(value), 2) AS total,
-           round(max(value), 6) AS max_v
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+           max(value) AS max_v
     FROM events GROUP BY event_type
     """,
 )
@@ -586,18 +613,20 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     which AQE itself cannot do for aggregations."""
     from imposm3_spark.datapipe import skew
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
     out = skew.salted_agg(
         ev,
         keys=["event_type"],
-        aggs={"n": ("event_id", "count"), "total": ("value", "sum"), "max_v": ("value", "max")},
+        aggs={"n": ("event_id", "count"), "total_c": ("cents", "sum"), "max_v": ("value", "max")},
         n_salts=16,
     )
     return out.select(
         "event_type",
         "n",
-        F.round("total", 2).alias("total"),
-        F.round("max_v", 6).alias("max_v"),
+        (F.col("total_c").cast("double") / F.lit(100.0)).alias("total"),
+        "max_v",
     )
 
 
@@ -605,7 +634,7 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_salted_join",
     """
     SELECT o_orderpriority, count(*) AS n_lines,
-           round(sum(l_extendedprice), 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -625,7 +654,7 @@ def orders_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = skew.salted_broadcast_join(li, o, key="l_orderkey", n_salts=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lines"),
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("rev_c"),
     )
 
 
@@ -1051,7 +1080,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_hotkey_join",
     """
     SELECT o_orderpriority, count(*) AS n_lines,
-           round(sum(l_extendedprice), 2) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -1073,7 +1102,7 @@ def orders_hotkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = skew.hot_key_join(li, o, key="l_orderkey", threshold=100_000)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lines"),
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("rev_c"),
     )
 
 

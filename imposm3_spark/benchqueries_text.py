@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from imposm3_spark.benchqueries import _t, register
+from imposm3_spark.benchqueries import _cents_sum, _t, register
 from imposm3_spark.datapipe import chunking as ck
 
 # shared tokenizer CTE: one row per non-empty document with its token array
@@ -132,10 +132,11 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_moving_avg",
     """
     SELECT event_id, user_id,
-           round(avg(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+             / count(*) OVER w / 100.0 AS mavg
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
 )
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,8 +148,13 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
         .rowsBetween(-3, 0)
     )
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return ev.select(
-        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mavg")
+        "event_id",
+        "user_id",
+        (
+            F.sum(cents).over(w).cast("double") / F.count("*").over(w) / F.lit(100.0)
+        ).alias("mavg"),
     )
 
 
@@ -172,7 +178,8 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start,
            max(ts) + INTERVAL '30 minutes' AS session_end,
            count(*) AS n,
-           round(sum(value), 4) AS total_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
     FROM sess GROUP BY event_type, sid
     """,
 )
@@ -187,7 +194,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.session_window(F.col("ts"), "30 minutes").alias("w"),
             F.col("event_type"),
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n"), _cents_sum("value").alias("total_value"))
         .select(
             "event_type",
             F.col("w.start").alias("session_start"),
@@ -204,7 +211,8 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            count(*) AS n,
-           round(avg(value), 6) AS avg_value
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100.0 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -220,7 +228,14 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.groupBy(
         "event_type", (F.col("k") % 10).alias("k_bucket")
-    ).agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    ).agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+            / F.count("*")
+            / F.lit(100.0)
+        ).alias("avg_value"),
+    )
 
 
 @register(
@@ -261,7 +276,9 @@ def events_cube_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, unnest(range(0, len(embedding))) AS dim, embedding AS e
       FROM embeddings
     )
-    SELECT label, dim, round(avg(CAST(e[dim + 1] AS DOUBLE)), 6) AS c
+    SELECT label, dim,
+           CAST(sum(CAST(floor(CAST(e[dim + 1] AS DOUBLE) * 1000000.0) AS BIGINT))
+                AS DOUBLE) / count(*) / 1000000.0 AS c
     FROM dims GROUP BY label, dim
     """,
 )
@@ -276,7 +293,15 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
-        .agg(F.round(F.avg("v"), 6).alias("c"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("v").cast("double") * F.lit(1000000.0)).cast("bigint")
+                ).cast("double")
+                / F.count("*")
+                / F.lit(1000000.0)
+            ).alias("c")
+        )
     )
 
 
@@ -709,11 +734,14 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           x -> x * x))) AS nrm
       FROM embeddings
     )
+    , q AS (
+      SELECT label, CAST(floor(nrm * 1000000.0) AS BIGINT) AS nq FROM norms
+    )
     SELECT label, count(*) AS n,
-           round(avg(nrm), 6) AS avg_norm,
-           round(min(nrm), 6) AS min_norm,
-           round(max(nrm), 6) AS max_norm
-    FROM norms GROUP BY label
+           CAST(sum(nq) AS DOUBLE) / count(*) / 1000000.0 AS avg_norm,
+           CAST(min(nq) AS DOUBLE) / 1000000.0 AS min_norm,
+           CAST(max(nq) AS DOUBLE) / 1000000.0 AS max_norm
+    FROM q GROUP BY label
     """,
 )
 def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,14 +757,17 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
+    nq = F.floor(nrm * F.lit(1000000.0)).cast("bigint")
     return (
-        e.select("label", nrm.alias("nrm"))
+        e.select("label", nq.alias("nq"))
         .groupBy("label")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("nrm"), 6).alias("avg_norm"),
-            F.round(F.min("nrm"), 6).alias("min_norm"),
-            F.round(F.max("nrm"), 6).alias("max_norm"),
+            (F.sum("nq").cast("double") / F.count("*") / F.lit(1000000.0)).alias(
+                "avg_norm"
+            ),
+            (F.min("nq").cast("double") / F.lit(1000000.0)).alias("min_norm"),
+            (F.max("nq").cast("double") / F.lit(1000000.0)).alias("max_norm"),
         )
     )
 
