@@ -1356,13 +1356,14 @@ def doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t_counts t FULL JOIN r_counts r ON t.bucket = r.bucket
     ), ratios AS (
       SELECT bucket,
-             ln((t_n + 1) / (sum(t_n) OVER () + 4096.0))
-             - ln((r_n + 1) / (sum(r_n) OVER () + 4096.0)) AS log_ratio
+             CAST(floor((ln((t_n + 1) / (sum(t_n) OVER () + 4096.0))
+                         - ln((r_n + 1) / (sum(r_n) OVER () + 4096.0)))
+                        * 1000000.0) AS BIGINT) AS lq
       FROM buckets
     )
     SELECT fb.doc_id,
            count(*) AS n_feats,
-           round(sum(COALESCE(ratios.log_ratio, 0.0)), 4) AS logw
+           CAST(sum(COALESCE(ratios.lq, 0)) AS DOUBLE) / 1000000.0 AS logw
     FROM fb LEFT JOIN ratios USING (bucket)
     WHERE fb.source <> 'src0'
     GROUP BY fb.doc_id

@@ -322,8 +322,14 @@ def dsir_log_weights(
     the target and raw corpora as unigram+bigram distributions over
     ``n_buckets`` hashed feature buckets and score every corpus doc by its
     summed log likelihood ratio — documents that look like the target get
-    high weight. Returns (id_col, n_feats, logw) with logw rounded to 4
-    decimals (engine-stable float compare).
+    high weight. Returns (id_col, n_feats, logw).
+
+    Exactness: the per-bucket log-ratio is floor-quantized ONCE to 1e-6
+    units on the n_buckets-row table, so the per-doc score is an exact
+    INTEGER sum (order-free across engines) emitted as one fixed
+    division — a float sum of log terms would be order-dependent, and
+    the residual libm-ulp exposure is confined to n_buckets floor cells
+    instead of every per-doc sum.
 
     Laplace add-1 smoothing on both distributions keeps every bucket ratio
     finite. Everything is expressions + two bucket-sized aggregates: the
@@ -362,7 +368,10 @@ def dsir_log_weights(
             F.log((F.col("t_n") + 1) / (F.col("_tt") + n_buckets))
             - F.log((F.col("r_n") + 1) / (F.col("_rt") + n_buckets)),
         )
-        .select("bucket", "log_ratio")
+        .withColumn(
+            "lq", F.floor(F.col("log_ratio") * F.lit(1000000.0)).cast("bigint")
+        )
+        .select("bucket", "lq")
     )
     return (
         feats(corpus, True)
@@ -370,7 +379,10 @@ def dsir_log_weights(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_feats"),
-            F.round(F.sum(F.coalesce("log_ratio", F.lit(0.0))), 4).alias("logw"),
+            (
+                F.sum(F.coalesce("lq", F.lit(0).cast("bigint"))).cast("double")
+                / F.lit(1000000.0)
+            ).alias("logw"),
         )
     )
 
