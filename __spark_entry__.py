@@ -104,22 +104,37 @@ _DRIVER_FIRST = [
     "emb_matryoshka_recall",
     "emb_hamming_recall",
     "events_peaks",
-    # ROUND-7 QUEUE (44 never-driver-checked remain; take the first 50-N
-    # after any round-6 re-checks): emb_silhouette, orders_percent_rank,
-    # doc_source_similarity, events_heatmap, lineitem_weighted_median,
-    # orders_priority_drift, events_growth_accounting, doc_lsh_pr,
-    # events_cuped, emb_cluster_purity, doc_lsh_pr_curve, events_hazard,
-    # doc_pii_report, orders_dup_payments, orders_cycle_time,
-    # emb_ball_query, supplier_hhi, emb_mmr_select, events_k_anonymity,
-    # cust_gini, events_benford, events_spearman, events_kcore,
-    # doc_collocation_llr, doc_zipf, doc_textrank, events_mutual_info,
-    # doc_shard_plan, emb_kcenter, events_dispersion, orders_burstiness,
-    # events_transition_entropy, events_ks_test, events_conversion_ci,
-    # events_markov_stationary, events_kendall_tau, orders_churn_labels,
-    # events_did, emb_cluster_ari, doc_tokenizer_fertility,
-    # events_eta_squared, doc_simpson_diversity, events_runs_test,
-    # doc_char_entropy, cust_palma, events_qq_drift, then any round-6+
-    # additions.
+    # ROUND-7 QUEUE — the authoritative list of the 90 registered
+    # queries that will STILL lack a driver row after this window lands
+    # (computed: registry minus r01/r02/r04/r05 rows minus this window).
+    # Round 7 takes the first 50 (after any re-checks); round 8 the rest:
+    #   emb_silhouette, orders_percent_rank, doc_source_similarity,
+    #   events_heatmap, lineitem_weighted_median, orders_priority_drift,
+    #   events_growth_accounting, doc_lsh_pr, events_cuped,
+    #   emb_cluster_purity, doc_lsh_pr_curve, events_hazard, doc_pii_report,
+    #   orders_dup_payments, orders_cycle_time, emb_ball_query, supplier_hhi,
+    #   emb_mmr_select, events_k_anonymity, cust_gini, events_benford,
+    #   events_spearman, events_kcore, doc_collocation_llr, doc_zipf,
+    #   doc_textrank, events_mutual_info, doc_shard_plan, emb_kcenter,
+    #   events_dispersion, orders_burstiness, events_transition_entropy,
+    #   events_ks_test, events_conversion_ci, events_markov_stationary,
+    #   events_kendall_tau, orders_churn_labels, events_did, emb_cluster_ari,
+    #   doc_tokenizer_fertility, events_eta_squared, doc_simpson_diversity,
+    #   events_runs_test, doc_char_entropy, cust_palma, events_qq_drift,
+    #   doc_bloom_decontaminate, doc_chunk_overlap, doc_clean_sample,
+    #   doc_corpus_diff, doc_curate, doc_decontaminate, doc_dsir_weights,
+    #   doc_inverted_index, doc_lsh_pr_curve_sampled, doc_lsh_pr_sampled,
+    #   doc_minhash_accuracy_sampled, doc_mix_temperature,
+    #   doc_pairgraph_triangles, doc_perplexity_bins, doc_quality_matrix,
+    #   doc_repetition, doc_sample_stratified, doc_scrub, doc_split_assign,
+    #   doc_tfidf_topk, doc_vocab_topk, emb_ivfpq_topk, emb_label_centroids,
+    #   emb_neardup_clusters, emb_norm_stats, emb_pq_topk, emb_quantize,
+    #   emb_semdedup, events_asof_nearest, events_cube_distinct,
+    #   events_json_props, events_moving_avg, events_retention,
+    #   events_salted_agg, events_session_window, lineitem_unpivot,
+    #   media_dedup_exact, media_features, media_frame_sample,
+    #   media_resize_meta, orders_hotkey_join, orders_price_deciles,
+    #   orders_salted_join, osm_zorder_key.
 ]
 
 # A typo here would silently shrink the driver's 50-row window (unknown
