@@ -38,92 +38,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records at most 50 entries per round, taken
-# in dict order. ROUND-6 WINDOW (rotated per the round-5 verdict):
-#   * the 8 round-4/5 driver-red queries, now re-registered with exact
-#     integer compared cells and HUGEINT-free oracles (the round-5
-#     forensics: every red had a DuckDB HUGEINT output column) — re-check;
-#   * tpch_q12_priority (red r02 — HUGEINT counts, now cast) and
-#     emb_ivf_topk_probe (no_oracle r02 — oracle since added) — re-check;
-#   * 7 never-driver-checked queries whose oracles carried the same latent
-#     HUGEINT/DECIMAL outputs, fixed this round — fresh rows;
-#   * the first 33 of the queued round-4 additions — fresh rows.
-# All 50 green on the round-6 STRICT local gate (full-precision repr float
-# hash + banned-type audit) at sf0.01 before this list was committed.
+# in dict order. ROUND-7 WINDOW: the first 50 names of the 90-query
+# rotation queue committed in round 6 (registry minus every query with a
+# driver row through r06), executed verbatim per the round-6 verdict.
+# events_did (position 38) was fixed THIS round before spending its slot:
+# the old 2001-06-15 cutover predated the all-2024 fixture, making it
+# vacuously green (0 rows); the cutover is now 2024-01-15 (5 rows at
+# sf0.001/0.01) and check_oracle.py flags any 0-row oracle as WEAK.
+# All 50 green on the round-7 STRICT local gate (full-precision repr float
+# hash + banned-type audit + zero-row WEAK flag) before this list landed.
 _DRIVER_FIRST = [
-    # --- re-checks: round-4/5 reds, fixed this round ---
-    "events_gapfill",
-    "doc_score_auc",
-    "doc_cosine_pairs",
-    "orders_rollup_sets",
-    "orders_customer_reconcile",
-    "events_markov_accuracy",
-    "lineitem_validate",
-    "lineitem_skyline",
-    # --- re-checks: stale reds from r02 ---
-    "tpch_q12_priority",
-    "emb_ivf_topk_probe",
-    # --- fresh: latent HUGEINT/DECIMAL oracles fixed this round ---
-    "osm_spatial_grid_join",
-    "osm_spatial_grid_join_poly",
-    "doc_span_dedup",
-    "doc_budget_select",
-    "doc_pack_sequences",
-    "events_funnel",
-    "events_pivot",
-    # --- fresh: round-4 additions, queue positions 1-33 ---
-    "events_ols2",
-    "events_user_paths",
-    "events_attribution",
-    "events_bot_cadence",
-    "doc_cdc_chunks",
-    "doc_cdc_dedup",
-    "emb_hard_negatives",
-    "doc_ngram_diversity",
-    "events_interval_overlap",
-    "events_mg_heavy",
-    "events_holt",
-    "doc_containment",
-    "events_funnel_window",
-    "events_wau",
-    "emb_drift",
-    "orders_pareto",
-    "doc_dedup_report",
-    "events_seq_pairs",
-    "doc_distinctive_terms",
-    "orders_profile",
-    "emb_ood",
-    "doc_pmi_pairs",
-    "lineitem_join_size",
-    "doc_kfold",
-    "orders_backlog",
-    "events_ab_test",
-    "doc_make_batches",
-    "emb_mips_topk",
-    "orders_cohort_ltv",
-    "emb_pq_recall",
-    "emb_matryoshka_recall",
-    "emb_hamming_recall",
-    "events_peaks",
-    # ROUND-7 QUEUE — the authoritative list of the 90 registered
-    # queries that will STILL lack a driver row after this window lands
-    # (computed: registry minus r01/r02/r04/r05 rows minus this window).
-    # Round 7 takes the first 50 (after any re-checks); round 8 the rest:
-    #   emb_silhouette, orders_percent_rank, doc_source_similarity,
-    #   events_heatmap, lineitem_weighted_median, orders_priority_drift,
-    #   events_growth_accounting, doc_lsh_pr, events_cuped,
-    #   emb_cluster_purity, doc_lsh_pr_curve, events_hazard, doc_pii_report,
-    #   orders_dup_payments, orders_cycle_time, emb_ball_query, supplier_hhi,
-    #   emb_mmr_select, events_k_anonymity, cust_gini, events_benford,
-    #   events_spearman, events_kcore, doc_collocation_llr, doc_zipf,
-    #   doc_textrank, events_mutual_info, doc_shard_plan, emb_kcenter,
-    #   events_dispersion, orders_burstiness, events_transition_entropy,
-    #   events_ks_test, events_conversion_ci, events_markov_stationary,
-    #   events_kendall_tau, orders_churn_labels, events_did, emb_cluster_ari,
-    #   doc_tokenizer_fertility, events_eta_squared, doc_simpson_diversity,
-    #   events_runs_test, doc_char_entropy, cust_palma, events_qq_drift,
-    #   doc_bloom_decontaminate, doc_chunk_overlap, doc_clean_sample,
-    #   doc_corpus_diff, doc_curate, doc_decontaminate, doc_dsir_weights,
-    #   doc_inverted_index, doc_lsh_pr_curve_sampled, doc_lsh_pr_sampled,
+    "emb_silhouette",
+    "orders_percent_rank",
+    "doc_source_similarity",
+    "events_heatmap",
+    "lineitem_weighted_median",
+    "orders_priority_drift",
+    "events_growth_accounting",
+    "doc_lsh_pr",
+    "events_cuped",
+    "emb_cluster_purity",
+    "doc_lsh_pr_curve",
+    "events_hazard",
+    "doc_pii_report",
+    "orders_dup_payments",
+    "orders_cycle_time",
+    "emb_ball_query",
+    "supplier_hhi",
+    "emb_mmr_select",
+    "events_k_anonymity",
+    "cust_gini",
+    "events_benford",
+    "events_spearman",
+    "events_kcore",
+    "doc_collocation_llr",
+    "doc_zipf",
+    "doc_textrank",
+    "events_mutual_info",
+    "doc_shard_plan",
+    "emb_kcenter",
+    "events_dispersion",
+    "orders_burstiness",
+    "events_transition_entropy",
+    "events_ks_test",
+    "events_conversion_ci",
+    "events_markov_stationary",
+    "events_kendall_tau",
+    "orders_churn_labels",
+    "events_did",
+    "emb_cluster_ari",
+    "doc_tokenizer_fertility",
+    "events_eta_squared",
+    "doc_simpson_diversity",
+    "events_runs_test",
+    "doc_char_entropy",
+    "cust_palma",
+    "events_qq_drift",
+    "doc_bloom_decontaminate",
+    "doc_chunk_overlap",
+    "doc_clean_sample",
+    "doc_corpus_diff",
+    # ROUND-8 QUEUE — the 40 registered queries that will still lack a
+    # driver row after this window lands (queue positions 51-90 of the
+    # round-6 rotation, verbatim), PLUS re-check slots for any query whose
+    # backing code changes between now and the round-8 list being written
+    # (tracked in docs/ROUND7.md; the list below is data-only):
+    #   doc_curate, doc_decontaminate, doc_dsir_weights, doc_inverted_index,
+    #   doc_lsh_pr_curve_sampled, doc_lsh_pr_sampled,
     #   doc_minhash_accuracy_sampled, doc_mix_temperature,
     #   doc_pairgraph_triangles, doc_perplexity_bins, doc_quality_matrix,
     #   doc_repetition, doc_sample_stratified, doc_scrub, doc_split_assign,

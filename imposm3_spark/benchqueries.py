@@ -71,12 +71,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # sum of l_extendedprice * (1 - l_discount) as exact 1e-4-scaled BIGINT,
 # emitted as dollars (one division). The inner product is 4-decimal exact,
 # so round(x * 10000) sits ~1e-6 from an integer — unambiguous everywhere.
-_REV_E4_SQL = (
-    "CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))"
-    " AS DOUBLE) / 10000.0"
-)
-
-
 def _rev_e4():
     return F.sum(
         F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000).cast(
@@ -85,12 +79,8 @@ def _rev_e4():
     ).cast("double") / F.lit(10000.0)
 
 
-def _cents_sum_sql(col: str) -> str:
-    """Exact dollars: sum of a 2-decimal column via integer cents."""
-    return f"CAST(sum(CAST(round({col} * 100) AS BIGINT)) AS DOUBLE) / 100.0"
-
-
 def _cents_sum(col: str):
+    """Exact dollars: sum of a 2-decimal column via integer cents."""
     return F.sum(F.round(F.col(col) * 100).cast("bigint")).cast("double") / F.lit(100.0)
 
 

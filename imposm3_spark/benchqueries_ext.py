@@ -26,9 +26,7 @@ from pyspark.sql import functions as F
 from imposm3_spark.benchqueries import (
     ORACLES,
     QUERIES,
-    _REV_E4_SQL,
     _cents_sum,
-    _cents_sum_sql,
     _rev_e4,
     _t,
     register,

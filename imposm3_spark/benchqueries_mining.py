@@ -736,19 +736,11 @@ def _sql_minhash_accuracy() -> str:
 
 
 def _sampled_docs_sql(sql: str) -> str:
-    """Shadow `documents` with the deterministic 1/2 sample (see
-    benchqueries_r4._sampled_docs_sql — duplicated to avoid an import
-    cycle between the benchquery modules)."""
-    from imposm3_spark.datapipe.evaluation import deterministic_sample_sql
+    """Shadow `documents` with the deterministic 1/2 sample (pair cost
+    1/4); shared helper in datapipe.evaluation.sampled_docs_sql."""
+    from imposm3_spark.datapipe.evaluation import sampled_docs_sql
 
-    cte = (
-        "WITH documents AS (SELECT * FROM main.documents WHERE "
-        + deterministic_sample_sql(mod=2)
-        + "), "
-    )
-    head, _, tail = sql.partition("WITH ")
-    assert tail, "oracle has no WITH clause to merge into"
-    return head + cte + tail
+    return sampled_docs_sql(sql, mod=2)
 
 
 @register("doc_minhash_accuracy", _sql_minhash_accuracy())

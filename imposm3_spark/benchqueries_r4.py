@@ -1761,20 +1761,11 @@ def _sql_lsh_pr() -> str:
 
 
 def _sampled_docs_sql(sql: str) -> str:
-    """Rewrite an oracle that reads `documents` to read the deterministic
-    1/4 sample instead: merge a shadowing CTE (schema-qualified base so
-    DuckDB doesn't see a circular reference) into the first WITH clause —
-    the exact same rows deterministic_sample() keeps on the Spark side."""
-    from imposm3_spark.datapipe.evaluation import deterministic_sample_sql
+    """Shadow `documents` with the deterministic 1/2 sample (pair cost
+    1/4); shared helper in datapipe.evaluation.sampled_docs_sql."""
+    from imposm3_spark.datapipe.evaluation import sampled_docs_sql
 
-    cte = (
-        "WITH documents AS (SELECT * FROM main.documents WHERE "
-        + deterministic_sample_sql(mod=2)
-        + "), "
-    )
-    head, _, tail = sql.partition("WITH ")
-    assert tail, "oracle has no WITH clause to merge into"
-    return head + cte + tail
+    return sampled_docs_sql(sql, mod=2)
 
 
 @register("doc_lsh_pr", _sql_lsh_pr())

@@ -139,6 +139,23 @@ def deterministic_sample(
     return df.where(h % mod == keep)
 
 
+def sampled_docs_sql(sql: str, mod: int = 2) -> str:
+    """Rewrite an oracle that reads `documents` to read the deterministic
+    1/mod sample instead (default mod=2: a 1/2 keep rate, so PAIRWISE
+    truth cost drops by 1/4): merge a shadowing CTE (schema-qualified
+    base so DuckDB doesn't see a circular reference) into the first WITH
+    clause — the exact same rows :func:`deterministic_sample` keeps on
+    the Spark side."""
+    cte = (
+        "WITH documents AS (SELECT * FROM main.documents WHERE "
+        + deterministic_sample_sql(mod=mod)
+        + "), "
+    )
+    head, _, tail = sql.partition("WITH ")
+    assert tail, "oracle has no WITH clause to merge into"
+    return head + cte + tail
+
+
 def deterministic_sample_sql(
     id_col: str = "doc_id",
     mod: int = 4,

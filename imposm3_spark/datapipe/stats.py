@@ -1541,11 +1541,15 @@ def kendall_tau_b(
 # effect estimate (post - pre)_treated - (post - pre)_control, each mean
 # a cents/100 double from exact integers. One shared string over columns
 # (st_pre, nt_pre, st_post, nt_post, sc_pre, nc_pre, sc_post, nc_post).
+# Deliberately UNROUNDED: every op (int->double cast of exact <2^53
+# sums, division, subtraction) is IEEE-deterministic and engine-free;
+# a round(double, 4) here could hit a .5-at-digit tie where Spark
+# (BigDecimal HALF_UP) and DuckDB disagree.
 DID_EFFECT = (
-    "round(((CAST(st_post AS DOUBLE)/CAST(nt_post AS DOUBLE)"
+    "((CAST(st_post AS DOUBLE)/CAST(nt_post AS DOUBLE)"
     " - CAST(st_pre AS DOUBLE)/CAST(nt_pre AS DOUBLE))"
     " - (CAST(sc_post AS DOUBLE)/CAST(nc_post AS DOUBLE)"
-    " - CAST(sc_pre AS DOUBLE)/CAST(nc_pre AS DOUBLE))) / 100.0, 4)"
+    " - CAST(sc_pre AS DOUBLE)/CAST(nc_pre AS DOUBLE))) / CAST(100.0 AS DOUBLE)"
 )
 
 

@@ -118,7 +118,10 @@ def gapfill_hourly(
     return out
 
 
-def _step_major_scan(src: DataFrame, init, step, n_out: int, out_names, n_buckets: int):
+def _step_major_scan(
+    src: DataFrame, init, step, n_out: int, out_names, n_buckets: int,
+    require_nonneg: bool = False,
+):
     """Run a per-key integer recurrence VECTORIZED ACROSS KEYS.
 
     ``src`` must have columns (id, key, _o1, _o2, c). Per key, rows are
@@ -154,7 +157,24 @@ def _step_major_scan(src: DataFrame, init, step, n_out: int, out_names, n_bucket
             return pd.DataFrame({c: [] for c in ("id", "key", *out_names)})
         key = pdf["key"].to_numpy()
         order = np.lexsort((pdf["_o2"].to_numpy(), pdf["_o1"].to_numpy(), key))
-        c = pdf["c"].to_numpy()[order].astype(np.int64)
+        cvals = pdf["c"].to_numpy()
+        # NULL cents arrive as NaN in a float64 column; astype(int64) on
+        # NaN is silent garbage — fail loudly like the old per-row int(c).
+        if pd.isna(cvals).any():
+            raise ValueError(
+                "_step_major_scan: NULL value in 'c' — filter or fill "
+                "nulls upstream, the recurrence has no NULL semantics"
+            )
+        c = cvals[order].astype(np.int64)
+        if require_nonneg and (c < 0).any():
+            # numpy // floors; callers whose oracle uses DuckDB's
+            # truncate-toward-zero // (e.g. the EWMA CTE) only agree on
+            # non-negative values — diverge loudly, not silently.
+            raise ValueError(
+                "_step_major_scan: negative value with require_nonneg — "
+                "floor (numpy //) and truncating (DuckDB //) division "
+                "disagree on negatives"
+            )
         ks = key[order]
         newgrp = np.empty(n, dtype=bool)
         newgrp[0] = True
@@ -211,7 +231,9 @@ def ewma_fixed_point(
     every key in a hash bucket (see _step_major_scan) — bit-identical to
     the oracle's recursive CTE (same multiply-add + floor division in the
     same order; values are non-negative so truncating and flooring
-    division agree), with one keyed exchange and no per-row Python.
+    division agree — ENFORCED via require_nonneg, which raises on any
+    negative cent value instead of silently diverging from the oracle),
+    with one keyed exchange and no per-row Python.
 
     Output: (id, key, ewma) with ewma = e/100 as ONE fixed division.
     """
@@ -233,7 +255,9 @@ def ewma_fixed_point(
         e += ct
         e //= 4
 
-    scanned = _step_major_scan(src, init, step, 1, ("e",), n_buckets)
+    scanned = _step_major_scan(
+        src, init, step, 1, ("e",), n_buckets, require_nonneg=True
+    )
     return scanned.select(
         "id",
         "key",

@@ -125,11 +125,7 @@ def main() -> int:
         try:
             rel = con.sql(sql)
             ocols = list(rel.columns)
-            otypes = [
-                (c, str(t))
-                for c, t in zip(rel.columns, rel.types)
-                if any(str(t).startswith(b) for b in _BANNED_DUCK_TYPES)
-            ]
+            otypes = banned_duck_types(con, sql)
             orows = rel.fetchall()
         except Exception:
             print(f"FAIL {name}: duckdb error")
@@ -161,6 +157,12 @@ def main() -> int:
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems[:3]))
             n_fail += 1
+        elif not rows:
+            # Spark and DuckDB agreeing on an EMPTY result proves nothing
+            # about the operator (round-6 judge: events_did was vacuously
+            # green for 5 rounds — its cutover predated the fixture).
+            print(f"WEAK {name}: 0 rows — vacuous oracle, hash compares nothing")
+            n_weak += 1
         else:
             print(f"PASS {name}: rows={len(rows)}")
             n_pass += 1

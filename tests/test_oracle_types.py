@@ -19,7 +19,7 @@ import duckdb
 import pytest
 
 from imposm3_spark import benchqueries as bq
-from scripts.check_oracle import _BANNED_DUCK_TYPES, TABLES
+from scripts.check_oracle import TABLES, banned_duck_types
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -37,12 +37,7 @@ def con():
 def test_no_oracle_emits_banned_types(con):
     offenders = {}
     for name, sql in bq.ORACLES.items():
-        rel = con.sql(sql)
-        bad = [
-            (c, str(t))
-            for c, t in zip(rel.columns, rel.types)
-            if any(str(t).startswith(b) for b in _BANNED_DUCK_TYPES)
-        ]
+        bad = banned_duck_types(con, sql)
         if bad:
             offenders[name] = bad
     assert not offenders, (

@@ -132,3 +132,22 @@ def test_gapfill_exact_form_consistency(spark):
         assert value == round(num / den, 6)
         if not filled:
             assert den == 100
+
+
+def test_ewma_rejects_negative_and_null_values(spark):
+    """The step-major scan floors (numpy //) while the EWMA oracle's
+    DuckDB // truncates toward zero — they only agree on non-negative
+    cents, so a negative value must raise loudly, not silently diverge
+    (round-6 ADVICE). NULL cents likewise: NaN.astype(int64) is garbage."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from imposm3_spark.datapipe.timeseries import ewma_fixed_point
+
+    neg = spark.createDataFrame([_ev(1, 0, -4.0, 1)], SCHEMA)
+    with pytest.raises(PythonException, match="require_nonneg"):
+        ewma_fixed_point(neg).collect()
+
+    nul = spark.createDataFrame([_ev(1, 0, None, 1)], SCHEMA)
+    with pytest.raises(PythonException, match="NULL value"):
+        ewma_fixed_point(nul).collect()
