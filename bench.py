@@ -3,9 +3,10 @@
 
 Output contract (driver captures the stdout TAIL): the FINAL stdout line
 is the compact JSON summary {"metric", "value", "unit", "n_queries",
-"sf"}; the line above it is {"queries": {name: sec}} for human runs; the
-full summary+detail is also written to BENCH_DETAIL.json next to this
-file.
+"sf", "import"} — "import" carries the e2e OSM import bench (wall,
+per-stage secs, elements/s; see imposm3_spark/benchimport.py); the line
+above it is {"queries": {name: sec}} for human runs; the full
+summary+detail is also written to BENCH_DETAIL.json next to this file.
 """
 
 from __future__ import annotations
@@ -82,12 +83,26 @@ def main() -> None:
         gc.collect()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # e2e OSM import throughput (BASELINE.md's stated proxy for the
+    # reference's 7.5 h planet import): parse → match → J1-J3 resolve →
+    # G4/G5 multipolygon → parquet sink on the replicated complete_db.osm
+    # fixture, rows/s per stage. Runs after the query loop so the JVM and
+    # Python workers are hot; compact enough to ride the final JSON line.
+    try:
+        from imposm3_spark.benchimport import import_bench
+
+        import_summary = import_bench(spark)
+    except Exception as exc:  # the import bench must never sink the query bench
+        import_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     summary = {
         "metric": "benchqueries_total_wall",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "import": import_summary,
     }
     # The driver captures the TAIL of stdout, so the compact summary must
     # be the FINAL line (a 236-entry per-query dict printed after it would

@@ -135,11 +135,24 @@ class ImportPipeline:
     the scan (writer/writer.go NodesToSrid); 4326 keeps lon/lat.
     """
 
-    def __init__(self, mapping: Mapping, srid: int = 3857, limiter=None):
+    def __init__(
+        self, mapping: Mapping, srid: int = 3857, limiter=None,
+        materialize_shared: bool = True,
+    ):
         if srid not in (3857, 4326):
             raise ValueError("only EPSG:3857 and EPSG:4326 are supported")  # config.go:156-160
         self.mapping = mapping
         self.srid = srid
+        # Each phase declares ONE shared frontier (resolved ways, assembled
+        # multipolygons, resolved members) that T per-table branches filter.
+        # Spark does no cross-branch common-subplan reuse, so without
+        # pinning, the J1-J3 joins and the G4/G5 assembly UDF re-execute
+        # once PER TABLE per action — a T× blowup that only grows with the
+        # mapping. materialize_shared pins those frontiers with a lazy
+        # localCheckpoint (computed on first use, reused by every branch) —
+        # the Spark expression of the reference's stream-once/route-rows
+        # writer (writer/ways.go, writer/relations.go).
+        self.materialize_shared = materialize_shared
         # optional limit-to region (geom/clip.Limiter): F8 point filter +
         # J6 geometry clip. Pickled into UDF closures (small polygon set),
         # the Spark analog of the reference's per-worker prepared geoms.
@@ -153,6 +166,13 @@ class ImportPipeline:
         self.relation_member_units = compile_match_units(mapping, RELATION_MEMBER)
 
     # ---- shared helpers ----
+
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """Materialize a shared frontier once (lazy local checkpoint) so
+        per-table branches reuse it instead of recomputing its plan."""
+        if self.materialize_shared:
+            return df.localCheckpoint(eager=False)
+        return df
 
     def project_xy(self, df: DataFrame, lon: str = "lon", lat: str = "lat") -> DataFrame:
         # every coordinate passes through the reference's uint32 cache
@@ -280,7 +300,7 @@ class ImportPipeline:
         df = self.project_xy(df)
         if self.limiter is not None:
             df = df.filter(self._limit_points_udf()(F.col("x"), F.col("y")))
-        df = self._with_matches(df, units).filter(self._any_match(units))
+        df = self._pin(self._with_matches(df, units).filter(self._any_match(units)))
 
         out: dict[str, list[DataFrame]] = {}
         for i, unit in enumerate(units):
@@ -341,7 +361,9 @@ class ImportPipeline:
         # resolve coords once for all matched ways (reference fills only on
         # match too — writer/ways.go:85-97)
         resolved = resolve_way_coords(needed, coords, unique_ids=True)
-        resolved = resolved.withColumn("_coords", gb.dedup_coords(F.col("coords")))
+        resolved = self._pin(
+            resolved.withColumn("_coords", gb.dedup_coords(F.col("coords")))
+        )
 
         out: dict[str, list[DataFrame]] = {}
         for i, unit in enumerate(all_units):
@@ -466,15 +488,19 @@ class ImportPipeline:
             )
         )
 
-        complete_rels = needed.join(
-            complete_ids.withColumnRenamed("rel_id", "id"), on="id", how="leftsemi"
+        complete_rels = self._pin(
+            needed.join(
+                complete_ids.withColumnRenamed("rel_id", "id"), on="id", how="leftsemi"
+            )
         )
 
         out: dict[str, list[DataFrame]] = {}
         # polygon tables (handleMultiPolygon)
         if poly_units:
-            with_geom = complete_rels.join(
-                assembled, complete_rels["id"] == assembled["rel_id"], "inner"
+            with_geom = self._pin(
+                complete_rels.join(
+                    assembled, complete_rels["id"] == assembled["rel_id"], "inner"
+                )
             )
             for i, unit in enumerate(poly_units):
                 m = F.col(self._match_col(i))
@@ -524,7 +550,8 @@ class ImportPipeline:
     # ---- relation_member tables (writer/relations.go:216-283) ----
 
     def relation_member_tables(
-        self, relations: DataFrame, ways: DataFrame, nodes: DataFrame
+        self, relations: DataFrame, ways: DataFrame, nodes: DataFrame,
+        coords: DataFrame | None = None,
     ) -> dict[str, DataFrame]:
         """One row per member of each matched relation.
 
@@ -559,8 +586,10 @@ class ImportPipeline:
             gb.point_wkb_udf(F.col("x"), F.col("y"), F.lit(self.srid)).alias("m_wkb"),
         )
         # way members (type 1): linestring geometry; needs >=2 deduped coords
+        if coords is None:
+            coords = self.prepare_coords(nodes)
         way_coords = resolve_way_coords(
-            ways.select("id", "refs"), self.prepare_coords(nodes), unique_ids=True
+            ways.select("id", "refs"), coords, unique_ids=True
         ).withColumn("_coords", gb.dedup_coords(F.col("coords")))
         way_side = (
             ways.select(
@@ -616,7 +645,7 @@ class ImportPipeline:
             F.col("tags").alias("rel_tags"),
             *[F.col(self._match_col(i)) for i in range(len(units))],
         )
-        joined = resolved.join(rel_rows, on="rel_id", how="inner")
+        joined = self._pin(resolved.join(rel_rows, on="rel_id", how="inner"))
 
         out: dict[str, list[DataFrame]] = {}
         for i, unit in enumerate(units):
@@ -654,10 +683,10 @@ class ImportPipeline:
     def run(
         self, nodes: DataFrame, ways: DataFrame, relations: DataFrame
     ) -> dict[str, DataFrame]:
-        coords = self.prepare_coords(nodes)
+        coords = self._pin(self.prepare_coords(nodes))
         tables: dict[str, list[DataFrame]] = {}
         for part in (
-            self.relation_member_tables(relations, ways, nodes),
+            self.relation_member_tables(relations, ways, nodes, coords=coords),
             self.relation_tables(relations, ways, coords),
             self.way_tables(ways, coords),
             self.node_tables(nodes),
