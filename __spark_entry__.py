@@ -115,7 +115,9 @@ _DRIVER_FIRST = [
     #   events_salted_agg, events_session_window, lineitem_unpivot,
     #   media_dedup_exact, media_features, media_frame_sample,
     #   media_resize_meta, orders_hotkey_join, orders_price_deciles,
-    #   orders_salted_join, osm_zorder_key.
+    #   orders_salted_join, osm_zorder_key;
+    # plus the queries REGISTERED in round 7 (never queued before):
+    #   emb_knn_graph_sampled, emb_neardup_clusters_sampled.
 ]
 
 # A typo here would silently shrink the driver's 50-row window (unknown

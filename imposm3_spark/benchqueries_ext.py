@@ -727,6 +727,29 @@ def emb_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sampled_neardup_sql() -> str:
+    from imposm3_spark.datapipe.evaluation import sampled_table_sql
+
+    return sampled_table_sql(
+        ORACLES["emb_neardup_clusters"], table="embeddings", id_col="vec_id", mod=2
+    )
+
+
+@register("emb_neardup_clusters_sampled", _sampled_neardup_sql())
+def emb_neardup_clusters_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emb_neardup_clusters on the deterministic 1/2 embedding sample:
+    the pair graph's exact all-pairs stage is quadratic, so the eval gets
+    the same md5-bucket `sample_frac` knob as the other pairwise truths
+    (pair cost 1/4, engine-portable, filter pushed below the matmul)."""
+    from imposm3_spark.datapipe.evaluation import deterministic_sample
+
+    e = deterministic_sample(_t(spark, sf_dir, "embeddings"), id_col="vec_id", mod=2)
+    pairs = sim.cosine_neardup_pairs(e, threshold=0.4)
+    return connected_components(
+        e.select("vec_id"), pairs, node_col="vec_id", src="a_id", dst="b_id"
+    )
+
+
 def _sql_curate(num_hashes: int = 8, rows_per_band: int = 2) -> str:
     """Full training-data-curation oracle: quality gate -> exact dedup ->
     MinHash-LSH near-dup clusters (recursive CTE) -> representatives."""

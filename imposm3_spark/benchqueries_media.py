@@ -131,8 +131,14 @@ def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over the binary payload column; the
     float32 feature array compares to the oracle at 5 decimals (exact for
-    every possible byte value)."""
-    feats = mm.extract_image_features(_media(spark, sf_dir), dim=_FEATURE_DIM)
+    every possible byte value). Pins the deterministic digest decoder
+    explicitly: the fixture payloads are synthetic text bytes, and the
+    oracle replicates the digest arithmetic — the capability-probed real
+    decoder (Pillow, when present) is exercised by the skip-without-PIL
+    unit test instead."""
+    feats = mm.extract_image_features(
+        _media(spark, sf_dir), dim=_FEATURE_DIM, decoder=mm._decode_image_stub
+    )
     return feats.select(
         "media_id", "sha256", "n_bytes",
         F.transform(

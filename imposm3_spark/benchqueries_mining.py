@@ -272,6 +272,29 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_graph(_t(spark, sf_dir, "embeddings"), k=5)
 
 
+def _sampled_emb_sql(sql: str) -> str:
+    """Shadow `embeddings` with the deterministic 1/2 vec_id sample
+    (pair cost 1/4) — the `sample_frac` knob for the quadratic exact
+    kNN truth, mirroring the doc-side *_sampled evals."""
+    from imposm3_spark.datapipe.evaluation import sampled_table_sql
+
+    return sampled_table_sql(sql, table="embeddings", id_col="vec_id", mod=2)
+
+
+@register("emb_knn_graph_sampled", _sampled_emb_sql(_KNN_ORACLE))
+def emb_knn_graph_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emb_knn_graph on the deterministic 1/2 embedding sample: the
+    O(n^2) exact-recall oracle gets the same scale knob as the doc-side
+    pairwise truths — pair cost drops 4x, the sample is bit-reproducible
+    in any engine, and the md5-bucket predicate is pushed below the
+    block-pair matmul (plan-audited)."""
+    from imposm3_spark.datapipe import similarity as sim
+    from imposm3_spark.datapipe.evaluation import deterministic_sample
+
+    e = deterministic_sample(_t(spark, sf_dir, "embeddings"), id_col="vec_id", mod=2)
+    return sim.knn_graph(e, k=5)
+
+
 def _sql_auc() -> str:
     from imposm3_spark.benchqueries import _SQL_TOKENS
 

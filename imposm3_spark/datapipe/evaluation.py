@@ -139,21 +139,31 @@ def deterministic_sample(
     return df.where(h % mod == keep)
 
 
-def sampled_docs_sql(sql: str, mod: int = 2) -> str:
-    """Rewrite an oracle that reads `documents` to read the deterministic
+def sampled_table_sql(
+    sql: str, table: str = "documents", id_col: str = "doc_id", mod: int = 2
+) -> str:
+    """Rewrite an oracle that reads `table` to read the deterministic
     1/mod sample instead (default mod=2: a 1/2 keep rate, so PAIRWISE
     truth cost drops by 1/4): merge a shadowing CTE (schema-qualified
     base so DuckDB doesn't see a circular reference) into the first WITH
     clause — the exact same rows :func:`deterministic_sample` keeps on
-    the Spark side."""
+    the Spark side. A ``WITH RECURSIVE`` clause keeps RECURSIVE first
+    (it applies to the whole CTE list)."""
     cte = (
-        "WITH documents AS (SELECT * FROM main.documents WHERE "
-        + deterministic_sample_sql(mod=mod)
+        f"{table} AS (SELECT * FROM main.{table} WHERE "
+        + deterministic_sample_sql(id_col=id_col, mod=mod)
         + "), "
     )
-    head, _, tail = sql.partition("WITH ")
-    assert tail, "oracle has no WITH clause to merge into"
-    return head + cte + tail
+    for kw in ("WITH RECURSIVE ", "WITH "):
+        head, _, tail = sql.partition(kw)
+        if tail:
+            return head + kw + cte + tail
+    raise AssertionError("oracle has no WITH clause to merge into")
+
+
+def sampled_docs_sql(sql: str, mod: int = 2) -> str:
+    """`sampled_table_sql` over the documents table (the common case)."""
+    return sampled_table_sql(sql, table="documents", id_col="doc_id", mod=mod)
 
 
 def deterministic_sample_sql(

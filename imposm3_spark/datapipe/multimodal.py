@@ -56,25 +56,56 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+# Capability probe (round-7): the decode kernel upgrades itself the day
+# the environment gains Pillow — no code change needed. The probe runs at
+# module import on driver AND executors (the module is re-imported inside
+# each Python worker, so a heterogeneous cluster would probe per-host;
+# pin the env in deployment if that matters).
+try:  # pragma: no cover - exercised only where Pillow is installed
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+
 def _decode_image_stub(payload: bytes, dim: int = 8) -> list[float]:
-    """STUB: deterministic fake 'decode + embed'.
-
-    Replace with a real decoder (PIL / torchvision) in deployment:
-
-        img = PIL.Image.open(io.BytesIO(payload)).convert("RGB").resize(...)
-        return model(img)
-
-    The fake derives `dim` floats from the payload digest so tests are
-    reproducible and the full Spark plumbing is exercised."""
+    """STUB: deterministic fake 'decode + embed' — `dim` floats derived
+    from the payload digest, so tests are reproducible and the full Spark
+    plumbing is exercised without any decoding library."""
     digest = hashlib.sha256(payload).digest()
     return [digest[i] / 255.0 for i in range(dim)]
 
 
-def extract_image_features(df: DataFrame, dim: int = 8) -> DataFrame:
+def _decode_image_pil(payload: bytes, dim: int = 8) -> list[float]:
+    """Real decode (requires Pillow): decode -> grayscale -> resize to a
+    dim x dim thumbnail -> per-row mean luminance in [0, 1] (`dim`
+    floats). The minimal honest decode+pool featurizer; swap the pooling
+    for a model call in a real embedding deployment."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
+    px = list(img.getdata())
+    return [sum(px[r * dim : (r + 1) * dim]) / (dim * 255.0) for r in range(dim)]
+
+
+# selected once by capability, overridable per call in extract_image_features
+default_image_decoder = _decode_image_pil if HAS_PIL else _decode_image_stub
+
+
+def extract_image_features(
+    df: DataFrame, dim: int = 8, decoder=None
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     One Arrow batch in, one out; only media_id/payload are read (Parquet
-    prunes the rest)."""
+    prunes the rest). `decoder` defaults to the capability-probed
+    `default_image_decoder` (real Pillow decode when available, the
+    deterministic digest stub otherwise); pass `_decode_image_stub`
+    explicitly for oracle-checkable runs on synthetic payloads."""
+    if decoder is None:
+        decoder = default_image_decoder
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -88,7 +119,7 @@ def extract_image_features(df: DataFrame, dim: int = 8) -> DataFrame:
                         "media_id": int(media_id),
                         "sha256": hashlib.sha256(payload).hexdigest(),
                         "n_bytes": len(payload),
-                        "features": _decode_image_stub(payload, dim),
+                        "features": decoder(payload, dim),
                     }
                 )
             yield pd.DataFrame(

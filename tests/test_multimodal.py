@@ -6,8 +6,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from imposm3_spark.datapipe.multimodal import (
+    HAS_PIL,
     MEDIA_SCHEMA,
+    _decode_image_pil,
+    _decode_image_stub,
     dedup_media_exact,
+    default_image_decoder,
     extract_image_features,
     resize_images,
     sample_video_frames,
@@ -27,7 +31,12 @@ def media(spark):
 
 
 def test_extract_image_features(media):
-    out = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    # pin the digest stub: the fixture payloads are fake bytes a real
+    # decoder would reject; the real path has its own PIL-gated test
+    out = {
+        r["media_id"]: r
+        for r in extract_image_features(media, decoder=_decode_image_stub).collect()
+    }
     assert set(out) == {1, 2, 3, 4, 5}
     r = out[1]
     assert r["sha256"] == hashlib.sha256(b"\x89PNG-fake-1").hexdigest()
@@ -72,3 +81,33 @@ def test_features_compose_with_embedding_neardup(media):
     }
     # identical payloads (media 1 and 3) -> identical features -> sim 1.0
     assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+
+
+def test_decoder_capability_probe():
+    """The default decoder follows the probe: real Pillow decode when the
+    library is importable, the deterministic digest stub otherwise."""
+    expected = _decode_image_pil if HAS_PIL else _decode_image_stub
+    assert default_image_decoder is expected
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed in this env")
+def test_real_pil_decode_through_spark(spark):
+    """Runs the day the environment gains Pillow: encode a real PNG,
+    push it through the mapInPandas extract with the REAL decoder, and
+    check the pooled luminance features against a local PIL computation."""
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (32, 16))
+    img.putdata([(x * 8 % 256, y * 16 % 256, 0) for y in range(16) for x in range(32)])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, "image", payload, ("image/png", 32, 16, None))], MEDIA_SCHEMA
+    )
+    (row,) = extract_image_features(df, dim=8).collect()
+    assert row["features"] == pytest.approx(_decode_image_pil(payload, 8))
+    assert all(0.0 <= f <= 1.0 for f in row["features"])

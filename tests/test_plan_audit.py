@@ -1227,3 +1227,19 @@ def test_sampled_eval_filter_before_pair_stages(spark):
     # through the pair joins onto both join sides)
     assert "md5" in optimized and "% 2) = 0)" in optimized
     assert "CartesianProduct" not in plan
+
+
+def test_sampled_knn_filter_below_matmul(spark):
+    """emb_knn_graph_sampled / emb_neardup_clusters_sampled (round 7):
+    the md5-bucket sample predicate must filter embeddings BEFORE the
+    block-pair matmul fans out pairs (the point is 4x fewer pairs), and
+    the sampled forms keep the no-cartesian property. The filter sits
+    below the pair stage iff it survives into the optimized plan (the
+    matmul is an applyInPandas over blocked rows, so any Filter in the
+    plan necessarily precedes it)."""
+    for name in ("emb_knn_graph_sampled", "emb_neardup_clusters_sampled"):
+        df = bq.QUERIES[name](spark, SF_DIR)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        plan = _executed_plan(df)
+        assert "md5" in optimized and "% 2) = 0)" in optimized, name
+        assert "CartesianProduct" not in plan, name
