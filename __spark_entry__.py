@@ -100,9 +100,18 @@ _DRIVER_FIRST = [
     "doc_corpus_diff",
     # ROUND-8 QUEUE — the 40 registered queries that will still lack a
     # driver row after this window lands (queue positions 51-90 of the
-    # round-6 rotation, verbatim), PLUS re-check slots for any query whose
-    # backing code changes between now and the round-8 list being written
-    # (tracked in docs/ROUND7.md; the list below is data-only):
+    # round-6 rotation, verbatim), PLUS:
+    #   * RE-CHECK slots (code changed after the query's last driver row,
+    #     the round-5 guard rule): events_ewma, events_holt — round 7
+    #     added null/negative guards to their _step_major_scan kernel
+    #     (imposm3_spark/datapipe/timeseries.py); both re-gated strict
+    #     green at sf0.01 this round, but the driver should confirm.
+    #     No other round-7 change touched oracle-backed code: the
+    #     ORACLES-dict diff vs round 6 shows only events_did changed
+    #     (intended), the engine pinning affects no bench query, and
+    #     media_features now PINS the digest decoder explicitly (re-gated).
+    #   * the two queries REGISTERED in round 7 (listed at the end).
+    # Total round-8 window: 2 re-checks + 42 fresh = 44 names.
     #   doc_curate, doc_decontaminate, doc_dsir_weights, doc_inverted_index,
     #   doc_lsh_pr_curve_sampled, doc_lsh_pr_sampled,
     #   doc_minhash_accuracy_sampled, doc_mix_temperature,

@@ -3,11 +3,14 @@
 The reference's one published performance number is a 7.5 h full-planet
 import (reference README.md:69); BASELINE.md's stated proxy at our scale
 is "rows/s per stage and end-to-end wall time on ... a small `.osm`
-fixture import". This module times exactly that chain — XML parse →
+fixture import". This module times exactly that chain — parse →
 mapping match/projection → J1-J3 resolve joins → G4/G5 multipolygon
-assembly → parquet sink — on the reference's own `complete_db.osm`
-fixture, replicated N× JVM-side so the join/geometry stages dominate the
-fixed session overhead.
+assembly → parquet sink — replicated N× JVM-side so the join/geometry
+stages dominate the fixed session overhead. Preferred input: the real
+Monaco city extract through the distributed PBF blob scan (tag prefilter
+pushed into decode, reference reader parity); fallback (or
+SPARK_GRAFT_IMPORT_SRC=xml): the reference's `complete_db.osm` XML
+fixture.
 
 Replication keeps every replica topologically self-contained: element
 ids (and the way refs / relation member ids that point at them) shift by
@@ -29,6 +32,13 @@ from pyspark.sql import functions as F
 
 FIXTURE = "/root/reference/test/complete_db.osm"
 MAPPING = "/root/reference/test/complete_db_mapping.json"
+# Real-data input (preferred): a genuine city extract, read through the
+# distributed PBF blob scan with the mapping tag-prefilter pushed into
+# the decode tasks — the same chain a planet import runs.
+PBF_FIXTURE = (
+    "/root/reference/vendor/github.com/omniscale/go-osm/parser/pbf/"
+    "monaco-20150428.osm.pbf"
+)
 
 # Replica id stride: far above any fixture id, far below the synthetic
 # relation id space (the pipeline maps relations to -1e17-id), and small
@@ -91,9 +101,17 @@ def import_bench(spark: SparkSession, copies: int | None = None) -> dict:
     from imposm3_spark.mapping.config import load_mapping
     from imposm3_spark.pipeline.engine import ImportPipeline
     from imposm3_spark.sources.osm_xml import read_osm_xml
+    from imposm3_spark.sources.pbf import read_pbf
 
+    use_pbf = os.path.exists(PBF_FIXTURE) and os.environ.get(
+        "SPARK_GRAFT_IMPORT_SRC", "pbf"
+    ) != "xml"
     if copies is None:
-        copies = int(os.environ.get("SPARK_GRAFT_IMPORT_COPIES", "200"))
+        # 32 monaco replicas = ~630k elements: big enough that the join/
+        # geometry stages dominate the fixed session overhead (~22 s on
+        # local[32]), small enough not to crowd the query bench
+        default = "32" if use_pbf else "200"
+        copies = int(os.environ.get("SPARK_GRAFT_IMPORT_COPIES", default))
 
     def count_all(dfs: list[DataFrame]) -> int:
         """Row count of many heterogeneous tables in ONE Spark job: a
@@ -107,9 +125,16 @@ def import_bench(spark: SparkSession, copies: int | None = None) -> dict:
             one = one.unionAll(df.select(F.lit(1).alias("one")))
         return one.count()
 
+    mapping = load_mapping(MAPPING)
     stages: dict[str, float] = {}
     t0 = time.perf_counter()
-    nodes, ways, relations = read_osm_xml(spark, FIXTURE)
+    if use_pbf:
+        # distributed blob scan + decode, mapping prefilter pushed into
+        # the decode tasks (reference parity: reader applies the filter
+        # before caching — reader/reader.go:124,166,238)
+        nodes, ways, relations = read_pbf(spark, PBF_FIXTURE, mapping=mapping)
+    else:
+        nodes, ways, relations = read_osm_xml(spark, FIXTURE)
     nodes, ways, relations = replicate_elements(nodes, ways, relations, copies)
     par = spark.sparkContext.defaultParallelism
     nodes = nodes.repartition(par).localCheckpoint()
@@ -118,7 +143,6 @@ def import_bench(spark: SparkSession, copies: int | None = None) -> dict:
     elements_in = count_all([nodes, ways, relations])
     stages["parse"] = round(time.perf_counter() - t0, 3)
 
-    mapping = load_mapping(MAPPING)
     pipe = ImportPipeline(mapping, srid=3857)
     coords = pipe.prepare_coords(nodes).localCheckpoint()
 
@@ -189,6 +213,7 @@ def import_bench(spark: SparkSession, copies: int | None = None) -> dict:
         "metric": "osm_import_e2e_wall",
         "value": wall,
         "unit": "sec",
+        "src": "monaco.pbf" if use_pbf else "complete_db.osm",
         "copies": copies,
         "elements_in": elements_in,
         "rows_out": rows_out,

@@ -405,6 +405,47 @@ def _seg_intersection(p1: Coord, p2: Coord, p3: Coord, p4: Coord) -> Coord | Non
     return None
 
 
+def _overlapping_segment_pairs(coords: Sequence[Coord]) -> list[tuple[int, int]]:
+    """Non-adjacent segment index pairs (i < j) of the closed ring whose
+    bounding boxes overlap — the only pairs that CAN intersect, in
+    ascending (i, j) order.
+
+    Conservative numpy bbox sweep (sort by min-x, window by max-x, mask by
+    y-overlap): prunes the O(n^2) pure-Python pair scan that dominated
+    MakeValid on real coastline/boundary rings (a 853-point Monaco ring
+    spent 16 s here) down to the handful of genuinely overlapping pairs.
+    The bbox test is exact float comparison, so the surviving pairs are a
+    superset of the intersecting ones — callers run the IDENTICAL scalar
+    `_seg_intersection` on each, making results bit-identical to the
+    exhaustive scan."""
+    import numpy as np
+
+    n = len(coords) - 1  # segments
+    pts = np.asarray(coords, dtype=np.float64)
+    ax, ay = pts[:-1, 0], pts[:-1, 1]
+    bx, by = pts[1:, 0], pts[1:, 1]
+    minx, maxx = np.minimum(ax, bx), np.maximum(ax, bx)
+    miny, maxy = np.minimum(ay, by), np.maximum(ay, by)
+    order = np.argsort(minx, kind="stable")
+    sminx = minx[order]
+    pairs: list[tuple[int, int]] = []
+    for k in range(n):
+        i = int(order[k])
+        hi = int(np.searchsorted(sminx, maxx[i], side="right"))
+        js = order[k + 1 : hi]
+        if js.size == 0:
+            continue
+        js = js[(miny[js] <= maxy[i]) & (maxy[js] >= miny[i])]
+        for j in js:
+            j = int(j)
+            lo, hi2 = (i, j) if i < j else (j, i)
+            if hi2 == lo + 1 or (lo == 0 and hi2 == n - 1):
+                continue  # adjacent segments share an endpoint by design
+            pairs.append((lo, hi2))
+    pairs.sort()
+    return pairs
+
+
 def ring_is_simple(coords: Sequence[Coord]) -> bool:
     """True when no two non-adjacent segments of the closed ring intersect
     and no vertex repeats (other than the closing one)."""
@@ -416,13 +457,9 @@ def ring_is_simple(coords: Sequence[Coord]) -> bool:
         if pt in seen:
             return False
         seen.add(pt)
-    for i in range(n):
-        for j in range(i + 1, n):
-            adjacent = j == i + 1 or (i == 0 and j == n - 1)
-            if adjacent:
-                continue
-            if _seg_intersection(coords[i], coords[i + 1], coords[j], coords[j + 1]):
-                return False
+    for i, j in _overlapping_segment_pairs(coords):
+        if _seg_intersection(coords[i], coords[i + 1], coords[j], coords[j + 1]):
+            return False
     return True
 
 
@@ -431,20 +468,17 @@ def _insert_intersections(coords: list[Coord]) -> list[Coord]:
     inserted (the same float tuple on both segments)."""
     n = len(coords) - 1
     extra: dict[int, list[tuple[float, Coord]]] = {i: [] for i in range(n)}
-    for i in range(n):
-        for j in range(i + 1, n):
-            if j == i + 1 or (i == 0 and j == n - 1):
-                continue
-            pt = _seg_intersection(coords[i], coords[i + 1], coords[j], coords[j + 1])
-            if pt is None:
-                continue
+    for i, j in _overlapping_segment_pairs(coords):
+        pt = _seg_intersection(coords[i], coords[i + 1], coords[j], coords[j + 1])
+        if pt is None:
+            continue
 
-            def param(a: Coord, b: Coord, p: Coord) -> float:
-                dx, dy = b[0] - a[0], b[1] - a[1]
-                return ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / (dx * dx + dy * dy)
+        def param(a: Coord, b: Coord, p: Coord) -> float:
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            return ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / (dx * dx + dy * dy)
 
-            extra[i].append((param(coords[i], coords[i + 1], pt), pt))
-            extra[j].append((param(coords[j], coords[j + 1], pt), pt))
+        extra[i].append((param(coords[i], coords[i + 1], pt), pt))
+        extra[j].append((param(coords[j], coords[j + 1], pt), pt))
     out: list[Coord] = []
     for i in range(n):
         out.append(coords[i])
