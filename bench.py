@@ -65,6 +65,22 @@ def main() -> None:
 
     import gc
 
+    # e2e OSM import throughput (BASELINE.md's stated proxy for the
+    # reference's 7.5 h planet import): parse → match → J1-J3 resolve →
+    # G4/G5 multipolygon → parquet sink on the replicated Monaco extract,
+    # rows/s per stage. Runs right after warmup — BEFORE the 241-query
+    # loop — so its stage timings measure the engine, not the GC state of
+    # a JVM aged by a few hundred queries (observed: the sink stage
+    # varied 6 s → 33 s when this ran last). Compact enough to ride the
+    # final JSON line.
+    try:
+        from imposm3_spark.benchimport import import_bench
+
+        gc.collect()
+        import_summary = import_bench(spark)
+    except Exception as exc:  # the import bench must never sink the query bench
+        import_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     timings: dict[str, float] = {}
     for name, fn in bq.QUERIES.items():
         start = time.perf_counter()
@@ -83,19 +99,6 @@ def main() -> None:
         gc.collect()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
-    # e2e OSM import throughput (BASELINE.md's stated proxy for the
-    # reference's 7.5 h planet import): parse → match → J1-J3 resolve →
-    # G4/G5 multipolygon → parquet sink on the replicated complete_db.osm
-    # fixture, rows/s per stage. Runs after the query loop so the JVM and
-    # Python workers are hot; compact enough to ride the final JSON line.
-    try:
-        from imposm3_spark.benchimport import import_bench
-
-        import_summary = import_bench(spark)
-    except Exception as exc:  # the import bench must never sink the query bench
-        import_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-
     summary = {
         "metric": "benchqueries_total_wall",
         "value": total,
