@@ -111,7 +111,7 @@ _DRIVER_FIRST = [
     #     (intended), the engine pinning affects no bench query, and
     #     media_features now PINS the digest decoder explicitly (re-gated).
     #   * the two queries REGISTERED in round 7 (listed at the end).
-    # Total round-8 window: 2 re-checks + 42 fresh = 44 names.
+    # Total round-8 window: 2 re-checks + 43 fresh = 45 names.
     #   doc_curate, doc_decontaminate, doc_dsir_weights, doc_inverted_index,
     #   doc_lsh_pr_curve_sampled, doc_lsh_pr_sampled,
     #   doc_minhash_accuracy_sampled, doc_mix_temperature,
@@ -126,7 +126,8 @@ _DRIVER_FIRST = [
     #   media_resize_meta, orders_hotkey_join, orders_price_deciles,
     #   orders_salted_join, osm_zorder_key;
     # plus the queries REGISTERED in round 7 (never queued before):
-    #   emb_knn_graph_sampled, emb_neardup_clusters_sampled.
+    #   emb_knn_graph_sampled, emb_neardup_clusters_sampled,
+    #   cust_except_months.
 ]
 
 # A typo here would silently shrink the driver's 50-row window (unknown

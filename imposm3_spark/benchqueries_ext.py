@@ -580,11 +580,36 @@ def cust_active_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cust_new_in_2001(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (set difference): customers whose first order is in 2001."""
+    """EXCEPT (set difference): customers whose first order is in 2001.
+
+    Fixture note (round-7 zero-row audit): non-empty only at sf0.01 (3
+    rows) — the fixture gives customers ~10 orders spread over the whole
+    date range, so 'first order this late' is rare. The EXCEPT operator
+    keeps a robust all-SF exercise in cust_except_months below."""
     o = _t(spark, sf_dir, "orders")
     y01 = o.filter(F.year("o_orderdate") == 2001).select(F.col("o_custkey").alias("c_custkey"))
     before = o.filter(F.year("o_orderdate") < 2001).select(F.col("o_custkey").alias("c_custkey"))
     return y01.subtract(before)
+
+
+@register(
+    "cust_except_months",
+    """
+    SELECT o_custkey AS c_custkey FROM orders WHERE month(o_orderdate) = 7
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE month(o_orderdate) = 1
+    """,
+)
+def cust_except_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference) with a predicate that's non-empty at every
+    SF (38 / 344 / 3660 rows at sf0.001/0.01/0.1): customers ordering in
+    July but never in January. Registered alongside cust_new_in_2001 after
+    the round-7 zero-row audit showed that one only exercises EXCEPT at
+    sf0.01."""
+    o = _t(spark, sf_dir, "orders")
+    jul = o.filter(F.month("o_orderdate") == 7).select(F.col("o_custkey").alias("c_custkey"))
+    jan = o.filter(F.month("o_orderdate") == 1).select(F.col("o_custkey").alias("c_custkey"))
+    return jul.subtract(jan)
 
 
 # ---------------------------------------------------------------------------
