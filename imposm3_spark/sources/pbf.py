@@ -75,22 +75,67 @@ def iter_fields(buf: bytes) -> Iterator[tuple[int, int, bytes | int]]:
             raise ValueError(f"unsupported wire type {wt}")
 
 
+def _packed_raw_u64(buf: bytes):
+    """All varints of a packed field as one numpy uint64 array.
+
+    Vectorized decode (the per-blob hot path: ids/lats/lons/keys-vals of
+    dense nodes, way refs, relation member ids — byte-at-a-time Python
+    here was the import parse bottleneck): each byte contributes its low
+    7 bits shifted by 7*(position within its varint); since the bit
+    ranges are disjoint, summing the shifted payloads per varint group
+    (add.reduceat) reassembles the values without carries. Shifts max at
+    63 (10-byte varints), and uint64 wrap-around matches protobuf's
+    64-bit truncation semantics."""
+    import numpy as np
+
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if a.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts = np.empty(a.size, dtype=bool)
+    starts[0] = True
+    starts[1:] = (a[:-1] & 0x80) == 0
+    first_idx = np.flatnonzero(starts)
+    gid = np.cumsum(starts) - 1
+    offset = (np.arange(a.size) - first_idx[gid]).astype(np.uint64)
+    shifted = (a & 0x7F).astype(np.uint64) << (np.uint64(7) * offset)
+    return np.add.reduceat(shifted, first_idx)
+
+
+# Below this buffer size the scalar loop beats numpy's per-call setup
+# (typical way-refs fields are ~10 varints; dense-node id/lat/lon/kv
+# fields are thousands). Measured crossover ~100 bytes on this box.
+_VECTOR_MIN_BYTES = 128
+
+
 def packed_varints(buf: bytes) -> list[int]:
-    out = []
-    pos = 0
-    while pos < len(buf):
-        v, pos = read_varint(buf, pos)
-        out.append(v)
-    return out
+    if len(buf) < _VECTOR_MIN_BYTES:
+        out = []
+        pos = 0
+        while pos < len(buf):
+            v, pos = read_varint(buf, pos)
+            out.append(v)
+        return out
+    return _packed_raw_u64(buf).tolist()
 
 
 def packed_sint64_delta(buf: bytes) -> list[int]:
-    out = []
-    cur = 0
-    for raw in packed_varints(buf):
-        cur += zigzag(raw)
-        out.append(cur)
-    return out
+    if len(buf) < _VECTOR_MIN_BYTES:
+        out = []
+        cur = 0
+        pos = 0
+        while pos < len(buf):
+            raw, pos = read_varint(buf, pos)
+            cur += zigzag(raw)
+            out.append(cur)
+        return out
+    import numpy as np
+
+    raw = _packed_raw_u64(buf)
+    # zigzag in int64 domain, then the running delta sum
+    vals = (raw >> np.uint64(1)).astype(np.int64) ^ -(raw & np.uint64(1)).astype(
+        np.int64
+    )
+    return np.cumsum(vals).tolist()
 
 
 # ---------------------------------------------------------------------------
