@@ -65,6 +65,11 @@ def ppjoin_pairs(
         .withColumn("n", F.size("sh"))
         .where(F.col("n") > 0)
     )
+    # Pin the tokenized shingle sets: four downstream branches (token
+    # frequencies, prefixes, and both verify sides) read `sets`, and
+    # Spark performs no cross-branch subplan reuse — without the pin the
+    # regexp tokenization re-executes once per branch per action.
+    sets = sets.localCheckpoint(eager=False)
 
     tok = sets.select("doc", "n", F.explode("sh").alias("t"))
     freq = tok.groupBy("t").agg(F.count("*").alias("f"))
@@ -264,7 +269,9 @@ def cosine_pairs(
         .agg(F.count("*").alias("c"))
     )
     norms = tc.groupBy("doc").agg(F.sum(F.col("c") * F.col("c")).alias("nrm"))
-    tcn = tc.join(norms, "doc")
+    # pin: both sides of the self-join read the term-count+norm frame —
+    # unpinned, tokenization and the two aggregations run twice
+    tcn = tc.join(norms, "doc").localCheckpoint(eager=False)
 
     a, b = tcn.alias("a"), tcn.alias("b")
     pairs = (
@@ -418,6 +425,9 @@ def containment_pairs(
         .withColumn("n", F.size("sh"))
         .where(F.col("n") > 0)
     )
+    # pin: tokenization is read by the index, prefix, and verify branches
+    # (no cross-branch subplan reuse in Spark — see ppjoin_pairs)
+    sets = sets.localCheckpoint(eager=False)
     tok = sets.select("doc", "n", F.explode("sh").alias("t"))
     freq = tok.groupBy("t").agg(F.count("*").alias("f"))
     ordered = (
