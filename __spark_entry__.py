@@ -102,16 +102,24 @@ _DRIVER_FIRST = [
     # driver row after this window lands (queue positions 51-90 of the
     # round-6 rotation, verbatim), PLUS:
     #   * RE-CHECK slots (code changed after the query's last driver row,
-    #     the round-5 guard rule): events_ewma, events_holt — round 7
-    #     added null/negative guards to their _step_major_scan kernel
-    #     (imposm3_spark/datapipe/timeseries.py); both re-gated strict
-    #     green at sf0.01 this round, but the driver should confirm.
+    #     the round-5 guard rule):
+    #     - events_ewma, events_holt — round 7 added null/negative guards
+    #       to their _step_major_scan kernel (datapipe/timeseries.py);
+    #     - doc_ppjoin, doc_winnow_pairs, doc_cosine_pairs,
+    #       doc_containment, doc_minhash_accuracy, doc_source_similarity —
+    #       round 7 pinned their shared tokenization frames
+    #       (datapipe/simjoin.py localCheckpoints; values unchanged).
+    #     All eight re-gated strict green at sf0.01 AND sf0.1 after the
+    #     change this round, but the driver should confirm. The window
+    #     queries the simjoin pins touch (doc_lsh_pr, doc_lsh_pr_curve)
+    #     were likewise re-gated at both SFs after the pins landed.
     #     No other round-7 change touched oracle-backed code: the
     #     ORACLES-dict diff vs round 6 shows only events_did changed
     #     (intended), the engine pinning affects no bench query, and
     #     media_features now PINS the digest decoder explicitly (re-gated).
-    #   * the two queries REGISTERED in round 7 (listed at the end).
-    # Total round-8 window: 2 re-checks + 43 fresh = 45 names.
+    #   * the three queries REGISTERED in round 7 (listed at the end).
+    # Total round-8 window: 8 re-checks + 43 fresh = 51 names (the driver
+    # records 50 — drop the last fresh name to round 9 if needed).
     #   doc_curate, doc_decontaminate, doc_dsir_weights, doc_inverted_index,
     #   doc_lsh_pr_curve_sampled, doc_lsh_pr_sampled,
     #   doc_minhash_accuracy_sampled, doc_mix_temperature,

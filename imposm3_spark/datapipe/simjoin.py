@@ -379,7 +379,11 @@ def winnow_pairs(
     equi-join on the fingerprint (each doc's distinct fp set explodes
     once), aggregated to exact shared counts."""
     fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
-    vals = fps.select(F.col(id_col).alias("doc"), "fp").distinct()
+    # pin: both self-join sides read the fingerprint pipeline (per-
+    # position char-gram explode + md5 + window) — unpinned it runs twice
+    vals = fps.select(F.col(id_col).alias("doc"), "fp").distinct().localCheckpoint(
+        eager=False
+    )
     a, b = vals.alias("a"), vals.alias("b")
     return (
         a.join(b, "fp")
