@@ -383,7 +383,7 @@ class ImportPipeline:
                     matched = matched.withColumn(
                         "_coords", F.explode(self._clip_line_udf()(F.col("_coords")))
                     )
-                geom_wkb = gb.linestring_wkb_udf(F.col("_coords"), F.lit(self.srid))
+                geom_wkb = gb.linestring_wkb_expr(F.col("_coords"), F.lit(self.srid))
                 geom_area = F.lit(0.0)
             elif self.limiter is not None:
                 # build + MakeValid + boolean cut in one pandas UDF
@@ -608,7 +608,7 @@ class ImportPipeline:
             .select(
                 "m_id",
                 "m_tags",
-                gb.linestring_wkb_udf(F.col("m_coords"), F.lit(self.srid)).alias("m_wkb"),
+                gb.linestring_wkb_expr(F.col("m_coords"), F.lit(self.srid)).alias("m_wkb"),
             )
         )
         # relation members (type 2): tags only, POLYGON EMPTY geometry
