@@ -421,6 +421,27 @@ def _overlapping_segment_pairs(coords: Sequence[Coord]) -> list[tuple[int, int]]
     import numpy as np
 
     n = len(coords) - 1  # segments
+    if n <= 24:
+        # scalar fast path: numpy setup costs ~20 us per call, which
+        # dominated the closed-way polygon path (way tables are mostly
+        # tiny building rings); the exhaustive scan over <=24 segments
+        # with the same exact-float bbox test emits the identical
+        # ascending pair list
+        pairs_s: list[tuple[int, int]] = []
+        for i in range(n):
+            (x1, y1), (x2, y2) = coords[i], coords[i + 1]
+            iminx, imaxx = (x1, x2) if x1 <= x2 else (x2, x1)
+            iminy, imaxy = (y1, y2) if y1 <= y2 else (y2, y1)
+            for j in range(i + 2, n - 1 if i == 0 else n):
+                (x3, y3), (x4, y4) = coords[j], coords[j + 1]
+                jminx, jmaxx = (x3, x4) if x3 <= x4 else (x4, x3)
+                if jminx > imaxx or jmaxx < iminx:
+                    continue
+                jminy, jmaxy = (y3, y4) if y3 <= y4 else (y4, y3)
+                if jminy > imaxy or jmaxy < iminy:
+                    continue
+                pairs_s.append((i, j))
+        return pairs_s
     pts = np.asarray(coords, dtype=np.float64)
     ax, ay = pts[:-1, 0], pts[:-1, 1]
     bx, by = pts[1:, 0], pts[1:, 1]

@@ -80,7 +80,9 @@ coord = st.tuples(
 
 @st.composite
 def rings(draw):
-    pts = draw(st.lists(coord, min_size=3, max_size=12, unique=True))
+    # max_size crosses the n=24 scalar/numpy branch boundary of
+    # _overlapping_segment_pairs so both code paths stay property-tested
+    pts = draw(st.lists(coord, min_size=3, max_size=40, unique=True))
     return _close(list(pts))
 
 
@@ -103,3 +105,29 @@ def test_ring_is_simple_matches_bruteforce(ring):
 @given(rings())
 def test_insert_intersections_bit_identical(ring):
     assert _insert_intersections(list(ring)) == _brute_insert(list(ring))
+
+
+def _bbox_overlap_pairs(ring):
+    """Reference semantics for BOTH branches: every non-adjacent pair
+    whose segment bboxes overlap (exact float compares), ascending."""
+    out = []
+    for i, j in _brute_pairs(ring):
+        (x1, y1), (x2, y2) = ring[i], ring[i + 1]
+        (x3, y3), (x4, y4) = ring[j], ring[j + 1]
+        if (
+            min(x3, x4) <= max(x1, x2)
+            and max(x3, x4) >= min(x1, x2)
+            and min(y3, y4) <= max(y1, y2)
+            and max(y3, y4) >= min(y1, y2)
+        ):
+            out.append((i, j))
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(rings())
+def test_scalar_and_numpy_branches_emit_identical_pair_lists(ring):
+    # the scalar (n<=24) and numpy-sweep (n>24) branches must produce the
+    # exact same ascending bbox-overlap pair list — pin both to the
+    # reference semantics regardless of which branch the size selects
+    assert _overlapping_segment_pairs(ring) == _bbox_overlap_pairs(ring)
