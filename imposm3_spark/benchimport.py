@@ -107,10 +107,12 @@ def import_bench(spark: SparkSession, copies: int | None = None) -> dict:
         "SPARK_GRAFT_IMPORT_SRC", "pbf"
     ) != "xml"
     if copies is None:
-        # 32 monaco replicas = ~630k elements: big enough that the join/
-        # geometry stages dominate the fixed session overhead (~22 s on
-        # local[32]), small enough not to crowd the query bench
-        default = "32" if use_pbf else "200"
+        # 128 monaco replicas = ~2.5M elements: the per-job fixed overhead
+        # (~8 s of scheduling/GC across the 5 stages on local[32]) stops
+        # dominating and the number reflects SUSTAINED pipeline throughput
+        # — at 32 copies the same engine measured ~3x lower elements/s
+        # purely from amortization. ~20 s wall in a warm JVM.
+        default = "128" if use_pbf else "200"
         copies = int(os.environ.get("SPARK_GRAFT_IMPORT_COPIES", default))
 
     def count_all(dfs: list[DataFrame]) -> int:
@@ -135,11 +137,17 @@ def import_bench(spark: SparkSession, copies: int | None = None) -> dict:
         nodes, ways, relations = read_pbf(spark, PBF_FIXTURE, mapping=mapping)
     else:
         nodes, ways, relations = read_osm_xml(spark, FIXTURE)
-    nodes, ways, relations = replicate_elements(nodes, ways, relations, copies)
+    # round-robin the SEED rows across the executors, THEN explode: the
+    # replicas inherit the seed's partitioning, so the checkpoint below
+    # materializes `copies`x the data without ever shuffling it (the first
+    # cut repartitioned after replication — a full shuffle of the
+    # replicated set that dominated the parse stage at high copy counts)
     par = spark.sparkContext.defaultParallelism
-    nodes = nodes.repartition(par).localCheckpoint()
-    ways = ways.repartition(par).localCheckpoint()
-    relations = relations.repartition(par).localCheckpoint()
+    nodes, ways, relations = (df.repartition(par) for df in (nodes, ways, relations))
+    nodes, ways, relations = replicate_elements(nodes, ways, relations, copies)
+    nodes = nodes.localCheckpoint()
+    ways = ways.localCheckpoint()
+    relations = relations.localCheckpoint()
     elements_in = count_all([nodes, ways, relations])
     stages["parse"] = round(time.perf_counter() - t0, 3)
 
