@@ -169,29 +169,63 @@ _WKB_AREA_STRUCT = StructType(
 )
 
 
-@pandas_udf(_WKB_AREA_STRUCT)
-def polygon_valid_wkb_area_udf(coords: pd.Series, srid: pd.Series) -> pd.DataFrame:
-    """Way-polygon build + MakeValid + area in one pass (writer/ways.go:
-    146-150): self-intersecting rings are split into simple sub-rings,
-    classified shell/hole, and the area is computed on the repaired
-    geometry (a bowtie's halves ADD instead of cancel)."""
+def _repair_rows(ring_iter, srid: int):
+    """Shared body: iterate (ring | None) tuples -> (wkbs, areas) lists."""
     from imposm3_spark.geom import py_geom
 
     wkbs, areas = [], []
-    for arr, s in zip(coords, srid):
-        if arr is None or len(arr) < 4:
+    for ring in ring_iter:
+        if ring is None:
             wkbs.append(None)
             areas.append(None)
             continue
-        ring = [(c["x"], c["y"]) for c in arr]
         polygons, area = py_geom.repair_polygon(ring)
         if not polygons:
             wkbs.append(None)
             areas.append(None)
             continue
         if len(polygons) == 1:
-            wkbs.append(wkblib.polygon_wkb(polygons[0], int(s)))
+            wkbs.append(wkblib.polygon_wkb(polygons[0], srid))
         else:
-            wkbs.append(wkblib.multipolygon_wkb(polygons, int(s)))
+            wkbs.append(wkblib.multipolygon_wkb(polygons, srid))
         areas.append(area)
+    return wkbs, areas
+
+
+@pandas_udf(_WKB_AREA_STRUCT)
+def polygon_valid_wkb_area_udf(coords: pd.Series, srid: pd.Series) -> pd.DataFrame:
+    """Way-polygon build + MakeValid + area in one pass (writer/ways.go:
+    146-150): self-intersecting rings are split into simple sub-rings,
+    classified shell/hole, and the area is computed on the repaired
+    geometry (a bowtie's halves ADD instead of cancel)."""
+    rings = (
+        None if arr is None or len(arr) < 4 else [(c["x"], c["y"]) for c in arr]
+        for arr in coords
+    )
+    s = int(srid.iloc[0]) if len(srid) else 0
+    wkbs, areas = _repair_rows(rings, s)
     return pd.DataFrame({"wkb": wkbs, "area": areas})
+
+
+@pandas_udf(_WKB_AREA_STRUCT)
+def _polygon_valid_wkb_area_xy_udf(
+    xs: pd.Series, ys: pd.Series, srid: pd.Series
+) -> pd.DataFrame:
+    rings = (
+        None if x_arr is None or len(x_arr) < 4
+        else list(zip(x_arr.tolist(), y_arr.tolist()))
+        for x_arr, y_arr in zip(xs, ys)
+    )
+    s = int(srid.iloc[0]) if len(srid) else 0
+    wkbs, areas = _repair_rows(rings, s)
+    return pd.DataFrame({"wkb": wkbs, "area": areas})
+
+
+def polygon_valid_wkb_area_expr(coords: Column, srid: Column) -> Column:
+    """Same result struct as polygon_valid_wkb_area_udf, with the
+    struct->(xs, ys) split done JVM-side so Arrow ships two plain float64
+    arrays per row instead of materializing a Python dict per coordinate
+    (the way-polygon tables are the import sink's densest UDF input)."""
+    xs = F.transform(coords, lambda c: c["x"])
+    ys = F.transform(coords, lambda c: c["y"])
+    return _polygon_valid_wkb_area_xy_udf(xs, ys, srid)

@@ -401,7 +401,7 @@ class ImportPipeline:
             else:
                 # build + MakeValid + area in one pandas UDF (identical UDF
                 # calls are deduplicated by ExtractPythonUDFs)
-                pg = gb.polygon_valid_wkb_area_udf(F.col("_coords"), F.lit(self.srid))
+                pg = gb.polygon_valid_wkb_area_expr(F.col("_coords"), F.lit(self.srid))
                 geom_wkb = pg["wkb"]
                 geom_area = pg["area"]
             ctx = RowContext(
