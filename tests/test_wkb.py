@@ -87,3 +87,31 @@ def struct_pack_ring(coords):
 
     out = struct.pack("<I", len(coords))
     return out + b"".join(struct.pack("<dd", x, y) for x, y in coords)
+
+
+def test_expr_variants_match_struct_input_udfs(spark):
+    """The engine's xs/ys-split expr builders must emit the same bytes as
+    the struct-input UDFs they replaced (which stay as the per-row
+    reference encoders)."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.geom import build as gb
+
+    rng = random.Random(3)
+    rows = [
+        (i, [{"x": x, "y": y} for x, y in _rand_coords(rng, n)])
+        for i, n in enumerate([2, 5, 40, 1, 4, 7])
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, coords array<struct<x:double,y:double>>"
+    )
+    out = df.select(
+        "id",
+        gb.linestring_wkb_udf(F.col("coords"), F.lit(3857)).alias("line_ref"),
+        gb.linestring_wkb_expr(F.col("coords"), F.lit(3857)).alias("line_new"),
+        gb.polygon_valid_wkb_area_udf(F.col("coords"), F.lit(3857)).alias("pg_ref"),
+        gb.polygon_valid_wkb_area_expr(F.col("coords"), F.lit(3857)).alias("pg_new"),
+    ).collect()
+    for r in out:
+        assert r.line_ref == r.line_new, r.id
+        assert r.pg_ref == r.pg_new, r.id
