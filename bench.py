@@ -76,15 +76,25 @@ def main() -> None:
     try:
         from imposm3_spark.benchimport import import_bench
 
-        gc.collect()
         # one small warmup pass first: the query warmup above compiles the
         # analytics plans but not the import path's UDF kernels/joins, and
         # a cold first run measured up to 2x the warm wall. The measured
         # metric is best-of-2 (labeled via "trials"): this box's wall
         # clock swings up to 2x between back-to-back identical runs, and
         # a throughput claim should reflect the engine, not a GC spike.
-        import_bench(spark, copies=8)
-        runs = [import_bench(spark) for _ in range(2)]
+        # The warmup respects a pinned SPARK_GRAFT_IMPORT_COPIES (never
+        # exceeds it), and each run is separated by a gc.collect() so the
+        # previous run's localCheckpoint blocks are released instead of
+        # inflating the next run's block-manager footprint.
+        warm_copies = min(
+            8, int(os.environ.get("SPARK_GRAFT_IMPORT_COPIES", "128"))
+        )
+        gc.collect()
+        import_bench(spark, copies=warm_copies)
+        runs = []
+        for _ in range(2):
+            gc.collect()
+            runs.append(import_bench(spark))
         import_summary = min(runs, key=lambda r: r["value"])
         import_summary["trials"] = len(runs)
     except Exception as exc:  # the import bench must never sink the query bench

@@ -101,17 +101,26 @@ def valid_ring(arr: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _batch_srid(srid: pd.Series) -> int:
+    """srid is a plan literal at every call site (engine passes F.lit);
+    enforce that rather than silently applying row 0's value batch-wide."""
+    s = int(srid.iloc[0])
+    if not (srid.to_numpy() == s).all():
+        raise ValueError("per-row srid values in one batch are unsupported")
+    return s
+
+
 @pandas_udf(BinaryType())
 def point_wkb_udf(x: pd.Series, y: pd.Series, srid: pd.Series) -> pd.Series:
     if len(x) == 0:
         return pd.Series([], dtype=object)
-    # srid is a plan literal (one value per call site); NULL coords arrive
-    # as NaN in the Arrow float64 batch and encode to NULL wkb
+    # NULL ordinates arrive as NaN in the Arrow float64 batch and encode
+    # their IEEE bits, matching the per-row scalar writer
     return pd.Series(
         wkblib.points_wkb_batch(
             x.to_numpy(dtype="float64", na_value=float("nan")),
             y.to_numpy(dtype="float64", na_value=float("nan")),
-            int(srid.iloc[0]),
+            _batch_srid(srid),
         ),
         dtype=object,
     )
@@ -132,8 +141,10 @@ def linestring_wkb_udf(coords: pd.Series, srid: pd.Series) -> pd.Series:
 def _linestring_wkb_xy_udf(xs: pd.Series, ys: pd.Series, srid: pd.Series) -> pd.Series:
     if len(xs) == 0:
         return pd.Series([], dtype=object)
+    # NaN (null struct / null ordinate) raises inside coords_bytes — the
+    # struct-input path crashed loudly on null coordinates, so must this
     return pd.Series(
-        wkblib.linestrings_wkb_batch(xs.tolist(), ys.tolist(), int(srid.iloc[0])),
+        wkblib.linestrings_wkb_batch(xs.tolist(), ys.tolist(), _batch_srid(srid)),
         dtype=object,
     )
 
@@ -202,7 +213,7 @@ def polygon_valid_wkb_area_udf(coords: pd.Series, srid: pd.Series) -> pd.DataFra
         None if arr is None or len(arr) < 4 else [(c["x"], c["y"]) for c in arr]
         for arr in coords
     )
-    s = int(srid.iloc[0]) if len(srid) else 0
+    s = _batch_srid(srid) if len(srid) else 0
     wkbs, areas = _repair_rows(rings, s)
     return pd.DataFrame({"wkb": wkbs, "area": areas})
 
@@ -211,12 +222,19 @@ def polygon_valid_wkb_area_udf(coords: pd.Series, srid: pd.Series) -> pd.DataFra
 def _polygon_valid_wkb_area_xy_udf(
     xs: pd.Series, ys: pd.Series, srid: pd.Series
 ) -> pd.DataFrame:
-    rings = (
-        None if x_arr is None or len(x_arr) < 4
-        else list(zip(x_arr.tolist(), y_arr.tolist()))
-        for x_arr, y_arr in zip(xs, ys)
-    )
-    s = int(srid.iloc[0]) if len(srid) else 0
+    import numpy as np
+
+    def ring(x_arr, y_arr):
+        if x_arr is None or len(x_arr) < 4:
+            return None
+        # a null struct / null ordinate becomes NaN in the split arrays;
+        # the struct-input path crashed loudly on those — keep that
+        if np.isnan(x_arr).any() or np.isnan(y_arr).any():
+            raise ValueError("NaN/null coordinate in polygon ring")
+        return list(zip(x_arr.tolist(), y_arr.tolist()))
+
+    rings = (ring(x_arr, y_arr) for x_arr, y_arr in zip(xs, ys))
+    s = _batch_srid(srid) if len(srid) else 0
     wkbs, areas = _repair_rows(rings, s)
     return pd.DataFrame({"wkb": wkbs, "area": areas})
 

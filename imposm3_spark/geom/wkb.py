@@ -79,10 +79,15 @@ def multipolygon_wkb(
 
 def points_wkb_batch(
     x: np.ndarray, y: np.ndarray, srid: int | None = None
-) -> list[bytes | None]:
-    """EWKB for n points in one allocation; None where x or y is NaN/None."""
+) -> list[bytes]:
+    """EWKB for n points in one allocation. NaN ordinates encode their raw
+    IEEE bits, exactly like the scalar point_wkb (the engine's projected
+    coords are non-null by construction; a NaN reaching the sink writes
+    the same bytes the per-row writer always wrote, no silent NULLs)."""
     x = np.asarray(x, dtype="<f8")
     y = np.asarray(y, dtype="<f8")
+    if len(x) != len(y):
+        raise ValueError(f"x/y length mismatch: {len(x)} != {len(y)}")
     n = len(x)
     header = np.frombuffer(_header(WKB_POINT, srid), dtype=np.uint8)
     h = len(header)
@@ -90,18 +95,24 @@ def points_wkb_batch(
     buf[:, :h] = header
     buf[:, h : h + 8] = x.view(np.uint8).reshape(n, 8)
     buf[:, h + 8 :] = y.view(np.uint8).reshape(n, 8)
-    bad = np.isnan(x) | np.isnan(y)
-    if bad.any():
-        return [None if b else row.tobytes() for b, row in zip(bad, buf)]
     return [row.tobytes() for row in buf]
 
 
 def coords_bytes(xs: np.ndarray, ys: np.ndarray) -> bytes:
-    """<u4 count + interleaved <f8 (x,y) pairs — numpy analog of _coords."""
+    """<u4 count + interleaved <f8 (x,y) pairs — numpy analog of _coords.
+
+    Raises on length mismatch (numpy would otherwise broadcast a scalar
+    across the other axis — well-formed but corrupt geometry) and on
+    NaN/null ordinates (the struct-input encoders crashed loudly on null
+    coordinates; the array path must not silently encode garbage)."""
     n = len(xs)
+    if len(ys) != n:
+        raise ValueError(f"xs/ys length mismatch: {n} != {len(ys)}")
     pts = np.empty((n, 2), dtype="<f8")
     pts[:, 0] = xs
     pts[:, 1] = ys
+    if np.isnan(pts).any():
+        raise ValueError("NaN/null coordinate in coordinate sequence")
     return struct.pack("<I", n) + pts.tobytes()
 
 

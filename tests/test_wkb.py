@@ -29,12 +29,26 @@ def test_points_batch_matches_scalar():
             assert b == wkb.point_wkb(x, y, srid)
 
 
-def test_points_batch_nan_encodes_null():
+def test_points_batch_nan_matches_scalar_bytes():
+    # NaN ordinates write their raw IEEE bits, exactly like the per-row
+    # scalar writer always did — no silent NULL substitution
     xs = np.array([1.0, math.nan, 3.0])
     ys = np.array([4.0, 5.0, math.nan])
     batch = wkb.points_wkb_batch(xs, ys, 3857)
-    assert batch[0] == wkb.point_wkb(1.0, 4.0, 3857)
-    assert batch[1] is None and batch[2] is None
+    for x, y, b in zip(xs, ys, batch):
+        assert b == wkb.point_wkb(float(x), float(y), 3857)
+
+
+def test_batch_encoders_guard_against_corrupt_inputs():
+    import pytest
+
+    with pytest.raises(ValueError, match="length mismatch"):
+        wkb.points_wkb_batch(np.array([1.0, 2.0]), np.array([1.0]), 3857)
+    with pytest.raises(ValueError, match="length mismatch"):
+        # numpy would happily broadcast the single y across all xs
+        wkb.coords_bytes(np.array([1.0, 2.0, 3.0]), np.array([9.0]))
+    with pytest.raises(ValueError, match="NaN/null"):
+        wkb.coords_bytes(np.array([1.0, math.nan]), np.array([2.0, 3.0]))
 
 
 def test_points_batch_preserves_special_float_bits():
