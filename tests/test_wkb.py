@@ -103,6 +103,46 @@ def struct_pack_ring(coords):
     return out + b"".join(struct.pack("<dd", x, y) for x, y in coords)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    finite = st.floats(
+        allow_nan=False, allow_infinity=False, width=64, min_value=-2e7, max_value=2e7
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(finite, finite), min_size=1, max_size=300))
+    def test_points_batch_roundtrip_property(pts):
+        xs = np.array([p[0] for p in pts])
+        ys = np.array([p[1] for p in pts])
+        for (x, y), b in zip(pts, wkb.points_wkb_batch(xs, ys, 3857)):
+            parsed = wkb.parse_wkb(b)
+            assert parsed == {"type": "Point", "srid": 3857, "coords": (x, y)}
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.tuples(finite, finite), min_size=2, max_size=80),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_linestrings_batch_roundtrip_property(rows):
+        xs_l = [np.array([p[0] for p in r]) for r in rows]
+        ys_l = [np.array([p[1] for p in r]) for r in rows]
+        batch = wkb.linestrings_wkb_batch(xs_l, ys_l, 3857)
+        for row, b in zip(rows, batch):
+            parsed = wkb.parse_wkb(b)
+            assert parsed["type"] == "LineString" and parsed["srid"] == 3857
+            assert parsed["coords"] == row
+            # and the bytes are exactly what the scalar writer produces
+            assert b == wkb.linestring_wkb(row, 3857)
+
+except ImportError:  # pragma: no cover - hypothesis is in the env per brief
+    pass
+
+
 def test_expr_variants_match_struct_input_udfs(spark):
     """The engine's xs/ys-split expr builders must emit the same bytes as
     the struct-input UDFs they replaced (which stay as the per-row
