@@ -38,104 +38,90 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records at most 50 entries per round, taken
-# in dict order. ROUND-7 WINDOW: the first 50 names of the 90-query
-# rotation queue committed in round 6 (registry minus every query with a
-# driver row through r06), executed verbatim per the round-6 verdict.
-# events_did (position 38) was fixed THIS round before spending its slot:
-# the old 2001-06-15 cutover predated the all-2024 fixture, making it
-# vacuously green (0 rows); the cutover is now 2024-01-15 (5 rows at
-# sf0.001/0.01) and check_oracle.py flags any 0-row oracle as WEAK.
-# All 50 green on the round-7 STRICT local gate (full-precision repr float
-# hash + banned-type audit + zero-row WEAK flag) before this list landed.
+# in dict order. ROUND-8 WINDOW: 7 re-check slots + ALL 43 registered
+# queries that still lack a driver row (cumulative after this window:
+# 242/242). The round-7 verdict budgeted 8 re-checks + 42 fresh, reserving
+# a slot for doc_source_similarity — but its r07 driver row was recorded
+# AGAINST the post-pin code (the simjoin localCheckpoint commits 4c32aac/
+# 71d9042 predate the r07 correctness run, and CORRECTNESS_r07 shows it
+# hash-green), so under the round-5 guard rule ("re-check iff code changed
+# after the query's LAST driver row") it needs no slot and every fresh
+# name fits.
+#
+# RE-CHECK audit (git diff bef3d46..e006a51, every round-7 commit):
+#   * datapipe/timeseries.py — _step_major_scan null/negative guards →
+#     events_ewma, events_holt (last rows r06, predate the change).
+#   * datapipe/simjoin.py — pinned shared tokenization frames →
+#     doc_ppjoin, doc_cosine_pairs, doc_winnow_pairs, doc_containment,
+#     doc_minhash_accuracy (last rows predate the pins).
+#     doc_source_similarity / doc_lsh_pr / doc_lsh_pr_curve also ride
+#     these kernels but are r07-green post-change: no slot.
+#   * benchqueries.py — deleted two DEAD SQL-string helpers only
+#     (_REV_E4_SQL, _cents_sum_sql; no query referenced them): no slot.
+#   * benchqueries_{ext,mining,r4,r4b}.py, stats.py, evaluation.py,
+#     multimodal.py — every touched query function is either r07-green
+#     (events_did, events_kendall_tau, doc_lsh_pr*) or in the fresh list
+#     below (media_*, sampled variants, cust_except_months).
+#   * geom/{build,py_geom,wkb}.py, pipeline/engine.py, sources/pbf.py —
+#     import-pipeline only; the symbols benchqueries import (line_length,
+#     is_closed_refs, proj.*, resolve_way_coords, zorder_key, grid_join)
+#     are all byte-unchanged in round 7.
+# All 50 names re-gated strict green (scripts/check_oracle.py: repr-float
+# hash + banned-type audit + zero-row WEAK flag) at sf0.01 this round
+# before this list landed; the 7 re-checks also at sf0.1.
 _DRIVER_FIRST = [
-    "emb_silhouette",
-    "orders_percent_rank",
-    "doc_source_similarity",
-    "events_heatmap",
-    "lineitem_weighted_median",
-    "orders_priority_drift",
-    "events_growth_accounting",
-    "doc_lsh_pr",
-    "events_cuped",
-    "emb_cluster_purity",
-    "doc_lsh_pr_curve",
-    "events_hazard",
-    "doc_pii_report",
-    "orders_dup_payments",
-    "orders_cycle_time",
-    "emb_ball_query",
-    "supplier_hhi",
-    "emb_mmr_select",
-    "events_k_anonymity",
-    "cust_gini",
-    "events_benford",
-    "events_spearman",
-    "events_kcore",
-    "doc_collocation_llr",
-    "doc_zipf",
-    "doc_textrank",
-    "events_mutual_info",
-    "doc_shard_plan",
-    "emb_kcenter",
-    "events_dispersion",
-    "orders_burstiness",
-    "events_transition_entropy",
-    "events_ks_test",
-    "events_conversion_ci",
-    "events_markov_stationary",
-    "events_kendall_tau",
-    "orders_churn_labels",
-    "events_did",
-    "emb_cluster_ari",
-    "doc_tokenizer_fertility",
-    "events_eta_squared",
-    "doc_simpson_diversity",
-    "events_runs_test",
-    "doc_char_entropy",
-    "cust_palma",
-    "events_qq_drift",
-    "doc_bloom_decontaminate",
-    "doc_chunk_overlap",
-    "doc_clean_sample",
-    "doc_corpus_diff",
-    # ROUND-8 QUEUE — the 40 registered queries that will still lack a
-    # driver row after this window lands (queue positions 51-90 of the
-    # round-6 rotation, verbatim), PLUS:
-    #   * RE-CHECK slots (code changed after the query's last driver row,
-    #     the round-5 guard rule):
-    #     - events_ewma, events_holt — round 7 added null/negative guards
-    #       to their _step_major_scan kernel (datapipe/timeseries.py);
-    #     - doc_ppjoin, doc_winnow_pairs, doc_cosine_pairs,
-    #       doc_containment, doc_minhash_accuracy, doc_source_similarity —
-    #       round 7 pinned their shared tokenization frames
-    #       (datapipe/simjoin.py localCheckpoints; values unchanged).
-    #     All eight re-gated strict green at sf0.01 AND sf0.1 after the
-    #     change this round, but the driver should confirm. The window
-    #     queries the simjoin pins touch (doc_lsh_pr, doc_lsh_pr_curve)
-    #     were likewise re-gated at both SFs after the pins landed.
-    #     No other round-7 change touched oracle-backed code: the
-    #     ORACLES-dict diff vs round 6 shows only events_did changed
-    #     (intended), the engine pinning affects no bench query, and
-    #     media_features now PINS the digest decoder explicitly (re-gated).
-    #   * the three queries REGISTERED in round 7 (listed at the end).
-    # Total round-8 window: 8 re-checks + 43 fresh = 51 names (the driver
-    # records 50 — drop the last fresh name to round 9 if needed).
-    #   doc_curate, doc_decontaminate, doc_dsir_weights, doc_inverted_index,
-    #   doc_lsh_pr_curve_sampled, doc_lsh_pr_sampled,
-    #   doc_minhash_accuracy_sampled, doc_mix_temperature,
-    #   doc_pairgraph_triangles, doc_perplexity_bins, doc_quality_matrix,
-    #   doc_repetition, doc_sample_stratified, doc_scrub, doc_split_assign,
-    #   doc_tfidf_topk, doc_vocab_topk, emb_ivfpq_topk, emb_label_centroids,
-    #   emb_neardup_clusters, emb_norm_stats, emb_pq_topk, emb_quantize,
-    #   emb_semdedup, events_asof_nearest, events_cube_distinct,
-    #   events_json_props, events_moving_avg, events_retention,
-    #   events_salted_agg, events_session_window, lineitem_unpivot,
-    #   media_dedup_exact, media_features, media_frame_sample,
-    #   media_resize_meta, orders_hotkey_join, orders_price_deciles,
-    #   orders_salted_join, osm_zorder_key;
-    # plus the queries REGISTERED in round 7 (never queued before):
-    #   emb_knn_graph_sampled, emb_neardup_clusters_sampled,
-    #   cust_except_months.
+    # -- re-checks (code changed after their last driver row) --
+    "events_ewma",
+    "events_holt",
+    "doc_ppjoin",
+    "doc_cosine_pairs",
+    "doc_winnow_pairs",
+    "doc_containment",
+    "doc_minhash_accuracy",
+    # -- the 43 never-driver-checked names (registry complete after this) --
+    "cust_except_months",
+    "doc_curate",
+    "doc_decontaminate",
+    "doc_dsir_weights",
+    "doc_inverted_index",
+    "doc_lsh_pr_curve_sampled",
+    "doc_lsh_pr_sampled",
+    "doc_minhash_accuracy_sampled",
+    "doc_mix_temperature",
+    "doc_pairgraph_triangles",
+    "doc_perplexity_bins",
+    "doc_quality_matrix",
+    "doc_repetition",
+    "doc_sample_stratified",
+    "doc_scrub",
+    "doc_split_assign",
+    "doc_tfidf_topk",
+    "doc_vocab_topk",
+    "emb_ivfpq_topk",
+    "emb_knn_graph_sampled",
+    "emb_label_centroids",
+    "emb_neardup_clusters",
+    "emb_neardup_clusters_sampled",
+    "emb_norm_stats",
+    "emb_pq_topk",
+    "emb_quantize",
+    "emb_semdedup",
+    "events_asof_nearest",
+    "events_cube_distinct",
+    "events_json_props",
+    "events_moving_avg",
+    "events_retention",
+    "events_salted_agg",
+    "events_session_window",
+    "lineitem_unpivot",
+    "media_dedup_exact",
+    "media_features",
+    "media_frame_sample",
+    "media_resize_meta",
+    "orders_hotkey_join",
+    "orders_price_deciles",
+    "orders_salted_join",
+    "osm_zorder_key",
 ]
 
 # A typo here would silently shrink the driver's 50-row window (unknown

@@ -37,6 +37,45 @@ from imposm3_spark.mapping.matcher import (
 )
 from imposm3_spark.pipeline.resolve import resolve_way_coords
 
+_CLIP_STRUCT_DDL = (
+    "struct<wkb:binary,area:double,minx:double,miny:double,"
+    "maxx:double,maxy:double>"
+)
+
+
+def _polygon_clip_rows(limiter, srid: int):
+    """Shared J6 way-polygon cut kernel: iterate (ring | None) ->
+    pd.DataFrame(wkb, area, minx, miny, maxx, maxy). One body for the
+    struct-input and xs/ys-input UDF variants so they stay byte-identical
+    (pinned by tests/test_limit_pipeline.py)."""
+
+    def run(ring_iter) -> pd.DataFrame:
+        rows = []
+        empty = (None, None, None, None, None, None)
+        for ring in ring_iter:
+            if ring is None or len(ring) < 4:
+                rows.append(empty)
+                continue
+            polygons, _area = py_geom.repair_polygon(ring)
+            polygons = limiter.clip_polygons(polygons)
+            if not polygons:
+                rows.append(empty)
+                continue
+            if len(polygons) == 1:
+                wkb = wkblib.polygon_wkb(polygons[0], srid)
+            else:
+                wkb = wkblib.multipolygon_wkb(polygons, srid)
+            area = py_geom.multipolygon_area(polygons)
+            pts = [pt for poly in polygons for r in poly for pt in r]
+            minx, miny, maxx, maxy = py_geom.bbox(pts)
+            rows.append((wkb, area, minx, miny, maxx, maxy))
+        return pd.DataFrame(
+            rows, columns=["wkb", "area", "minx", "miny", "maxx", "maxy"]
+        )
+
+    return run
+
+
 MULTIPOLYGON_SCHEMA = (
     "rel_id bigint, wkb binary, area double, "
     "minx double, miny double, maxx double, maxy double, "
@@ -238,43 +277,57 @@ class ImportPipeline:
         """J6 polygon cut: build + MakeValid + boolean intersection with
         the limit-to region, emitting WKB/area/bbox of the clipped result
         (contained polygons pass through unchanged — limit.go:280; crossing
-        polygons are cut like GEOS Intersection — limit.go:303)."""
+        polygons are cut like GEOS Intersection — limit.go:303).
+
+        Struct-input reference variant; the engine's limiter branch uses
+        _polygon_clip_expr (same row kernel, xs/ys Arrow transfer)."""
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        limiter = self.limiter
-        srid = self.srid
+        kernel = _polygon_clip_rows(self.limiter, self.srid)
 
-        @pandas_udf(
-            "struct<wkb:binary,area:double,minx:double,miny:double,"
-            "maxx:double,maxy:double>"
-        )
+        @pandas_udf(_CLIP_STRUCT_DDL)
         def clip(coords: pd.Series) -> pd.DataFrame:
-            rows = []
-            empty = (None, None, None, None, None, None)
-            for arr in coords:
-                if arr is None or len(arr) < 4:
-                    rows.append(empty)
-                    continue
-                ring = [(c["x"], c["y"]) for c in arr]
-                polygons, _area = py_geom.repair_polygon(ring)
-                polygons = limiter.clip_polygons(polygons)
-                if not polygons:
-                    rows.append(empty)
-                    continue
-                if len(polygons) == 1:
-                    wkb = wkblib.polygon_wkb(polygons[0], srid)
-                else:
-                    wkb = wkblib.multipolygon_wkb(polygons, srid)
-                area = py_geom.multipolygon_area(polygons)
-                pts = [pt for poly in polygons for r in poly for pt in r]
-                minx, miny, maxx, maxy = py_geom.bbox(pts)
-                rows.append((wkb, area, minx, miny, maxx, maxy))
-            return pd.DataFrame(
-                rows, columns=["wkb", "area", "minx", "miny", "maxx", "maxy"]
+            rings = (
+                None if arr is None else [(c["x"], c["y"]) for c in arr]
+                for arr in coords
             )
+            return kernel(rings)
 
         return clip
+
+    def _polygon_clip_xy_udf(self):
+        """xs/ys-input variant of _polygon_clip_udf: Arrow ships two plain
+        float64 arrays per row instead of a Python dict per coordinate —
+        the same sink-boundary win the default (unlimited) way-polygon
+        branch gets from polygon_valid_wkb_area_expr (geom/build.py)."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        kernel = _polygon_clip_rows(self.limiter, self.srid)
+
+        @pandas_udf(_CLIP_STRUCT_DDL)
+        def clip_xy(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+            def ring(x_arr, y_arr):
+                if x_arr is None:
+                    return None
+                # null struct / null ordinate becomes NaN after the JVM
+                # split; the struct path crashed loudly on those — keep that
+                if np.isnan(x_arr).any() or np.isnan(y_arr).any():
+                    raise ValueError("NaN/null coordinate in polygon ring")
+                return list(zip(x_arr.tolist(), y_arr.tolist()))
+
+            return kernel(ring(x, y) for x, y in zip(xs, ys))
+
+        return clip_xy
+
+    def _polygon_clip_expr(self, coords: Column) -> Column:
+        """Same result struct as _polygon_clip_udf(coords) with the
+        struct->(xs, ys) split done JVM-side."""
+        xs = F.transform(coords, lambda c: c["x"])
+        ys = F.transform(coords, lambda c: c["y"])
+        return self._polygon_clip_xy_udf()(xs, ys)
 
     def _with_matches(self, df: DataFrame, units: list[MatchUnit]) -> DataFrame:
         """Evaluate every unit's match expression in one pass (no shuffle)."""
@@ -387,8 +440,10 @@ class ImportPipeline:
                 geom_area = F.lit(0.0)
             elif self.limiter is not None:
                 # build + MakeValid + boolean cut in one pandas UDF
+                # (xs/ys Arrow transfer — same fast lane as the default
+                # branch's polygon_valid_wkb_area_expr)
                 matched = matched.withColumn(
-                    "_pg", self._polygon_clip_udf()(F.col("_coords"))
+                    "_pg", self._polygon_clip_expr(F.col("_coords"))
                 ).filter(F.col("_pg.wkb").isNotNull())
                 geom_wkb = F.col("_pg.wkb")
                 geom_area = F.col("_pg.area")

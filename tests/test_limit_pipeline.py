@@ -180,3 +180,57 @@ def test_without_limiter_keeps_everything(spark, clip_file):
     assert set(rows) == {1, 2}
     assert rows[1]["in_box"] is True and rows[2]["in_box"] is False
     assert rows[1]["box_name"] == "box" and rows[2]["box_name"] == ""
+
+
+def test_polygon_clip_xy_matches_struct_udf(spark, clip_file):
+    """The limiter way-polygon branch moved to the xs/ys Arrow fast lane
+    (round 8); pin the xy variant byte-identical to the struct-input
+    reference UDF across crossing / contained / outside / degenerate /
+    self-intersecting rings."""
+    from imposm3_spark.geom.proj import py_wgs_to_merc
+
+    limiter = Limiter(load_geojson(clip_file, transform=3857))
+    pipe = ImportPipeline(
+        load_mapping_str(POLY_MAPPING, fmt="json"), srid=3857, limiter=limiter
+    )
+
+    def merc_ring(pts):
+        return [
+            {"x": py_wgs_to_merc(x, y)[0], "y": py_wgs_to_merc(x, y)[1]}
+            for x, y in pts
+        ]
+
+    rows = [
+        # crossing square (right half outside the box)
+        (1, merc_ring([(0.5, 0.2), (1.5, 0.2), (1.5, 0.8), (0.5, 0.8), (0.5, 0.2)])),
+        # fully contained
+        (2, merc_ring([(0.1, 0.1), (0.2, 0.1), (0.2, 0.2), (0.1, 0.2), (0.1, 0.1)])),
+        # fully outside
+        (3, merc_ring([(5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 6.0), (5.0, 5.0)])),
+        # bowtie (self-intersecting, repaired by MakeValid) straddling the edge
+        (4, merc_ring([(0.8, 0.3), (1.2, 0.7), (1.2, 0.3), (0.8, 0.7), (0.8, 0.3)])),
+        # degenerate: too few points
+        (5, merc_ring([(0.5, 0.5), (0.6, 0.5), (0.5, 0.5)])),
+        # null coords array
+        (6, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, coords array<struct<x:double,y:double>>"
+    )
+    got = (
+        df.select(
+            "id",
+            pipe._polygon_clip_udf()(F.col("coords")).alias("ref"),
+            pipe._polygon_clip_expr(F.col("coords")).alias("fast"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert len(got) == 6
+    saw_wkb = 0
+    for r in got:
+        assert r["ref"] == r["fast"], f"id={r['id']}"
+        if r["ref"]["wkb"] is not None:
+            saw_wkb += 1
+            assert bytes(r["ref"]["wkb"]) == bytes(r["fast"]["wkb"])
+    assert saw_wkb == 3  # 1, 2, 4 produce geometry; 3, 5, 6 are empty

@@ -1243,3 +1243,107 @@ def test_sampled_knn_filter_below_matmul(spark):
         plan = _executed_plan(df)
         assert "md5" in optimized and "% 2) = 0)" in optimized, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_engine_way_paths_use_xy_udfs(spark):
+    """The import sink's densest UDF inputs (way linestring/polygon build)
+    must ride the xs/ys Arrow fast lane: the struct-input reference UDFs
+    (linestring_wkb_udf, polygon_valid_wkb_area_udf, _polygon_clip_udf's
+    `clip`) are kept as reference implementations but NO engine-emitted
+    plan may call them — a regression here reintroduces a Python dict per
+    coordinate at the Arrow boundary (round-7 measured ~9x on the encode
+    stage)."""
+    import json
+
+    from imposm3_spark.geom.clip import Limiter
+    from imposm3_spark.mapping.config import load_mapping_str
+    from imposm3_spark.pipeline.engine import ImportPipeline
+    from imposm3_spark.sources.geojson import load_geojson
+    from imposm3_spark.sources.osm_xml import NODE_SCHEMA, WAY_SCHEMA
+
+    mapping = load_mapping_str(
+        json.dumps(
+            {
+                "tables": {
+                    "roads": {
+                        "type": "linestring",
+                        "mapping": {"highway": ["path"]},
+                        "columns": [
+                            {"name": "osm_id", "type": "id"},
+                            {"name": "geometry", "type": "geometry"},
+                        ],
+                    },
+                    "landuse": {
+                        "type": "polygon",
+                        "mapping": {"landuse": ["park"]},
+                        "columns": [
+                            {"name": "osm_id", "type": "id"},
+                            {"name": "geometry", "type": "geometry"},
+                        ],
+                    },
+                }
+            }
+        ),
+        fmt="json",
+    )
+    nodes = spark.createDataFrame(
+        [
+            (30, 0.1, 0.1, {}, None),
+            (31, 0.2, 0.1, {}, None),
+            (32, 0.2, 0.2, {}, None),
+            (33, 0.1, 0.2, {}, None),
+        ],
+        NODE_SCHEMA,
+    )
+    ways = spark.createDataFrame(
+        [
+            (100, [30, 31, 32], {"highway": "path"}, None),
+            (200, [30, 31, 32, 33, 30], {"landuse": "park"}, None),
+        ],
+        WAY_SCHEMA,
+    )
+
+    banned = ("linestring_wkb_udf(", "polygon_valid_wkb_area_udf(", "clip(")
+    required_by_table = {
+        "roads": "_linestring_wkb_xy_udf(",
+        "landuse": "_polygon_valid_wkb_area_xy_udf(",
+    }
+
+    # default (unlimited) branch
+    pipe = ImportPipeline(mapping, srid=3857)
+    coords = pipe.prepare_coords(nodes)
+    for name, df in pipe.way_tables(ways, coords).items():
+        plan = _executed_plan(df)
+        for b in banned:
+            assert b not in plan, f"{name}: struct-input UDF {b} in plan"
+        assert required_by_table[name] in plan, name
+
+    # limiter branch: polygon cut must use clip_xy, line clip stays (its
+    # output is array-of-parts either way; only the cut was ported)
+    import tempfile
+
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]],
+                },
+            }
+        ],
+    }
+    with tempfile.NamedTemporaryFile("w", suffix=".geojson", delete=False) as f:
+        json.dump(gj, f)
+        path = f.name
+    limiter = Limiter(load_geojson(path, transform=3857))
+    lpipe = ImportPipeline(mapping, srid=3857, limiter=limiter)
+    lplans = {
+        name: _executed_plan(df)
+        for name, df in lpipe.way_tables(ways, lpipe.prepare_coords(nodes)).items()
+    }
+    for b in ("polygon_valid_wkb_area_udf(", "clip("):
+        assert b not in lplans["landuse"], f"struct-input {b} in limiter plan"
+    assert "clip_xy(" in lplans["landuse"]
