@@ -112,6 +112,10 @@ def _batch_srid(srid: pd.Series) -> int:
 
 @pandas_udf(BinaryType())
 def point_wkb_udf(x: pd.Series, y: pd.Series, srid: pd.Series) -> pd.Series:
+    """Point EWKB. CONTRACT: srid must be a plan literal (F.lit) — all
+    rows of a batch must agree; mixed per-row srid values raise (see
+    _batch_srid). Per-row srid callers should use the scalar
+    wkb.point_wkb writer instead."""
     if len(x) == 0:
         return pd.Series([], dtype=object)
     # NULL ordinates arrive as NaN in the Arrow float64 batch and encode
@@ -208,7 +212,10 @@ def polygon_valid_wkb_area_udf(coords: pd.Series, srid: pd.Series) -> pd.DataFra
     """Way-polygon build + MakeValid + area in one pass (writer/ways.go:
     146-150): self-intersecting rings are split into simple sub-rings,
     classified shell/hole, and the area is computed on the repaired
-    geometry (a bowtie's halves ADD instead of cancel)."""
+    geometry (a bowtie's halves ADD instead of cancel).
+
+    CONTRACT: srid must be a plan literal (F.lit) — mixed per-row srid
+    values in one batch raise (see _batch_srid)."""
     rings = (
         None if arr is None or len(arr) < 4 else [(c["x"], c["y"]) for c in arr]
         for arr in coords

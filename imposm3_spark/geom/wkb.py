@@ -84,8 +84,10 @@ def points_wkb_batch(
     IEEE bits, exactly like the scalar point_wkb (the engine's projected
     coords are non-null by construction; a NaN reaching the sink writes
     the same bytes the per-row writer always wrote, no silent NULLs)."""
-    x = np.asarray(x, dtype="<f8")
-    y = np.asarray(y, dtype="<f8")
+    # ascontiguousarray, not asarray: .view(np.uint8) below requires C
+    # contiguity, and asarray would pass a strided float64 slice through
+    x = np.ascontiguousarray(x, dtype="<f8")
+    y = np.ascontiguousarray(y, dtype="<f8")
     if len(x) != len(y):
         raise ValueError(f"x/y length mismatch: {len(x)} != {len(y)}")
     n = len(x)
@@ -122,10 +124,15 @@ def linestrings_wkb_batch(
     srid: int | None = None,
 ) -> list[bytes | None]:
     """EWKB linestrings from per-row coordinate arrays (already deduped);
-    rows with <2 points encode to None (geom.go:81-85 invalid line)."""
+    rows with <2 points encode to None (geom.go:81-85 invalid line). A row
+    where exactly one of xs/ys is null raises — that can only be corrupt
+    input (the engine splits both arrays from one coords column), and it
+    must not silently drop a geometry."""
     header = _header(WKB_LINESTRING, srid)
     out: list[bytes | None] = []
     for xs, ys in zip(xs_list, ys_list):
+        if (xs is None) != (ys is None):
+            raise ValueError("xs/ys null mismatch in one row")
         if xs is None or len(xs) < 2:
             out.append(None)
         else:

@@ -169,3 +169,36 @@ def test_expr_variants_match_struct_input_udfs(spark):
     for r in out:
         assert r.line_ref == r.line_new, r.id
         assert r.pg_ref == r.pg_new, r.id
+
+
+def test_linestrings_batch_null_mismatch_raises():
+    """A row with exactly one of xs/ys null is corrupt input (both derive
+    from one coords column): loud ValueError, not TypeError or a silent
+    None geometry (round-8 advice)."""
+    import numpy as np
+    import pytest
+
+    from imposm3_spark.geom import wkb as wkblib
+
+    xs = [np.array([0.0, 1.0, 2.0])]
+    with pytest.raises(ValueError, match="null mismatch"):
+        wkblib.linestrings_wkb_batch(xs, [None], srid=3857)
+    # both-null row is a legitimate invalid line -> None
+    assert wkblib.linestrings_wkb_batch([None], [None], srid=3857) == [None]
+
+
+def test_points_batch_accepts_strided_input():
+    """points_wkb_batch must not require C-contiguous input: a sliced
+    float64 column view (stride 16 bytes) encodes the same bytes as a
+    contiguous copy (round-8 advice: ascontiguousarray, not asarray)."""
+    import numpy as np
+
+    from imposm3_spark.geom import wkb as wkblib
+
+    interleaved = np.arange(8, dtype="<f8").reshape(4, 2)
+    xs, ys = interleaved[:, 0], interleaved[:, 1]  # strided views
+    assert not xs.flags["C_CONTIGUOUS"]
+    got = wkblib.points_wkb_batch(xs, ys, srid=3857)
+    want = wkblib.points_wkb_batch(xs.copy(), ys.copy(), srid=3857)
+    assert got == want
+    assert got[0] == wkblib.point_wkb(0.0, 1.0, 3857)
