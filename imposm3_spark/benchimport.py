@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 
 FIXTURE = "/root/reference/test/complete_db.osm"
 MAPPING = "/root/reference/test/complete_db_mapping.json"
+# Second mapping pass: route/route_master relation_member tables (J4 member
+# resolution — test/route_relation_test.go) so the timed chain covers the
+# member-geometry path, not just multipolygon assembly. Monaco has real
+# route=bus relations.
+ROUTE_MAPPING = "/root/reference/test/route_relation_mapping.yml"
 # Real-data input (preferred): a genuine city extract, read through the
 # distributed PBF blob scan with the mapping tag-prefilter pushed into
 # the decode tasks — the same chain a planet import runs.
@@ -128,13 +133,22 @@ def import_bench(spark: SparkSession, copies: int | None = None) -> dict:
         return one.count()
 
     mapping = load_mapping(MAPPING)
+    # SPARK_GRAFT_IMPORT_ROUTES=0 drops the route pass — for warm in-JVM
+    # A/B attribution of its cost (the headline metric includes it)
+    with_routes = os.environ.get("SPARK_GRAFT_IMPORT_ROUTES", "1") != "0"
+    route_mapping = load_mapping(ROUTE_MAPPING) if with_routes else None
     stages: dict[str, float] = {}
     t0 = time.perf_counter()
     if use_pbf:
-        # distributed blob scan + decode, mapping prefilter pushed into
-        # the decode tasks (reference parity: reader applies the filter
-        # before caching — reader/reader.go:124,166,238)
-        nodes, ways, relations = read_pbf(spark, PBF_FIXTURE, mapping=mapping)
+        # distributed blob scan + decode, the UNION of both mappings'
+        # prefilters pushed into the decode tasks (reference parity:
+        # reader applies the filter before caching —
+        # reader/reader.go:124,166,238)
+        nodes, ways, relations = read_pbf(
+            spark,
+            PBF_FIXTURE,
+            mapping=[mapping, route_mapping] if with_routes else mapping,
+        )
     else:
         nodes, ways, relations = read_osm_xml(spark, FIXTURE)
     # round-robin the SEED rows across the executors, THEN explode: the
@@ -152,19 +166,28 @@ def import_bench(spark: SparkSession, copies: int | None = None) -> dict:
     stages["parse"] = round(time.perf_counter() - t0, 3)
 
     pipe = ImportPipeline(mapping, srid=3857)
+    route_pipe = ImportPipeline(route_mapping, srid=3857) if with_routes else None
     coords = pipe.prepare_coords(nodes).localCheckpoint()
 
     # Build each phase's table plans ONCE and keep the objects: the
     # engine pins each phase's shared frontier (materialize_shared), so
     # the per-stage counts below do the real resolve/assembly work and
     # the sink write then reuses it — per-stage + sink sums to a true
-    # single-pass e2e wall, nothing is executed twice.
+    # single-pass e2e wall, nothing is executed twice. The route pipeline
+    # (second mapping pass) contributes its relation/relation_member
+    # tables to the relations stage — J4 member resolution is timed.
     way_parts = pipe.way_tables(ways, coords)
-    rel_parts: dict[str, list] = {}
-    for part in (
+    rel_phase = [
         pipe.relation_tables(relations, ways, coords),
         pipe.relation_member_tables(relations, ways, nodes, coords=coords),
-    ):
+    ]
+    if route_pipe is not None:
+        rel_phase.append(route_pipe.relation_tables(relations, ways, coords))
+        rel_phase.append(
+            route_pipe.relation_member_tables(relations, ways, nodes, coords=coords)
+        )
+    rel_parts: dict[str, list] = {}
+    for part in rel_phase:
         for name, df in part.items():
             rel_parts.setdefault(name, []).append(df)
     node_parts = pipe.node_tables(nodes)
@@ -227,6 +250,7 @@ def import_bench(spark: SparkSession, copies: int | None = None) -> dict:
         "rows_out": rows_out,
         "elements_per_sec": round(elements_in / wall, 1) if wall else None,
         "stages": stages,
+        "tables": sorted(tables),
     }
 
 

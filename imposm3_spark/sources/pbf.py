@@ -449,7 +449,13 @@ def read_pbf(
     before caching, reader/reader.go:124,166,238) — unreferenced tags are
     dropped before rows are serialized to the JVM, so the Python->Arrow
     transfer and every downstream shuffle carry only needed keys. Semantics
-    match mapping.matcher.tag_prefilter_expr (pinned by tests)."""
+    match mapping.matcher.tag_prefilter_expr (pinned by tests).
+
+    ``mapping`` may also be a sequence of Mapping objects (one parse
+    feeding several import pipelines, e.g. a geometry mapping plus a
+    route-relation mapping): a tag survives decode if ANY mapping keeps
+    it — each downstream pipeline still applies its own exact
+    tag_prefilter_expr, so the union only widens what reaches the JVM."""
     path = str(Path(path).absolute())
     index = [(off, size) for btype, off, size in scan_blobs(path) if btype == "OSMData"]
     if not index:
@@ -464,9 +470,24 @@ def read_pbf(
     if mapping is not None:
         from imposm3_spark.mapping.matcher import python_tag_filter
 
-        nf = python_tag_filter(mapping, "node")
-        wf = python_tag_filter(mapping, "way")
-        rf = python_tag_filter(mapping, "relation")
+        mappings = mapping if isinstance(mapping, (list, tuple)) else (mapping,)
+
+        def union_filter(kind: str):
+            fs = [python_tag_filter(m, kind) for m in mappings]
+            if len(fs) == 1:
+                return fs[0]
+
+            def keep(tags: dict) -> dict:
+                out: dict = {}
+                for f in fs:
+                    out.update(f(tags))
+                return out
+
+            return keep
+
+        nf = union_filter("node")
+        wf = union_filter("way")
+        rf = union_filter("relation")
     else:
         nf = wf = rf = None
 

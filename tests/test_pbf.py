@@ -158,3 +158,32 @@ def test_mapping_pushdown_matches_expression_prefilter(spark, pbf_path):
     # pushdown keeps row counts (tagless rows remain as coords)
     assert push_n.count() == plain_n.count()
     assert push_w.count() == plain_w.count()
+
+
+def test_read_pbf_union_prefilter(spark):
+    """read_pbf(mapping=[m1, m2]) keeps a tag if ANY mapping keeps it —
+    one parse can feed several pipelines (benchimport's geometry + route
+    passes) without re-reading the file."""
+    from imposm3_spark.mapping.config import load_mapping
+    from imposm3_spark.sources.pbf import read_pbf
+
+    pbf = (
+        "/root/reference/vendor/github.com/omniscale/go-osm/parser/pbf/"
+        "monaco-20150428.osm.pbf"
+    )
+    geo = load_mapping("/root/reference/test/complete_db_mapping.json")
+    route = load_mapping("/root/reference/test/route_relation_mapping.yml")
+
+    _, _, rels_geo = read_pbf(spark, pbf, mapping=geo)
+    _, _, rels_union = read_pbf(spark, pbf, mapping=[geo, route])
+
+    from pyspark.sql import functions as F
+
+    def with_key(df, key):
+        return df.filter(F.col("tags").getItem(key).isNotNull()).count()
+
+    # the route mapping needs the relation "route" tag; the geometry
+    # mapping alone filters it out, the union keeps it
+    assert with_key(rels_geo, "route") == 0
+    assert with_key(rels_union, "route") > 0
+    assert rels_union.count() >= rels_geo.count()
