@@ -135,7 +135,10 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
-        json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
+        # sidecar carries ONLY the per-query timings (+ the sf they were
+        # taken at); the summary lives in the driver-captured final line —
+        # duplicating it here went stale the moment the driver re-ran
+        json.dump({"sf": summary["sf"], "queries": timings}, f, indent=1, sort_keys=True)
     print(json.dumps({"queries": timings}), flush=True)
     print(json.dumps(summary), flush=True)
     spark.stop()

@@ -24,6 +24,7 @@ from imposm3_spark.datapipe import graph as gr
 from imposm3_spark.datapipe import kmeans as km
 from imposm3_spark.datapipe import mining as mn
 from imposm3_spark.datapipe import stats as st
+from imposm3_spark.datapipe.evaluation import sampled_docs_sql
 from imposm3_spark.datapipe import timeseries as ts_
 
 _BASKET_PAIRS_ORACLE = """
@@ -758,13 +759,6 @@ def _sql_minhash_accuracy() -> str:
     )
 
 
-def _sampled_docs_sql(sql: str) -> str:
-    """Shadow `documents` with the deterministic 1/2 sample (pair cost
-    1/4); shared helper in datapipe.evaluation.sampled_docs_sql."""
-    from imposm3_spark.datapipe.evaluation import sampled_docs_sql
-
-    return sampled_docs_sql(sql, mod=2)
-
 
 @register("doc_minhash_accuracy", _sql_minhash_accuracy())
 def doc_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,7 +770,7 @@ def doc_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_accuracy(_t(spark, sf_dir, "documents"))
 
 
-@register("doc_minhash_accuracy_sampled", _sampled_docs_sql(_sql_minhash_accuracy()))
+@register("doc_minhash_accuracy_sampled", sampled_docs_sql(_sql_minhash_accuracy()))
 def doc_minhash_accuracy_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_minhash_accuracy on the deterministic 1/2 document sample —
     the sample_frac scale path: the exact shingle-set truth join is

@@ -21,6 +21,7 @@ from imposm3_spark.benchqueries import _t, register
 from imposm3_spark.datapipe import chunking as ck
 from imposm3_spark.datapipe import mining as mn
 from imposm3_spark.datapipe import stats as st
+from imposm3_spark.datapipe.evaluation import sampled_docs_sql
 from imposm3_spark.datapipe.stats import (
     CADENCE_CV,
     OLS2_DET,
@@ -1760,13 +1761,6 @@ def _sql_lsh_pr() -> str:
     """
 
 
-def _sampled_docs_sql(sql: str) -> str:
-    """Shadow `documents` with the deterministic 1/2 sample (pair cost
-    1/4); shared helper in datapipe.evaluation.sampled_docs_sql."""
-    from imposm3_spark.datapipe.evaluation import sampled_docs_sql
-
-    return sampled_docs_sql(sql, mod=2)
-
 
 @register("doc_lsh_pr", _sql_lsh_pr())
 def doc_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1777,7 +1771,7 @@ def doc_lsh_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pr(_t(spark, sf_dir, "documents"))
 
 
-@register("doc_lsh_pr_sampled", _sampled_docs_sql(_sql_lsh_pr()))
+@register("doc_lsh_pr_sampled", sampled_docs_sql(_sql_lsh_pr()))
 def doc_lsh_pr_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_lsh_pr on the deterministic 1/2 document sample — the
     sample_frac scale path: exact pairwise truth (ppjoin) is quadratic
@@ -1976,7 +1970,7 @@ def doc_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pr_curve(_t(spark, sf_dir, "documents"))
 
 
-@register("doc_lsh_pr_curve_sampled", _sampled_docs_sql(_sql_lsh_pr_curve()))
+@register("doc_lsh_pr_curve_sampled", sampled_docs_sql(_sql_lsh_pr_curve()))
 def doc_lsh_pr_curve_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_lsh_pr_curve on the deterministic 1/2 document sample — the
     sample_frac scale path for the quadratic exact-truth sweep
