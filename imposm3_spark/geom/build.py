@@ -153,6 +153,13 @@ def _linestring_wkb_xy_udf(xs: pd.Series, ys: pd.Series, srid: pd.Series) -> pd.
     )
 
 
+def linestring_wkb_xy_expr(xs: Column, ys: Column, srid: Column) -> Column:
+    """LineString EWKB from already-split xs/ys float64 arrays (e.g. the
+    engine's clipped-line parts, which come out of the clip UDF as plain
+    arrays) — skips the struct split entirely."""
+    return _linestring_wkb_xy_udf(xs, ys, srid)
+
+
 def linestring_wkb_expr(coords: Column, srid: Column) -> Column:
     """LineString EWKB from ARRAY<STRUCT<x,y>> — same bytes as
     linestring_wkb_udf, but the struct→(xs, ys) split happens JVM-side

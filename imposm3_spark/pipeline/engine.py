@@ -273,6 +273,42 @@ class ImportPipeline:
 
         return clip
 
+    def _clip_line_xy_udf(self):
+        """xs/ys-input variant of _clip_line_udf: plain float64 Arrow
+        arrays on BOTH sides of the Python boundary — each clipped part
+        comes back as (xs, ys) arrays that feed the linestring xy encoder
+        directly, so no per-coordinate dict is ever materialized on the
+        clipped-line path."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        limiter = self.limiter
+
+        @pandas_udf("array<struct<xs:array<double>,ys:array<double>>>")
+        def clip_line_xy(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            out = []
+            for x_arr, y_arr in zip(xs, ys):
+                if x_arr is None:
+                    out.append([])
+                    continue
+                pts = list(zip(x_arr.tolist(), y_arr.tolist()))
+                out.append(
+                    [
+                        {"xs": [p[0] for p in part], "ys": [p[1] for p in part]}
+                        for part in limiter.clip_line(pts)
+                    ]
+                )
+            return pd.Series(out, dtype=object)
+
+        return clip_line_xy
+
+    def _clip_line_expr(self, coords: Column) -> Column:
+        """array of clipped (xs, ys) parts with the struct->(xs, ys)
+        split done JVM-side."""
+        xs = F.transform(coords, lambda c: c["x"])
+        ys = F.transform(coords, lambda c: c["y"])
+        return self._clip_line_xy_udf()(xs, ys)
+
     def _polygon_clip_udf(self):
         """J6 polygon cut: build + MakeValid + boolean intersection with
         the limit-to region, emitting WKB/area/bbox of the clipped result
@@ -432,11 +468,23 @@ class ImportPipeline:
             geom_bbox = gb.bbox(F.col("_coords"))
             if is_line:
                 if self.limiter is not None:
-                    # each clipped part becomes its own row
+                    # each clipped part becomes its own row; parts travel
+                    # as (xs, ys) float64 arrays end-to-end (clip UDF out
+                    # -> encode UDF in), never as per-coordinate structs
                     matched = matched.withColumn(
-                        "_coords", F.explode(self._clip_line_udf()(F.col("_coords")))
+                        "_part", F.explode(self._clip_line_expr(F.col("_coords")))
                     )
-                geom_wkb = gb.linestring_wkb_expr(F.col("_coords"), F.lit(self.srid))
+                    geom_wkb = gb.linestring_wkb_xy_expr(
+                        F.col("_part.xs"), F.col("_part.ys"), F.lit(self.srid)
+                    )
+                    geom_bbox = F.struct(
+                        F.array_min("_part.xs").alias("minx"),
+                        F.array_min("_part.ys").alias("miny"),
+                        F.array_max("_part.xs").alias("maxx"),
+                        F.array_max("_part.ys").alias("maxy"),
+                    )
+                else:
+                    geom_wkb = gb.linestring_wkb_expr(F.col("_coords"), F.lit(self.srid))
                 geom_area = F.lit(0.0)
             elif self.limiter is not None:
                 # build + MakeValid + boolean cut in one pandas UDF

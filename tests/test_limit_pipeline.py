@@ -234,3 +234,45 @@ def test_polygon_clip_xy_matches_struct_udf(spark, clip_file):
             saw_wkb += 1
             assert bytes(r["ref"]["wkb"]) == bytes(r["fast"]["wkb"])
     assert saw_wkb == 3  # 1, 2, 4 produce geometry; 3, 5, 6 are empty
+
+
+def test_clip_line_xy_matches_struct_udf(spark, clip_file):
+    """The clipped-line path moved to xs/ys arrays on both UDF sides
+    (round 8): pin the xy clip variant value-identical to the struct
+    reference across crossing / contained / outside / null lines."""
+    limiter = Limiter(load_geojson(clip_file, transform=3857))
+    pipe = ImportPipeline(
+        load_mapping_str(MAPPING % (clip_file, clip_file), fmt="json"),
+        srid=3857,
+        limiter=limiter,
+    )
+    from imposm3_spark.geom.proj import py_wgs_to_merc
+
+    def merc_line(pts):
+        return [
+            {"x": py_wgs_to_merc(x, y)[0], "y": py_wgs_to_merc(x, y)[1]}
+            for x, y in pts
+        ]
+
+    rows = [
+        (1, merc_line([(0.4, 0.5), (0.6, 0.5)])),              # inside
+        (2, merc_line([(0.6, 0.5), (5.0, 0.5)])),              # exits the box
+        (3, merc_line([(5.0, 5.0), (6.0, 6.0)])),              # outside
+        (4, merc_line([(-1.0, 0.5), (2.0, 0.5), (2.0, -1.0), (0.5, 0.5)])),  # re-enters
+        (5, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, coords array<struct<x:double,y:double>>"
+    )
+    got = df.select(
+        "id",
+        pipe._clip_line_udf()(F.col("coords")).alias("ref"),
+        pipe._clip_line_expr(F.col("coords")).alias("fast"),
+    ).collect()
+    n_parts = 0
+    for r in got:
+        ref_parts = [[(c["x"], c["y"]) for c in part] for part in r["ref"]]
+        fast_parts = [list(zip(p["xs"], p["ys"])) for p in r["fast"]]
+        assert ref_parts == fast_parts, f"id={r['id']}"
+        n_parts += len(ref_parts)
+    assert n_parts >= 4  # ids 1, 2 and the re-entering line contribute parts

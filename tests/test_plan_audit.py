@@ -1318,8 +1318,8 @@ def test_engine_way_paths_use_xy_udfs(spark):
             assert b not in plan, f"{name}: struct-input UDF {b} in plan"
         assert required_by_table[name] in plan, name
 
-    # limiter branch: polygon cut must use clip_xy, line clip stays (its
-    # output is array-of-parts either way; only the cut was ported)
+    # limiter branch: polygon cut uses clip_xy, line clip uses
+    # clip_line_xy (both sides of the Python boundary are float64 arrays)
     import tempfile
 
     gj = {
@@ -1344,6 +1344,11 @@ def test_engine_way_paths_use_xy_udfs(spark):
         name: _executed_plan(df)
         for name, df in lpipe.way_tables(ways, lpipe.prepare_coords(nodes)).items()
     }
-    for b in ("polygon_valid_wkb_area_udf(", "clip("):
-        assert b not in lplans["landuse"], f"struct-input {b} in limiter plan"
+    for name, plan in lplans.items():
+        for b in banned:
+            assert b not in plan, f"{name}: struct-input UDF {b} in limiter plan"
     assert "clip_xy(" in lplans["landuse"]
+    # clipped-line parts travel as xs/ys arrays end-to-end: xy clip UDF
+    # feeding the xy linestring encoder, no struct re-split between them
+    assert "clip_line_xy(" in lplans["roads"]
+    assert "_linestring_wkb_xy_udf(" in lplans["roads"]
