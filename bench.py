@@ -97,6 +97,20 @@ def main() -> None:
             runs.append(import_bench(spark))
         import_summary = min(runs, key=lambda r: r["value"])
         import_summary["trials"] = len(runs)
+        # A/B trend line: the round-7 workload (no route-relation pass)
+        # alternated in the same warm JVM, so the r07-comparable number
+        # and the route-pass cost stay separable from box noise.
+        os.environ["SPARK_GRAFT_IMPORT_ROUTES"] = "0"
+        try:
+            ab = []
+            for _ in range(2):
+                gc.collect()
+                ab.append(import_bench(spark))
+            nr = min(ab, key=lambda r: r["value"])
+            import_summary["noroutes_value"] = nr["value"]
+            import_summary["noroutes_elements_per_sec"] = nr["elements_per_sec"]
+        finally:
+            os.environ.pop("SPARK_GRAFT_IMPORT_ROUTES", None)
     except Exception as exc:  # the import bench must never sink the query bench
         import_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 

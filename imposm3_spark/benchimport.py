@@ -250,7 +250,13 @@ def import_bench(spark: SparkSession, copies: int | None = None) -> dict:
         "rows_out": rows_out,
         "elements_per_sec": round(elements_in / wall, 1) if wall else None,
         "stages": stages,
-        "tables": sorted(tables),
+        # compact on purpose (the driver captures the TAIL of stdout):
+        # table count + the relation_member tables in the timed chain
+        "tables": len(tables),
+        "member_tables": sorted(
+            set(tables) & {u.table.name for u in
+                           (route_pipe.relation_member_units if route_pipe else [])}
+        ) or sorted(n for n in tables if "member" in n),
     }
 
 
