@@ -69,6 +69,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # All 50 names re-gated strict green (scripts/check_oracle.py: repr-float
 # hash + banned-type audit + zero-row WEAK flag) at sf0.01 this round
 # before this list landed; the 7 re-checks also at sf0.1.
+#
+# ROUND-9 RE-CHECK QUEUE (code changed after their last driver row):
+# round 8 rewrote the text-op kernels (datapipe/text.py: token_count /
+# avg_token_len / punct_ratio / stopword_ratio / quality_score / langid /
+# gopher symbol_ratio now regexp_count-based, allocation-free; value
+# equality property-pinned in test_text_fast_ops.py and the FULL 242-query
+# gate re-passed at sf0.01 after the change). Driver-green queries riding
+# those kernels that are NOT in this window:
+#   doc_text_stats, doc_quality, doc_langid, doc_clean_sample,
+#   doc_gopher_rules, doc_rag_retrieve, doc_score_auc, doc_lang_confusion,
+#   doc_make_batches, doc_tokenizer_fertility
+# (doc_curate and doc_quality_matrix also ride them but are IN this
+# window, so their rows will postdate the change.)
 _DRIVER_FIRST = [
     # -- re-checks (code changed after their last driver row) --
     "events_ewma",

@@ -114,6 +114,25 @@ def main() -> None:
     except Exception as exc:  # the import bench must never sink the query bench
         import_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
+    # e2e training-data curation throughput (the LLM-pipeline analog of
+    # the import proxy, round 8): score/gate -> exact dedup -> LSH
+    # near-dup -> decontaminate -> pack -> parquet sink on a permuted
+    # 64x replica corpus. Same protocol: small warmup, best-of-2.
+    try:
+        from imposm3_spark.benchcurate import curate_bench
+
+        warm = min(8, int(os.environ.get("SPARK_GRAFT_CURATE_COPIES", "64")))
+        gc.collect()
+        curate_bench(spark, copies=warm)
+        cruns = []
+        for _ in range(2):
+            gc.collect()
+            cruns.append(curate_bench(spark))
+        curate_summary = min(cruns, key=lambda r: r["value"])
+        curate_summary["trials"] = len(cruns)
+    except Exception as exc:  # must never sink the query bench either
+        curate_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     timings: dict[str, float] = {}
     for name, fn in bq.QUERIES.items():
         start = time.perf_counter()
@@ -139,6 +158,7 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "import": import_summary,
+        "curate": curate_summary,
     }
     # The driver captures the TAIL of stdout, so the compact summary must
     # be the FINAL line (a 236-entry per-query dict printed after it would
