@@ -82,6 +82,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #   doc_make_batches, doc_tokenizer_fertility
 # (doc_curate and doc_quality_matrix also ride them but are IN this
 # window, so their rows will postdate the change.)
+# Round 8 also FIXED a real BPE defect (hypothesis found it: the
+# two-pass boundary-sharing replace segmented odd runs of 5+ repeated
+# symbols (xx)(x)(xx) instead of classic BPE's (xx)(xx)(x)); the merge
+# application now uses a double-space spelling whose single replace IS
+# the classic greedy sweep, and BOTH the Spark kernel and the DuckDB
+# oracles changed accordingly (datapipe/bpe.py, _sql_bpe,
+# _sql_bpe_encode). Re-check in round 9:
+#   doc_bpe_merges, doc_bpe_encode
 _DRIVER_FIRST = [
     # -- re-checks (code changed after their last driver row) --
     "events_ewma",

@@ -155,23 +155,21 @@ def _sql_bpe_encode(num_merges: int = 8) -> str:
       SELECT p, CAST(sum(cnt) AS BIGINT) AS c FROM (
         SELECT unnest(list_transform(range(1, len(sym)),
                       j -> sym[j] || ' ' || sym[j+1])) AS p, cnt
-        FROM (SELECT regexp_split_to_array(trim(spelled), ' ') AS sym, cnt FROM w{i})
+        FROM (SELECT regexp_split_to_array(trim(spelled), '  ') AS sym, cnt FROM w{i})
       ) GROUP BY p
     ), b{i} AS MATERIALIZED (
       SELECT p, c FROM p{i} ORDER BY c DESC, p LIMIT 1
     ), w{i + 1} AS MATERIALIZED (
-      SELECT replace(replace(spelled,
-                             ' ' || (SELECT p FROM b{i}) || ' ',
-                             ' ' || (SELECT replace(p, ' ', '') FROM b{i}) || ' '),
-                     ' ' || (SELECT p FROM b{i}) || ' ',
+      -- ONE pass over the double-space spelling == the classic greedy
+      -- sweep (see datapipe.bpe._spell / _merge_pair)
+      SELECT replace(spelled,
+                     ' ' || (SELECT replace(p, ' ', '  ') FROM b{i}) || ' ',
                      ' ' || (SELECT replace(p, ' ', '') FROM b{i}) || ' ') AS spelled,
              cnt
       FROM w{i}
     ), e{i + 1} AS MATERIALIZED (
-      SELECT w, replace(replace(s,
-                             ' ' || (SELECT p FROM b{i}) || ' ',
-                             ' ' || (SELECT replace(p, ' ', '') FROM b{i}) || ' '),
-                     ' ' || (SELECT p FROM b{i}) || ' ',
+      SELECT w, replace(s,
+                     ' ' || (SELECT replace(p, ' ', '  ') FROM b{i}) || ' ',
                      ' ' || (SELECT replace(p, ' ', '') FROM b{i}) || ' ') AS s
       FROM e{i}
     )"""
@@ -186,14 +184,14 @@ def _sql_bpe_encode(num_merges: int = 8) -> str:
       SELECT w, count(*) AS cnt
       FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY w
     ), w0 AS (
-      SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS spelled,
+      SELECT '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  ' AS spelled,
              cnt
       FROM wf
     ), e0 AS (
-      SELECT w, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s
+      SELECT w, '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  ' AS s
       FROM wf
     ), {", ".join(steps)}, wmap AS MATERIALIZED (
-      SELECT w, len(regexp_split_to_array(trim(s), ' ')) AS pieces
+      SELECT w, len(regexp_split_to_array(trim(s), '  ')) AS pieces
       FROM e{num_merges}
     ), enc AS (
       SELECT o.doc_id, sum(m.pieces) AS n_pieces

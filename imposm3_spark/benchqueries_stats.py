@@ -534,17 +534,15 @@ def _sql_bpe(num_merges: int = 8) -> str:
       SELECT p, CAST(sum(cnt) AS BIGINT) AS c FROM (
         SELECT unnest(list_transform(range(1, len(sym)),
                       j -> sym[j] || ' ' || sym[j+1])) AS p, cnt
-        FROM (SELECT regexp_split_to_array(trim(spelled), ' ') AS sym, cnt FROM w{i})
+        FROM (SELECT regexp_split_to_array(trim(spelled), '  ') AS sym, cnt FROM w{i})
       ) GROUP BY p
     ), b{i} AS MATERIALIZED (
       SELECT p, c FROM p{i} ORDER BY c DESC, p LIMIT 1
     ), w{i + 1} AS MATERIALIZED (
-      -- two passes: back-to-back occurrences share the boundary space
-      -- (see datapipe.bpe._merge_pair)
-      SELECT replace(replace(spelled,
-                             ' ' || (SELECT p FROM b{i}) || ' ',
-                             ' ' || (SELECT replace(p, ' ', '') FROM b{i}) || ' '),
-                     ' ' || (SELECT p FROM b{i}) || ' ',
+      -- ONE pass over the double-space spelling == the classic greedy
+      -- sweep (see datapipe.bpe._spell / _merge_pair)
+      SELECT replace(spelled,
+                     ' ' || (SELECT replace(p, ' ', '  ') FROM b{i}) || ' ',
                      ' ' || (SELECT replace(p, ' ', '') FROM b{i}) || ' ') AS spelled,
              cnt
       FROM w{i}
@@ -564,7 +562,7 @@ def _sql_bpe(num_merges: int = 8) -> str:
     ), wf AS (
       SELECT w, count(*) AS cnt FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY w
     ), w0 AS (
-      SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS spelled,
+      SELECT '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') || '  ' AS spelled,
              cnt
       FROM wf
     ), {", ".join(steps)}

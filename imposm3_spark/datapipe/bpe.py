@@ -17,10 +17,20 @@ Scale shape (the part that matters at 100 TB):
   expression; the vocab table is re-checkpointed every few iterations so
   lineage stays shallow.
 
-Determinism: ties break (count desc, pair asc), `replace` scans
-left-to-right non-overlapping — the exact greedy semantics of classic
-BPE and bit-identical to the SQL oracle's `replace` (verified for the
-overlap case ' a a a ').
+Determinism: ties break (count desc, pair asc); the merge application
+is classic BPE's left-to-right greedy sweep, realized as ONE plain
+string replace over a DOUBLE-SPACE-separated spelling (see _spell /
+_merge_pair) — bit-identical to the SQL oracle's `replace`.
+
+Round-8 note: the previous single-space spelling used two replace
+passes, and back-to-back occurrences sharing a boundary space made the
+first pass SKIP the second occurrence of a run — an odd run of 5+
+identical symbols segmented (xx)(x)(xx) instead of classic BPE's
+(xx)(xx)(x) (hypothesis found 'bbbbb'; test_stats_properties pins the
+pure-python classic reference). With double-space separators the
+pattern ' l  r ' consumes only the inner halves of the two boundary
+separators, so adjacent occurrences never overlap and one
+left-to-right pass IS the classic greedy sweep.
 """
 
 from __future__ import annotations
@@ -32,25 +42,31 @@ from imposm3_spark.datapipe.text import tokens
 
 
 def _spell(word: Column) -> Column:
-    """' c h a r s ' — space-padded space-separated characters."""
+    """'  c  h  a  r  s  ' — DOUBLE-space padded and separated symbols.
+
+    The double separator is what makes one plain `replace` equal to the
+    classic greedy sweep: the merge pattern ' l  r ' (single space, l,
+    double space, r, single space) consumes only the INNER half of each
+    boundary separator, so the occurrence that starts right after shares
+    no characters with it and matches in the same pass."""
     return F.concat(
-        F.lit(" "),
-        F.concat_ws(" ", F.regexp_extract_all(word, F.lit("."), 0)),
-        F.lit(" "),
+        F.lit("  "),
+        F.concat_ws("  ", F.regexp_extract_all(word, F.lit("."), 0)),
+        F.lit("  "),
     )
 
 
 def _merge_pair(spelled: Column, pair: str, merged: str) -> Column:
-    """Merge every occurrence of ' left right ' into ' leftright '.
-
-    TWO replace passes: back-to-back occurrences share their boundary
-    space, so a single left-to-right non-overlapping replace merges only
-    every other one of a consecutive run (' a b a b ' -> ' ab a b ').
-    After pass one no two remaining occurrences are adjacent (one of any
-    adjacent pair was consumed), so pass two merges the rest — exactly
-    classic BPE's merge-all-occurrences semantics."""
-    once = F.replace(spelled, F.lit(f" {pair} "), F.lit(f" {merged} "))
-    return F.replace(once, F.lit(f" {pair} "), F.lit(f" {merged} "))
+    """Merge every adjacent (left, right) into the merged symbol — one
+    left-to-right non-overlapping replace == the classic BPE sweep (see
+    _spell; `pair` is the single-space 'l r' form used in pair counts).
+    Replacing ' l  r ' with ' lr ' restores the double-separator
+    invariant: the two untouched outer half-spaces complete ' lr ' to
+    '  lr  '."""
+    left, right = pair.split(" ")
+    return F.replace(
+        spelled, F.lit(f" {left}  {right} "), F.lit(f" {merged} ")
+    )
 
 
 def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -65,7 +81,7 @@ def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """Adjacent-symbol pair counts weighted by word frequency."""
-    sym = F.split(F.trim(F.col("spelled")), " ")
+    sym = F.split(F.trim(F.col("spelled")), "  ")
     n = F.size(sym)
     pairs = F.zip_with(
         F.slice(sym, 1, F.greatest(n - 1, F.lit(0))),
@@ -130,7 +146,7 @@ def bpe_segment(
         s = _spell(w)
         for left, right in merges:
             s = _merge_pair(s, f"{left} {right}", f"{left}{right}")
-        return F.size(F.split(F.trim(s), " "))
+        return F.size(F.split(F.trim(s), "  "))
 
     toks = tokens(F.lower(F.col(text_col)))
     return df.select(
