@@ -158,3 +158,45 @@ def test_stopword_hits_boundaries(spark):
         tx._stopword_hits(F.col("t"), tx.LANG_STOPWORDS["en"]).alias("hits"),
     ).collect()
     assert all(r["hits"] == r["want"] for r in got), got
+
+
+# ---------------------------------------------------------------------------
+# hypothesis sweep: random text incl. whitespace variants, stopwords,
+# punctuation, unicode — batched into ONE Spark job per example set
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st_  # noqa: E402
+
+_ALPHABET = "ab the\t\n .!é🙂of  and-1"
+
+
+@given(
+    texts=st_.lists(
+        st_.text(alphabet=_ALPHABET, min_size=0, max_size=60),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fast_formulations_hypothesis(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    cols = []
+    for name, new, old in PAIRS:
+        cols.append(new(F.col("t")).alias(f"n_{name}"))
+        cols.append(old(F.col("t")).alias(f"o_{name}"))
+    rows = df.select("t", *cols).collect()
+    for r in rows:
+        for name, _, _ in PAIRS:
+            assert r[f"n_{name}"] == r[f"o_{name}"], (
+                name,
+                repr(r["t"]),
+                r[f"n_{name}"],
+                r[f"o_{name}"],
+            )
