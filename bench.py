@@ -35,8 +35,44 @@ def _warm_udf():
     return _warm
 
 
+def _subprocess_bench(module: str) -> dict:
+    """Run an e2e bench module in its OWN JVM (warmup + best-of-2 inside,
+    `measured` mode) and parse its one-line JSON summary.
+
+    Isolation is the point: round 8 measured the 242-query loop at 2-3x
+    its true wall when it shared a JVM with the e2e benches' block-manager
+    and GC residue (emb_cluster_purity 3.9 s fresh vs 23.9 s aged), and
+    round 7 saw the same poisoning in the other direction (import sink
+    6 s -> 33 s after the query loop). Separate JVMs, serial on the box,
+    honest numbers for all three metrics."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-m", module, "measured"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=1200,
+    )
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # e2e benches FIRST, each in its own subprocess JVM, before this
+    # process creates its session — the box runs one JVM at a time
+    try:
+        import_summary = _subprocess_bench("imposm3_spark.benchimport")
+    except Exception as exc:  # must never sink the query bench
+        import_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    try:
+        curate_summary = _subprocess_bench("imposm3_spark.benchcurate")
+    except Exception as exc:
+        curate_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     spark = get_spark("imposm3-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -64,74 +100,6 @@ def main() -> None:
             pass  # warmup must never fail the bench
 
     import gc
-
-    # e2e OSM import throughput (BASELINE.md's stated proxy for the
-    # reference's 7.5 h planet import): parse → match → J1-J3 resolve →
-    # G4/G5 multipolygon → parquet sink on the replicated Monaco extract,
-    # rows/s per stage. Runs right after warmup — BEFORE the 241-query
-    # loop — so its stage timings measure the engine, not the GC state of
-    # a JVM aged by a few hundred queries (observed: the sink stage
-    # varied 6 s → 33 s when this ran last). Compact enough to ride the
-    # final JSON line.
-    try:
-        from imposm3_spark.benchimport import import_bench
-
-        # one small warmup pass first: the query warmup above compiles the
-        # analytics plans but not the import path's UDF kernels/joins, and
-        # a cold first run measured up to 2x the warm wall. The measured
-        # metric is best-of-2 (labeled via "trials"): this box's wall
-        # clock swings up to 2x between back-to-back identical runs, and
-        # a throughput claim should reflect the engine, not a GC spike.
-        # The warmup respects a pinned SPARK_GRAFT_IMPORT_COPIES (never
-        # exceeds it), and each run is separated by a gc.collect() so the
-        # previous run's localCheckpoint blocks are released instead of
-        # inflating the next run's block-manager footprint.
-        warm_copies = min(
-            8, int(os.environ.get("SPARK_GRAFT_IMPORT_COPIES", "128"))
-        )
-        gc.collect()
-        import_bench(spark, copies=warm_copies)
-        runs = []
-        for _ in range(2):
-            gc.collect()
-            runs.append(import_bench(spark))
-        import_summary = min(runs, key=lambda r: r["value"])
-        import_summary["trials"] = len(runs)
-        # A/B trend line: the round-7 workload (no route-relation pass)
-        # alternated in the same warm JVM, so the r07-comparable number
-        # and the route-pass cost stay separable from box noise.
-        os.environ["SPARK_GRAFT_IMPORT_ROUTES"] = "0"
-        try:
-            ab = []
-            for _ in range(2):
-                gc.collect()
-                ab.append(import_bench(spark))
-            nr = min(ab, key=lambda r: r["value"])
-            import_summary["noroutes_value"] = nr["value"]
-            import_summary["noroutes_elements_per_sec"] = nr["elements_per_sec"]
-        finally:
-            os.environ.pop("SPARK_GRAFT_IMPORT_ROUTES", None)
-    except Exception as exc:  # the import bench must never sink the query bench
-        import_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-
-    # e2e training-data curation throughput (the LLM-pipeline analog of
-    # the import proxy, round 8): score/gate -> exact dedup -> LSH
-    # near-dup -> decontaminate -> pack -> parquet sink on a permuted
-    # 64x replica corpus. Same protocol: small warmup, best-of-2.
-    try:
-        from imposm3_spark.benchcurate import curate_bench
-
-        warm = min(8, int(os.environ.get("SPARK_GRAFT_CURATE_COPIES", "64")))
-        gc.collect()
-        curate_bench(spark, copies=warm)
-        cruns = []
-        for _ in range(2):
-            gc.collect()
-            cruns.append(curate_bench(spark))
-        curate_summary = min(cruns, key=lambda r: r["value"])
-        curate_summary["trials"] = len(cruns)
-    except Exception as exc:  # must never sink the query bench either
-        curate_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     timings: dict[str, float] = {}
     for name, fn in bq.QUERIES.items():

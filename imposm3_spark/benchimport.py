@@ -260,13 +260,48 @@ def import_bench(spark: SparkSession, copies: int | None = None) -> dict:
     }
 
 
+def measured_run(spark: SparkSession) -> dict:
+    """The full measurement protocol in ONE warm JVM: small warmup pass,
+    best-of-2 with-routes (the headline), best-of-2 no-routes (the
+    r07-comparable trend line), alternation-free because the JVM stays
+    warm across all five runs. gc between runs releases the previous
+    run's localCheckpoint blocks."""
+    import gc
+
+    warm_copies = min(8, int(os.environ.get("SPARK_GRAFT_IMPORT_COPIES", "128")))
+    gc.collect()
+    import_bench(spark, copies=warm_copies)
+    runs = []
+    for _ in range(2):
+        gc.collect()
+        runs.append(import_bench(spark))
+    summary = min(runs, key=lambda r: r["value"])
+    summary["trials"] = len(runs)
+    os.environ["SPARK_GRAFT_IMPORT_ROUTES"] = "0"
+    try:
+        ab = []
+        for _ in range(2):
+            gc.collect()
+            ab.append(import_bench(spark))
+        nr = min(ab, key=lambda r: r["value"])
+        summary["noroutes_value"] = nr["value"]
+        summary["noroutes_elements_per_sec"] = nr["elements_per_sec"]
+    finally:
+        os.environ.pop("SPARK_GRAFT_IMPORT_ROUTES", None)
+    return summary
+
+
 if __name__ == "__main__":
     import json
     import sys
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from imposm3_spark.session import get_spark
 
     spark = get_spark("imposm3-import-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(import_bench(spark)))
+    mode = sys.argv[1] if len(sys.argv) > 1 else "once"
+    if mode == "measured":
+        print(json.dumps(measured_run(spark)), flush=True)
+    else:
+        print(json.dumps(import_bench(spark)), flush=True)
