@@ -1046,8 +1046,8 @@ def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v
     )
     SELECT vec_id,
-           list_transform(e, x -> CAST(floor(
-             x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0 END) + 0.5) AS INT)) AS qvec,
+           array_to_string(list_transform(e, x -> CAST(floor(
+             x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0 END) + 0.5) AS INT)), ',') AS qvec,
            CAST(floor((CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0 END) * 1e6 + 0.5) AS BIGINT) AS scale_e6
     FROM m
     """,
@@ -1056,12 +1056,16 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (the storage half of a
     quantized ANN index): q_i = floor(v_i * 127/max|v| + 0.5). Explicit
     half-up floor arithmetic — bit-identical across engines, no round()
-    dialect dependence. Scan-speed, zero shuffle."""
+    dialect dependence. Scan-speed, zero shuffle.
+
+    ``qvec`` is rendered as a comma-joined string of the int8 codes: the
+    driver's comparator cannot canonicalize ArrayType cells (round-8
+    forensics), and int->string casts are engine-identical."""
     emb = _t(spark, sf_dir, "embeddings")
     q, scale = quantize_int8(F.col("embedding"))
     return emb.select(
         "vec_id",
-        q.alias("qvec"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("qvec"),
         F.floor(scale * 1e6 + F.lit(0.5)).cast("bigint").alias("scale_e6"),
     )
 

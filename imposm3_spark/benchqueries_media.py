@@ -120,11 +120,12 @@ def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT media_id,
            sha256(text) AS sha256,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           list_transform(
+           array_to_string(list_transform(
              generate_series(0, {_FEATURE_DIM - 1}),
-             i -> round(CAST(('0x' || substr(sha256(text), i * 2 + 1, 2)) AS INT)
-                        / 255.0, 5)
-           ) AS features
+             i -> CAST(floor(round(
+                    CAST(('0x' || substr(sha256(text), i * 2 + 1, 2)) AS INT)
+                    / 255.0, 5) * 100000 + 0.5) AS BIGINT)
+           ), ',') AS features
     FROM media
     """,
 )
@@ -135,15 +136,22 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly: the fixture payloads are synthetic text bytes, and the
     oracle replicates the digest arithmetic — the capability-probed real
     decoder (Pillow, when present) is exercised by the skip-without-PIL
-    unit test instead."""
+    unit test instead.
+
+    ``features`` is rendered as a comma-joined string of e5 integers
+    (floor(round(f, 5) * 1e5 + 0.5)): the driver's comparator cannot
+    canonicalize ArrayType cells (round-8 forensics), and rendering the
+    already-engine-identical rounded doubles as fixed-point integers
+    sidesteps any double->string repr skew between engines."""
     feats = mm.extract_image_features(
         _media(spark, sf_dir), dim=_FEATURE_DIM, decoder=mm._decode_image_stub
     )
+    e5 = lambda x: F.floor(  # noqa: E731
+        F.round(x.cast("double"), 5) * F.lit(100000.0) + F.lit(0.5)
+    ).cast("bigint").cast("string")
     return feats.select(
         "media_id", "sha256", "n_bytes",
-        F.transform(
-            F.col("features"), lambda x: F.round(x.cast("double"), 5)
-        ).alias("features"),
+        F.array_join(F.transform(F.col("features"), e5), ",").alias("features"),
     )
 
 

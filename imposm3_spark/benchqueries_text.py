@@ -117,15 +117,29 @@ def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_TOKS},
     pairs AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks)
     SELECT term, count(*) AS df,
-           list_slice(list(doc_id ORDER BY doc_id), 1, 20) AS postings
+           array_to_string(
+             list_slice(list(doc_id ORDER BY doc_id), 1, 20), ',') AS postings
     FROM pairs
     GROUP BY term
     """,
 )
 def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term -> ascending doc_id posting list (first 20): the retrieval
-    artifact of a corpus build. Only (term, doc_id) pairs shuffle."""
-    return ck.inverted_index(_t(spark, sf_dir, "documents"), max_postings=20)
+    artifact of a corpus build. Only (term, doc_id) pairs shuffle.
+
+    The posting list is rendered as a comma-joined string: the driver's
+    comparator canonicalizes with pandas ``sort_values``, which cannot
+    hash ArrayType cells (round-8 forensics — ``TypeError: unhashable
+    type: 'list'``). Integer->string casts are engine-identical, so the
+    flattening is lossless for the hash gate."""
+    idx = ck.inverted_index(_t(spark, sf_dir, "documents"), max_postings=20)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(
+            F.transform(F.col("postings"), lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    )
 
 
 @register(

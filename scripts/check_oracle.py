@@ -14,6 +14,11 @@ survived four rounds behind a lossy float format):
   DECIMAL columns FAIL the gate outright. DuckDB silently widens
   ``sum(BIGINT)`` to HUGEINT, and the driver's comparator renders HUGEINT
   differently from Spark's BIGINT — oracles must CAST aggregate outputs.
+* Every query's SPARK OUTPUT SCHEMA is audited (round-9 hardening, after
+  three value-correct queries went driver-red in round 8): ArrayType /
+  MapType / StructType columns FAIL the gate outright — the driver's
+  comparator canonicalizes with pandas ``sort_values``, which cannot hash
+  list cells. Flatten complex outputs (``array_join`` of string casts).
 * A version banner (DuckDB + PySpark) prints up front so driver-vs-local
   engine-version skew is visible in every gate log.
 
@@ -40,6 +45,23 @@ TABLES = (
 # DuckDB result types the driver's comparator is known (round-5 forensics)
 # to render differently from the matching Spark type. Oracles must cast.
 _BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def banned_spark_types(schema) -> list[tuple[str, str]]:
+    """Column (name, type) pairs of a Spark output schema the driver's
+    comparator cannot canonicalize. Round-8 forensics: the driver sorts
+    result frames with pandas ``sort_values`` over every column, which
+    raises ``TypeError: unhashable type: 'list'`` on ArrayType cells (and
+    would equally die on MapType dicts / StructType rows). Registered
+    queries must flatten complex columns to a scalar rendering — e.g.
+    ``array_join`` of per-element string casts — mirrored in the oracle."""
+    from pyspark.sql import types as T
+
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
 
 
 def norm_cell(v) -> str:
@@ -111,10 +133,18 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
+            stypes = banned_spark_types(df.schema)
             rows = [tuple(r) for r in df.collect()]
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc(limit=3)
+            n_fail += 1
+            continue
+        if stypes:
+            print(
+                f"FAIL {name}: Spark output has driver-uncanonicalizable "
+                f"complex columns {stypes} — flatten to scalars"
+            )
             n_fail += 1
             continue
         sql = bq.ORACLES.get(name)

@@ -43,3 +43,40 @@ def test_no_oracle_emits_banned_types(con):
     assert not offenders, (
         f"oracles emit driver-incompatible output types (CAST them): {offenders}"
     )
+
+
+def test_no_query_emits_complex_spark_types(spark):
+    """Round-8 forensics: the driver's comparator sorts result frames with
+    pandas ``sort_values`` over every column, which raises ``TypeError:
+    unhashable type: 'list'`` on ArrayType cells (three value-correct
+    queries went driver-red on exactly this). Registered queries must
+    flatten Array/Map/Struct outputs to scalar renderings. Schema
+    resolution only — queries are planned, not executed (except the few
+    with eager driver-side phases, cheap at sf0.001)."""
+    from scripts.check_oracle import banned_spark_types
+
+    offenders = {}
+    for name, fn in bq.QUERIES.items():
+        bad = banned_spark_types(fn(spark, SF_DIR).schema)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"queries emit driver-uncanonicalizable complex columns "
+        f"(flatten to scalars): {offenders}"
+    )
+
+
+def test_gate_flags_complex_output_schema(spark):
+    """The audit itself must catch a deliberately array-returning query."""
+    from pyspark.sql import functions as F
+
+    from scripts.check_oracle import banned_spark_types
+
+    df = spark.range(1).select(
+        F.array(F.lit(1), F.lit(2)).alias("arr"),
+        F.create_map(F.lit("k"), F.lit(1)).alias("m"),
+        F.struct(F.lit(1).alias("a")).alias("s"),
+        F.lit(1).alias("ok"),
+    )
+    bad = banned_spark_types(df.schema)
+    assert [c for c, _ in bad] == ["arr", "m", "s"]
