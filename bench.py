@@ -55,8 +55,15 @@ def _subprocess_bench(module: str) -> dict:
         cwd=os.path.dirname(os.path.abspath(__file__)),
         timeout=1200,
     )
-    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    if r.returncode != 0 or not lines:
+        # surface the subprocess's actual failure, not an IndexError
+        tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
+        raise RuntimeError(
+            f"{module} exited rc={r.returncode} without JSON; tail: "
+            + " / ".join(tail)
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -277,6 +277,10 @@ def measured_run(spark: SparkSession) -> dict:
         runs.append(import_bench(spark))
     summary = min(runs, key=lambda r: r["value"])
     summary["trials"] = len(runs)
+    # save/restore rather than pop: a user-exported value (e.g. a pinned
+    # "0") must survive the A/B toggle, and the headline metric must not
+    # silently change meaning when the var is preset
+    prior_routes = os.environ.get("SPARK_GRAFT_IMPORT_ROUTES")
     os.environ["SPARK_GRAFT_IMPORT_ROUTES"] = "0"
     try:
         ab = []
@@ -287,7 +291,10 @@ def measured_run(spark: SparkSession) -> dict:
         summary["noroutes_value"] = nr["value"]
         summary["noroutes_elements_per_sec"] = nr["elements_per_sec"]
     finally:
-        os.environ.pop("SPARK_GRAFT_IMPORT_ROUTES", None)
+        if prior_routes is None:
+            os.environ.pop("SPARK_GRAFT_IMPORT_ROUTES", None)
+        else:
+            os.environ["SPARK_GRAFT_IMPORT_ROUTES"] = prior_routes
     return summary
 
 

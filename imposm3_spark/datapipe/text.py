@@ -66,8 +66,17 @@ def _stopword_hits(lowered: Column, sw: list[str]) -> Column:
     non-whitespace runs, so token == sw exactly when sw appears with
     start-or-whitespace on the left and whitespace-or-end on the right
     (assertions are zero-width, so adjacent single-space stopwords all
-    count; property-pinned against the HOF formulation)."""
-    pat = "(?:^|(?<=\\s))(?:" + "|".join(sw) + ")(?=\\s|$)"
+    count; property-pinned against the HOF formulation).
+
+    Words are regex-escaped when building the alternation: every current
+    LANG_STOPWORDS entry is plain ASCII letters (``re.escape`` is the
+    identity on those, so the pattern string — and thus every executed
+    plan — is byte-identical to the unescaped form), but a future word
+    containing a metacharacter would now count literally instead of
+    silently corrupting stopword_ratio/quality_score/langid."""
+    import re
+
+    pat = "(?:^|(?<=\\s))(?:" + "|".join(re.escape(w) for w in sw) + ")(?=\\s|$)"
     return F.regexp_count(F.trim(lowered), F.lit(pat))
 
 
@@ -304,9 +313,12 @@ def gopher_rules(
     - ``r_symbol_ratio``  non-alnum-non-ws chars / chars < 0.1
     - ``r_stopwords``     >= 2 DISTINCT English stopwords present
 
-    Every rule is a pure Spark expression over one lowered token split —
-    zero shuffle, scan speed at 100 TB; the ratios are exact integer
-    ratios so the oracle hash-matches without tolerance.
+    Every rule is a pure Spark expression — zero shuffle, scan speed at
+    100 TB; the ratios are exact integer ratios so the oracle
+    hash-matches without tolerance. Most rules read one lowered token
+    split; ``r_symbol_ratio`` instead uses the regexp_count-based
+    ``_punct_count`` complement count over the raw text (the allocation-
+    free round-8 formulation, value-pinned against the token form).
     """
     t = F.col(text_col)
     toks = tokens(F.lower(t))

@@ -279,6 +279,7 @@ class ImportPipeline:
         comes back as (xs, ys) arrays that feed the linestring xy encoder
         directly, so no per-coordinate dict is ever materialized on the
         clipped-line path."""
+        import numpy as np
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
@@ -291,6 +292,12 @@ class ImportPipeline:
                 if x_arr is None:
                     out.append([])
                     continue
+                # null ordinate becomes NaN after the JVM struct->xs/ys
+                # split and would flow silently through clip comparisons;
+                # the old struct path crashed loudly — keep that (mirrors
+                # the polygon variant's guard)
+                if np.isnan(x_arr).any() or np.isnan(y_arr).any():
+                    raise ValueError("NaN/null coordinate in line")
                 pts = list(zip(x_arr.tolist(), y_arr.tolist()))
                 out.append(
                     [

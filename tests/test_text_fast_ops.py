@@ -200,3 +200,18 @@ def test_fast_formulations_hypothesis(spark, texts):
                 r[f"n_{name}"],
                 r[f"o_{name}"],
             )
+
+
+def test_stopword_alternation_escape_is_identity():
+    """_stopword_hits regex-escapes each word when building the
+    alternation (ADVICE r8). Current LANG_STOPWORDS entries are plain
+    ASCII letters, so the escaped pattern must be byte-identical to the
+    unescaped form — i.e. the change cannot alter any executed plan —
+    and any future metacharacter-bearing word trips the ^[a-z]+$ pin."""
+    import re
+
+    from imposm3_spark.datapipe.text import LANG_STOPWORDS
+
+    for lang, sw in LANG_STOPWORDS.items():
+        assert "|".join(re.escape(w) for w in sw) == "|".join(sw), lang
+        assert all(re.fullmatch(r"[a-z]+", w) for w in sw), lang
