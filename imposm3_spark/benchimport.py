@@ -249,6 +249,10 @@ def import_bench(spark: SparkSession, copies: int | None = None) -> dict:
         "elements_in": elements_in,
         "rows_out": rows_out,
         "elements_per_sec": round(elements_in / wall, 1) if wall else None,
+        # rows_out-basis rate: stays comparable across rounds that add
+        # tables to the timed chain (r8 added route relations: elements_in
+        # unchanged, rows_out +17%) without per-round forensics
+        "rows_out_per_sec": round(rows_out / wall, 1) if wall else None,
         "stages": stages,
         # compact on purpose (the driver captures the TAIL of stdout):
         # table count + the relation_member tables in the timed chain
@@ -290,6 +294,7 @@ def measured_run(spark: SparkSession) -> dict:
         nr = min(ab, key=lambda r: r["value"])
         summary["noroutes_value"] = nr["value"]
         summary["noroutes_elements_per_sec"] = nr["elements_per_sec"]
+        summary["noroutes_rows_out_per_sec"] = nr["rows_out_per_sec"]
     finally:
         if prior_routes is None:
             os.environ.pop("SPARK_GRAFT_IMPORT_ROUTES", None)
