@@ -1040,8 +1040,11 @@ def _sql_minhash_bands(num_hashes: int = 8, rows_per_band: int = 2) -> str:
     )
     bands = []
     for bi, b in enumerate(range(0, num_hashes, rows_per_band)):
+        # raw concat band key — mirrors datapipe.dedup.lsh_band_keys
+        # (injective on fixed-width slices, identical bucketing to the
+        # round-2 md5 around it)
         parts = " || ".join(f"sig{b + r}" for r in range(rows_per_band))
-        bands.append(f"SELECT doc_id AS doc, {bi} AS band_idx, md5({parts}) AS band_key FROM sigs WHERE sig{b} IS NOT NULL")
+        bands.append(f"SELECT doc_id AS doc, {bi} AS band_idx, {parts} AS band_key FROM sigs WHERE sig{b} IS NOT NULL")
     return (
         rf"""
     WITH toks AS (
@@ -1073,8 +1076,6 @@ def _sql_minhash_bands(num_hashes: int = 8, rows_per_band: int = 2) -> str:
     """,
 )
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # signature computation repartitions internally (spreads hash work even
-    # when the fixture is a single small parquet split)
     return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 

@@ -117,10 +117,13 @@ def _cc_on_edges(edges: DataFrame, depth: int = 0) -> DataFrame:
         typ = dict(edges.dtypes)["a"]
         spark = edges.sparkSession
         cached.unpersist()
-        return spark.createDataFrame(
-            [(n, find(n)) for n in seen] or [],
-            schema=f"node {typ}, component {typ}",
-        )
+        if not seen:
+            return spark.createDataFrame([], schema=f"node {typ}, component {typ}")
+        # Arrow path (pandas) — the row-list createDataFrame pickles each
+        # tuple through the JVM (~1 s at 74k labels vs ~0.1 s via Arrow)
+        nodes = list(seen)
+        pdf = pd.DataFrame({"node": nodes, "component": [find(x) for x in nodes]})
+        return spark.createDataFrame(pdf, schema=f"node {typ}, component {typ}")
     # distributed levels: truncate the per-level lineage (reads the cache,
     # so the checkpoint job is a copy, not a recompute), then release the cache
     edges = cached.localCheckpoint(eager=True)
@@ -214,10 +217,22 @@ def dedup_representatives(
     pair_a: str = "a_id",
     pair_b: str = "b_id",
 ) -> DataFrame:
-    """Keep one row per near-dup cluster (the min-id representative):
-    components over the pair graph, then a semi filter on id==component."""
-    comp = connected_components(
-        df.select(id_col), pairs, node_col=id_col, src=pair_a, dst=pair_b
+    """Keep one row per near-dup cluster (the min-id representative).
+
+    Shape: components are labeled for edge ENDPOINTS only (_cc_on_edges),
+    and the non-representatives among them (node != component) become a
+    drop list for ONE anti join. The round-2 formulation went through
+    connected_components — a distinct over ALL of df's ids, a left_anti to
+    find singletons, a union, then a semi join — three extra shuffles of
+    corpus-sized id sets to re-derive the fact that singletons and
+    component minima are kept, which the anti join encodes for free.
+    Identical output: a df row is dropped iff it is a labeled endpoint
+    whose component min is some other id (rows absent from the label set
+    are singletons, kept by both formulations; pinned by
+    test_graph.py/test_curation.py cluster tests)."""
+    edges = pairs.select(F.col(pair_a).alias("a"), F.col(pair_b).alias("b"))
+    labels = _cc_on_edges(edges)
+    drop = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
     )
-    keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
-    return df.join(keep, id_col, "left_semi")
+    return df.join(drop, id_col, "left_anti")

@@ -84,37 +84,64 @@ def minhash_signatures_relational(
     (not whole-stage-codegen'd) and every column referencing the shingle
     subtree re-evaluates it — naive per-column array_min signatures
     re-tokenize and re-shingle the text num_hashes times (~50x slower).
-    Instead, project the per-shingle md5 array ONCE and repartition by doc
-    id: the exchange materializes the projection (CollapseProject cannot
-    cross an Exchange), so the num_hashes array_min(substr) columns read
-    the already-hashed array. ONE md5 per shingle (sub-hash slices, see
-    minhash_signature) instead of num_hashes md5s. Zero extra shuffles
-    beyond the repartition (which also spreads the hash work and is the
-    partitioning downstream LSH wants); an explode + groupBy(doc) variant
-    paid a second shuffle and ran ~4x slower end-to-end. Docs with no
-    shingles get NULL signatures (the LSH banding filters them)."""
+    Instead, ONE ``aggregate`` fold over the per-shingle md5 array computes
+    all num_hashes mins in a single pass (struct accumulator of running
+    mins; ``least`` skips the NULL init, so docs with no shingles keep
+    NULL signatures exactly like the old per-column ``array_min``). ONE
+    md5 per shingle (sub-hash slices, see minhash_signature) instead of
+    num_hashes md5s. ZERO exchanges: the round-2 formulation repartitioned
+    by doc id purely to materialize the md5 array against CollapseProject
+    re-evaluation — the fold reads the array once by construction, so the
+    exchange (which shuffled the full fat hash arrays) is deleted. Value
+    equality with the round-2 formulation is pinned by
+    test_curation.py::test_minhash_fold_matches_round2_formulation; warm
+    sf0.1x64 sigs pass measured 5.8 s -> 4.7 s (docs/ROUND9.md)."""
+    sig = _minhash_fold(text_col, num_hashes, shingle_k)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        *[sig[f"s{i}"].alias(f"s{i}") for i in range(num_hashes)],
+    )
+
+
+def _minhash_fold(
+    text_col: str, num_hashes: int, shingle_k: int, finish=None
+) -> Column:
+    """The one-pass MinHash fold: aggregate over the per-shingle md5 array
+    with a struct accumulator of running per-slice mins. ``finish``
+    optionally post-processes the accumulator INSIDE the aggregate — the
+    caller then holds a single aggregate occurrence, which matters under
+    Generate (see minhash_lsh_pairs)."""
     width = 32 // num_hashes
     mh = F.transform(shingles(F.col(text_col), shingle_k), lambda s: F.md5(s))
-    hashed = df.select(F.col(id_col).alias("doc"), mh.alias("mh")).repartition(
-        F.col("doc")
+    init = F.struct(
+        *[F.lit(None).cast("string").alias(f"s{i}") for i in range(num_hashes)]
     )
-    return hashed.select(
-        "doc",
-        *[
-            F.array_min(
-                F.transform(F.col("mh"), lambda m: m.substr(1 + i * width, width))
-            ).alias(f"s{i}")
-            for i in range(num_hashes)
-        ],
-    )
+
+    def fold(acc: Column, m: Column) -> Column:
+        return F.struct(
+            *[
+                F.least(acc[f"s{i}"], m.substr(1 + i * width, width)).alias(f"s{i}")
+                for i in range(num_hashes)
+            ]
+        )
+
+    if finish is None:
+        return F.aggregate(mh, init, fold)
+    return F.aggregate(mh, init, fold, finish)
 
 
 def lsh_band_keys(sig: list[Column], rows_per_band: int = 2) -> list[Column]:
-    """Band keys: md5 of the concatenated signature rows of each band."""
+    """Band keys: the concatenated signature rows of each band.
+
+    The raw concat IS the band identity — the round-2 md5 around it bought
+    nothing (concat of fixed-width slices is injective, so equality of
+    concats is exactly equality of bands) and cost an md5 per doc*band
+    plus a 32-char shuffle key where 8 chars suffice. NULL propagation is
+    unchanged: concat is NULL if any slice is NULL, same as md5(concat)."""
     assert len(sig) % rows_per_band == 0
     keys = []
     for b in range(0, len(sig), rows_per_band):
-        keys.append(F.md5(F.concat(*sig[b : b + rows_per_band])))
+        keys.append(F.concat(*sig[b : b + rows_per_band]))
     return keys
 
 
@@ -145,14 +172,32 @@ def minhash_lsh_pairs(
     expiry caps) — an oversized bucket means the band carries ~no
     information; its true duplicates still collide in the other bands.
     None (default) keeps exact LSH semantics."""
-    sigs = minhash_signatures_relational(df, text_col, id_col, num_hashes, shingle_k)
-    band_cols = [
-        F.md5(F.concat(*[F.col(f"s{b * rows_per_band + j}") for j in range(rows_per_band)]))
-        for b in range(num_hashes // rows_per_band)
-    ]
-    banded = sigs.select(
-        F.col("doc"),
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
+    # ONE aggregate occurrence producing the band-key ARRAY directly via the
+    # fold's finish lambda. Two round-9 findings drive this shape:
+    # (1) raw concat band keys (injective on the fixed-width slices —
+    #     identical bucketing to the round-2 md5(concat), minus the hash and
+    #     the 4x key bytes in the banding shuffle; see lsh_band_keys);
+    # (2) runtime subexpression elimination covers repeated aggregate
+    #     references in a plain Project but NOT in a Generate input — 8
+    #     references under posexplode re-ran the whole shingle+md5 fold 8x
+    #     (measured 24 s vs 4.4 s warm at sf0.1x64). The finish lambda keeps
+    #     exactly one occurrence regardless of the consumer's plan shape.
+    assert num_hashes % rows_per_band == 0
+
+    def _finish(acc: Column) -> Column:
+        return F.array(
+            *[
+                F.concat(
+                    *[acc[f"s{b * rows_per_band + j}"] for j in range(rows_per_band)]
+                )
+                for b in range(num_hashes // rows_per_band)
+            ]
+        )
+
+    bands_arr = _minhash_fold(text_col, num_hashes, shingle_k, finish=_finish)
+    banded = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(bands_arr).alias("band_idx", "band_key"),
     ).filter(F.col("band_key").isNotNull())
     buckets = (
         banded.groupBy("band_idx", "band_key")

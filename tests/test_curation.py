@@ -462,3 +462,85 @@ def test_pq_topk_structure_and_recall(spark):
     ).collect()
     assert hit2[0]["vec_id"] == 2003 and hit2[0]["adc"] == 0.0
     assert hit[0]["adc"] > 0.0
+
+
+class TestMinhashFoldParity:
+    """Round-9 rewrite pins: the single-pass aggregate-fold signatures and
+    raw-concat band keys must be byte-identical to the round-2 formulation
+    (repartition-materialized md5 array + 8 array_min passes; md5(concat)
+    band keys up to the injective hash) — driver rows for 11 queries ride
+    these kernels."""
+
+    def _round2_sigs(self, df, num_hashes=8, shingle_k=3):
+        from imposm3_spark.datapipe.dedup import shingles
+
+        width = 32 // num_hashes
+        mh = F.transform(shingles(F.col("text"), shingle_k), lambda s: F.md5(s))
+        hashed = df.select(F.col("doc_id").alias("doc"), mh.alias("mh")).repartition(
+            F.col("doc")
+        )
+        return hashed.select(
+            "doc",
+            *[
+                F.array_min(
+                    F.transform(F.col("mh"), lambda m: m.substr(1 + i * width, width))
+                ).alias(f"s{i}")
+                for i in range(num_hashes)
+            ],
+        )
+
+    def _corpus(self, spark):
+        fixture = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        edge = spark.createDataFrame(
+            [
+                (1000001, ""),
+                (1000002, "   "),
+                (1000003, "one"),
+                (1000004, "one two"),
+                (1000005, "one two three"),
+                (1000006, "x x x x x x x x"),
+                (1000007, "a b c d e f g h i j"),
+                (1000008, "a b c d e f g h i j"),  # exact dup of 1000007
+            ],
+            "doc_id bigint, text string",
+        )
+        return fixture.union(edge)
+
+    def test_minhash_fold_matches_round2_formulation(self, spark):
+        from imposm3_spark.datapipe.dedup import minhash_signatures_relational
+
+        docs = self._corpus(spark)
+        new = minhash_signatures_relational(docs).collect()
+        old = self._round2_sigs(docs).collect()
+        assert sorted(map(tuple, new)) == sorted(map(tuple, old))
+
+    def test_lsh_pairs_match_round2_banding(self, spark):
+        from imposm3_spark.datapipe.dedup import minhash_lsh_pairs
+
+        docs = self._corpus(spark)
+        new = {tuple(r) for r in minhash_lsh_pairs(docs).collect()}
+        # round-2 banding on round-2 signatures: md5(concat) keys
+        sigs = self._round2_sigs(docs)
+        band_cols = [
+            F.md5(F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")))
+            for b in range(4)
+        ]
+        banded = sigs.select(
+            "doc", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+        ).filter(F.col("band_key").isNotNull())
+        old_pairs = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+            .distinct()
+        )
+        old = {tuple(r) for r in old_pairs.collect()}
+        assert new == old
+        assert (1000007, 1000008) in new  # the planted exact dup collides
