@@ -38,111 +38,108 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records at most 50 entries per round, taken
-# in dict order. ROUND-8 WINDOW: 7 re-check slots + ALL 43 registered
-# queries that still lack a driver row (cumulative after this window:
-# 242/242). The round-7 verdict budgeted 8 re-checks + 42 fresh, reserving
-# a slot for doc_source_similarity — but its r07 driver row was recorded
-# AGAINST the post-pin code (the simjoin localCheckpoint commits 4c32aac/
-# 71d9042 predate the r07 correctness run, and CORRECTNESS_r07 shows it
-# hash-green), so under the round-5 guard rule ("re-check iff code changed
-# after the query's LAST driver row") it needs no slot and every fresh
-# name fits.
+# in dict order. ROUND-9 WINDOW: 3 array-flattening fixes + 12 queued
+# re-checks + 13 re-checks for this round's minhash/cluster rewrite + 22
+# stalest rows. Cumulative registry coverage stays 242/242; after this
+# window no query's newest driver row predates r02 except the remaining
+# r02 cohort scheduled for round 10 (30 names).
 #
-# RE-CHECK audit (git diff bef3d46..e006a51, every round-7 commit):
-#   * datapipe/timeseries.py — _step_major_scan null/negative guards →
-#     events_ewma, events_holt (last rows r06, predate the change).
-#   * datapipe/simjoin.py — pinned shared tokenization frames →
-#     doc_ppjoin, doc_cosine_pairs, doc_winnow_pairs, doc_containment,
-#     doc_minhash_accuracy (last rows predate the pins).
-#     doc_source_similarity / doc_lsh_pr / doc_lsh_pr_curve also ride
-#     these kernels but are r07-green post-change: no slot.
-#   * benchqueries.py — deleted two DEAD SQL-string helpers only
-#     (_REV_E4_SQL, _cents_sum_sql; no query referenced them): no slot.
-#   * benchqueries_{ext,mining,r4,r4b}.py, stats.py, evaluation.py,
-#     multimodal.py — every touched query function is either r07-green
-#     (events_did, events_kendall_tau, doc_lsh_pr*) or in the fresh list
-#     below (media_*, sampled variants, cust_except_months).
-#   * geom/{build,py_geom,wkb}.py, pipeline/engine.py, sources/pbf.py —
-#     import-pipeline only; the symbols benchqueries import (line_length,
-#     is_closed_refs, proj.*, resolve_way_coords, zorder_key, grid_join)
-#     are all byte-unchanged in round 7.
-# All 50 names re-gated strict green (scripts/check_oracle.py: repr-float
-# hash + banned-type audit + zero-row WEAK flag) at sf0.01 this round
-# before this list landed; the 7 re-checks also at sf0.1.
-#
-# ROUND-9 RE-CHECK QUEUE (code changed after their last driver row):
-# round 8 rewrote the text-op kernels (datapipe/text.py: token_count /
-# avg_token_len / punct_ratio / stopword_ratio / quality_score / langid /
-# gopher symbol_ratio now regexp_count-based, allocation-free; value
-# equality property-pinned in test_text_fast_ops.py and the FULL 242-query
-# gate re-passed at sf0.01 after the change). Driver-green queries riding
-# those kernels that are NOT in this window:
-#   doc_text_stats, doc_quality, doc_langid, doc_clean_sample,
-#   doc_gopher_rules, doc_rag_retrieve, doc_score_auc, doc_lang_confusion,
-#   doc_make_batches, doc_tokenizer_fertility
-# (doc_curate and doc_quality_matrix also ride them but are IN this
-# window, so their rows will postdate the change.)
-# Round 8 also FIXED a real BPE defect (hypothesis found it: the
-# two-pass boundary-sharing replace segmented odd runs of 5+ repeated
-# symbols (xx)(x)(xx) instead of classic BPE's (xx)(xx)(x)); the merge
-# application now uses a double-space spelling whose single replace IS
-# the classic greedy sweep, and BOTH the Spark kernel and the DuckDB
-# oracles changed accordingly (datapipe/bpe.py, _sql_bpe,
-# _sql_bpe_encode). Re-check in round 9:
-#   doc_bpe_merges, doc_bpe_encode
+# (a) ROUND-8 REDS, FLATTENED (driver comparator cannot canonicalize
+#     ArrayType cells — round-8 forensics): doc_inverted_index,
+#     emb_quantize, media_features now render postings/qvec/features as
+#     comma-joined scalar strings, mirrored in their oracles; the gate and
+#     test_oracle_types.py now FAIL any query with Array/Map/Struct output.
+# (b) ROUND-8 QUEUED RE-CHECKS (code changed after their last driver row):
+#     the 10 text-kernel riders (datapipe/text.py regexp_count rewrite,
+#     value equality property-pinned in test_text_fast_ops.py) + both BPE
+#     queries after the round-8 greedy-merge fix (datapipe/bpe.py).
+# (c) ROUND-9 MINHASH/CLUSTER RE-CHECKS: this round rewrote
+#     minhash_signatures_relational (one-pass aggregate fold, exchange
+#     deleted), minhash_lsh_pairs (raw-concat band keys via the fold's
+#     finish lambda; oracle _sql_minhash_bands mirrored md5(a||b) -> a||b)
+#     and cluster.py dedup_representatives (drop-list anti join) +
+#     _cc_on_edges (Arrow labels). Byte-identity with the round-2
+#     formulations pinned by test_curation.py::TestMinhashFoldParity and
+#     the cluster tests; all 17 affected queries re-gated strict green at
+#     sf0.01 this session. Every registered query riding the changed
+#     kernels is in this window:
+#       dedup.py/benchqueries minhash: doc_minhash_pairs, doc_ngram_jaccard,
+#         doc_curate, doc_minhash_accuracy(+_sampled), doc_dedup_report,
+#         doc_lsh_pr(+_sampled), doc_lsh_pr_curve(+_sampled),
+#         doc_minhash_clusters
+#       cluster.py: emb_neardup_clusters(+_sampled) (doc_curate,
+#         doc_dedup_report, doc_minhash_clusters already above;
+#         doc_pairgraph_triangles rides datapipe/graph.py, unchanged — no
+#         slot). streaming_neardup_flags rides lsh_band_keys but is
+#         pytest-parity-checked, not driver-checked.
+#     Untouched this round and NOT re-checked: simhash*, decontaminate
+#     (separate kernels), all simjoin/stats/timeseries queries.
+#     datapipe/text.py also gained re.escape on the stopword alternation —
+#     the escaped pattern is byte-identical for every current word list
+#     (pinned by test_stopword_alternation_escape_is_identity), so no
+#     additional slots beyond the (b) queue.
+# (d) STALEST ROWS (round-8 verdict task 4): all 9 queries whose newest
+#     row is r01, then the dedup.py/similarity.py round-1 family (their
+#     backing modules accreted since r02), then 4 core r02 anchors
+#     (tpch_q1 flagship, J1/F2 joins, events_hourly). The remaining 30
+#     r02-newest rows (19 TPC-H, 10 osm_*, cust_*) are round 10's fill.
 _DRIVER_FIRST = [
-    # -- re-checks (code changed after their last driver row) --
-    "events_ewma",
-    "events_holt",
-    "doc_ppjoin",
-    "doc_cosine_pairs",
-    "doc_winnow_pairs",
-    "doc_containment",
-    "doc_minhash_accuracy",
-    # -- the 43 never-driver-checked names (registry complete after this) --
-    "cust_except_months",
-    "doc_curate",
-    "doc_decontaminate",
-    "doc_dsir_weights",
+    # -- (a) round-8 reds, flattened --
     "doc_inverted_index",
-    "doc_lsh_pr_curve_sampled",
-    "doc_lsh_pr_sampled",
+    "emb_quantize",
+    "media_features",
+    # -- (b) round-8 queued re-checks --
+    "doc_text_stats",
+    "doc_quality",
+    "doc_langid",
+    "doc_clean_sample",
+    "doc_gopher_rules",
+    "doc_rag_retrieve",
+    "doc_score_auc",
+    "doc_lang_confusion",
+    "doc_make_batches",
+    "doc_tokenizer_fertility",
+    "doc_bpe_merges",
+    "doc_bpe_encode",
+    # -- (c) round-9 minhash/cluster re-checks --
+    "doc_minhash_pairs",
+    "doc_ngram_jaccard",
+    "doc_curate",
+    "doc_minhash_accuracy",
     "doc_minhash_accuracy_sampled",
-    "doc_mix_temperature",
-    "doc_pairgraph_triangles",
-    "doc_perplexity_bins",
-    "doc_quality_matrix",
-    "doc_repetition",
-    "doc_sample_stratified",
-    "doc_scrub",
-    "doc_split_assign",
-    "doc_tfidf_topk",
-    "doc_vocab_topk",
-    "emb_ivfpq_topk",
-    "emb_knn_graph_sampled",
-    "emb_label_centroids",
+    "doc_dedup_report",
+    "doc_lsh_pr",
+    "doc_lsh_pr_sampled",
+    "doc_lsh_pr_curve",
+    "doc_lsh_pr_curve_sampled",
+    "doc_minhash_clusters",
     "emb_neardup_clusters",
     "emb_neardup_clusters_sampled",
-    "emb_norm_stats",
-    "emb_pq_topk",
-    "emb_quantize",
-    "emb_semdedup",
-    "events_asof_nearest",
-    "events_cube_distinct",
-    "events_json_props",
-    "events_moving_avg",
-    "events_retention",
-    "events_salted_agg",
-    "events_session_window",
-    "lineitem_unpivot",
-    "media_dedup_exact",
-    "media_features",
-    "media_frame_sample",
-    "media_resize_meta",
-    "orders_hotkey_join",
-    "orders_price_deciles",
-    "orders_salted_join",
-    "osm_zorder_key",
+    # -- (d) stalest rows: the 9 r01-newest --
+    "cust_active_both_years",
+    "cust_new_in_2001",
+    "events_asof_order",
+    "events_rollup",
+    "events_sessionize",
+    "lineitem_quantiles",
+    "orders_events_7d",
+    "tpch_q19_disjunct",
+    "tpch_q20_nested_semi",
+    # -- (d) round-1 dedup/similarity family (modules accreted since r02) --
+    "doc_fingerprint",
+    "doc_dedup_exact",
+    "doc_simhash",
+    "doc_simhash_pairs",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_lsh_neardup",
+    "emb_lsh_topk",
+    "emb_neardup",
+    # -- (d) core r02 anchors --
+    "tpch_q1",
+    "osm_way_resolve",
+    "osm_tag_match",
+    "events_hourly",
 ]
 
 # A typo here would silently shrink the driver's 50-row window (unknown
