@@ -161,14 +161,17 @@ def test_doc_curate_structure(spark):
     """The flagship curation pipeline's physical shape: the curated set is
     checkpointed ONCE (Scan ExistingRDD — without it the quality gate and
     shingling re-evaluate 4x), the representative filter is a broadcast
-    semi join (cluster labels are small by construction), no cartesian
-    products, and the post-checkpoint stage count stays bounded."""
+    ANTI join on the drop list (round 9: dedup_representatives anti-joins
+    the non-representative endpoints, which are small by construction —
+    the round-2 semi join needed a corpus-wide distinct+union first), no
+    cartesian products, and the post-checkpoint stage count stays
+    bounded."""
     plan = _executed_plan(bq.QUERIES["doc_curate"](spark, SF_DIR)).split(
         "== Initial Plan =="
     )[0]
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan  # checkpointed curated base, not re-derived
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     n = _optimized_count(plan, "Exchange hashpartitioning")
     assert n <= 6, f"expected <=6 hash exchanges after the checkpoint, got {n}"
 
@@ -1352,3 +1355,46 @@ def test_engine_way_paths_use_xy_udfs(spark):
     # feeding the xy linestring encoder, no struct re-split between them
     assert "clip_line_xy(" in lplans["roads"]
     assert "_linestring_wkb_xy_udf(" in lplans["roads"]
+
+
+def test_minhash_pairs_single_fold_under_generate(spark):
+    """Round-9 regression pin for the MinHash rewrite: the banding Generate
+    (posexplode) input must hold exactly ONE aggregate fold. Runtime
+    subexpression elimination covers repeated aggregate references in a
+    plain Project but NOT in a Generate input — with per-band key columns
+    the fold (shingle + md5 + struct mins) re-ran once per band, measured
+    24 s vs 4.4 s warm at sf0.1x64. The finish-lambda shape keeps one
+    occurrence structurally, independent of CSE."""
+    plan = _executed_plan(bq.QUERIES["doc_minhash_pairs"](spark, SF_DIR)).split(
+        "== Initial Plan =="
+    )[0]
+    assert _optimized_count(plan, "aggregate(") == 1, plan[:2000]
+    # exactly two shuffles: the banding groupBy and the final distinct —
+    # the round-2 signature-materializing exchange is gone
+    n = _optimized_count(plan, "Exchange hashpartitioning")
+    assert n == 2, f"expected 2 hash exchanges (banding + distinct), got {n}"
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_representatives_broadcast_anti_join(spark):
+    """dedup_representatives must be ONE broadcast anti join against the
+    (small by construction) non-representative drop list — no corpus-wide
+    distinct, no union of singleton labels, no semi-join round trip (the
+    round-2 shape paid three extra exchanges of corpus-sized id sets)."""
+    from pyspark.sql import functions as F
+
+    from imposm3_spark.datapipe.cluster import dedup_representatives
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    out = dedup_representatives(df, pairs, "doc_id", pair_a="id_a", pair_b="id_b")
+    assert sorted(r[0] for r in out.collect())[:4] == [0, 1, 4, 5]
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # the corpus side must not be shuffled or distinct'd
+    assert _optimized_count(plan, "Exchange hashpartitioning") == 0, plan[:1500]
