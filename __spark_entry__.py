@@ -78,6 +78,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the escaped pattern is byte-identical for every current word list
 #     (pinned by test_stopword_alternation_escape_is_identity), so no
 #     additional slots beyond the (b) queue.
+#     AUDIT CROSS-CHECK: scripts/recheck_audit.py (new this round —
+#     symbol-level git-range -> query flagging) over fd631a7..HEAD flags
+#     25 queries; all are in this window except doc_quality_matrix
+#     (r08-green), struck because its only flagged edges are the
+#     gopher_rules DOCSTRING edit and the byte-identical stopword
+#     pattern — neither changes any executed plan.
 # (d) STALEST ROWS (round-8 verdict task 4): all 9 queries whose newest
 #     row is r01, then the dedup.py/similarity.py round-1 family (their
 #     backing modules accreted since r02), then 4 core r02 anchors
