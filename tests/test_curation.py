@@ -544,3 +544,35 @@ class TestMinhashFoldParity:
         old = {tuple(r) for r in old_pairs.collect()}
         assert new == old
         assert (1000007, 1000008) in new  # the planted exact dup collides
+
+    def test_minhash_fold_parity_hypothesis(self, spark):
+        """Property sweep: random corpora (unicode whitespace, repeats,
+        empties) — fold signatures must equal the round-2 formulation."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from imposm3_spark.datapipe.dedup import minhash_signatures_relational
+
+        alphabet = "ab \t\n xyz0."
+
+        @given(
+            texts=st.lists(
+                st.text(alphabet=alphabet, min_size=0, max_size=40),
+                min_size=1,
+                max_size=10,
+            )
+        )
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        def check(texts):
+            docs = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+            )
+            new = sorted(map(tuple, minhash_signatures_relational(docs).collect()))
+            old = sorted(map(tuple, self._round2_sigs(docs).collect()))
+            assert new == old
+
+        check()
