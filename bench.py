@@ -148,6 +148,25 @@ def main() -> None:
         # taken at); the summary lives in the driver-captured final line —
         # duplicating it here went stale the moment the driver re-ran
         json.dump({"sf": summary["sf"], "queries": timings}, f, indent=1, sort_keys=True)
+    # append-only run history (gitignored): single-run walls on this box
+    # swing 2x with roaming slow sets (docs/ROUND9.md forensics) — the
+    # per-query MEDIAN across runs is the statistic that means anything.
+    # scripts/bench_medians.py reads this.
+    history_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+    )
+    with open(history_path, "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "ts": time.time(),
+                    "sf": summary["sf"],
+                    "total": summary["value"],
+                    "queries": timings,
+                }
+            )
+            + "\n"
+        )
     print(json.dumps({"queries": timings}), flush=True)
     print(json.dumps(summary), flush=True)
     spark.stop()

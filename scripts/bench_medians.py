@@ -1,0 +1,62 @@
+"""Per-query bench medians across BENCH_HISTORY.jsonl runs.
+
+Single-run walls on the bench box swing 2x with roaming slow sets
+(docs/ROUND9.md forensics: same-code query loops at 272 s and 359 s in
+one session; round-8 recorded 251-498 s). bench.py appends every run's
+per-query timings to BENCH_HISTORY.jsonl; this tool prints the median
+(and min/max spread) per query so regressions are judged on the robust
+statistic, not one sample.
+
+Usage:
+    python scripts/bench_medians.py [top_n]      # default 25, 0 = all
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+HISTORY = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "BENCH_HISTORY.jsonl",
+)
+
+
+def main() -> int:
+    top_n = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    if not os.path.exists(HISTORY):
+        print(f"no history at {HISTORY} — run bench.py first")
+        return 1
+    all_runs = [json.loads(ln) for ln in open(HISTORY) if ln.strip()]
+    by_sf: dict[float, list[dict]] = {}
+    for r in all_runs:
+        by_sf.setdefault(r.get("sf"), []).append(r)
+    for sf in sorted(by_sf, key=lambda x: (x is None, x)):
+        runs = by_sf[sf]
+        per_q: dict[str, list[float]] = {}
+        for r in runs:
+            for q, sec in r.get("queries", {}).items():
+                per_q.setdefault(q, []).append(sec)
+        rows = sorted(
+            (
+                (statistics.median(v), min(v), max(v), len(v), q)
+                for q, v in per_q.items()
+            ),
+            reverse=True,
+        )
+        totals = [r["total"] for r in runs if r.get("total") is not None]
+        print(
+            f"\nsf={sf}: {len(runs)} runs; loop total median "
+            f"{statistics.median(totals):.1f} s (min {min(totals):.1f}, "
+            f"max {max(totals):.1f})"
+        )
+        print(f"{'median':>8} {'min':>7} {'max':>7} {'n':>3}  query")
+        for med, lo, hi, n, q in rows[: top_n or None]:
+            print(f"{med:8.2f} {lo:7.2f} {hi:7.2f} {n:3d}  {q}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
