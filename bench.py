@@ -108,6 +108,20 @@ def main() -> None:
 
     import gc
 
+    # Drain the warmup's deferred cleanup BEFORE the clock starts: the
+    # warmup pass leaves ~242 queries' localCheckpoint blocks referenced
+    # until gc, and the ContextCleaner releases them ASYNCHRONOUSLY —
+    # otherwise that churn lands on the first timed queries (round-9
+    # forensics: first-30 timed queries cost 40-50 s in 3 of 4 runs vs
+    # 17 s on the quiet one, mid-loop stable at 22-29 s in ALL runs, and
+    # doc_simhash_pairs at position 24 swung 1.7-19.1 s while always
+    # ~1.4 s isolated). gc drops the refs; the no-op actions + sleeps
+    # give the cleaner thread a window to finish evicting.
+    gc.collect()
+    for _ in range(3):
+        spark.range(1_000_000).count()
+        time.sleep(1.0)
+
     timings: dict[str, float] = {}
     for name, fn in bq.QUERIES.items():
         start = time.perf_counter()
