@@ -226,10 +226,17 @@ def dedup_representatives(
     find singletons, a union, then a semi join — three extra shuffles of
     corpus-sized id sets to re-derive the fact that singletons and
     component minima are kept, which the anti join encodes for free.
-    Identical output: a df row is dropped iff it is a labeled endpoint
-    whose component min is some other id (rows absent from the label set
-    are singletons, kept by both formulations; pinned by
-    test_graph.py/test_curation.py cluster tests)."""
+    Identical output for non-NULL ids: a df row is dropped iff it is a
+    labeled endpoint whose component min is some other id (rows absent
+    from the label set are singletons, kept by both formulations; pinned
+    by test_graph.py/test_curation.py cluster tests). One deliberate
+    divergence: a df row whose id is NULL is KEPT here (NULL never
+    matches the anti join's drop list), whereas the round-2 semi-join
+    formulation dropped it (NULL never matched the keep list either).
+    A NULL id carries no dedup identity, so treating it as a degenerate
+    singleton is the defensible default; callers that want the old
+    behavior filter NULL ids upstream. Pinned by
+    test_curation.py::test_dedup_representatives_keeps_null_ids."""
     edges = pairs.select(F.col(pair_a).alias("a"), F.col(pair_b).alias("b"))
     labels = _cc_on_edges(edges)
     drop = labels.filter(F.col("node") != F.col("component")).select(

@@ -168,7 +168,16 @@ def streaming_neardup_flags(
     sig = minhash_signature(
         F.array_distinct(shingles(F.col(text_col), shingle_k)), num_hashes
     )
-    bands = lsh_band_keys(sig, rows_per_band)
+    # The STREAMING path keeps the md5-wrapped band keys even though the
+    # batch path (datapipe.dedup round 9) switched to raw concat: the band
+    # key is the applyInPandasWithState GROUPING key, i.e. it is persisted
+    # in the checkpoint's state store. Changing its format would make a job
+    # restarted from a pre-round-9 checkpoint silently match none of its
+    # saved band registry — previously-seen docs would re-register as
+    # firsts and duplicates would pass unflagged. md5(k) = md5(k') iff
+    # k = k' (w.h.p.), so collision semantics are identical to the batch
+    # raw-concat keys; only the persisted representation differs.
+    bands = [F.md5(b) for b in lsh_band_keys(sig, rows_per_band)]
     banded = (
         docs.select(
             F.col(id_col).cast("long").alias("doc_id"),

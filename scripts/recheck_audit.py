@@ -106,10 +106,10 @@ def package_functions() -> tuple[dict, dict]:
 
 def newest_driver_rows() -> dict[str, int]:
     newest: dict[str, int] = {}
-    for f in sorted(glob.glob(f"{REPO}/CORRECTNESS_r0*.json")):
+    for f in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r0?(\d+)", os.path.basename(f)).group(1))
         for q in json.load(open(f)):
-            newest[q] = rnd
+            newest[q] = max(newest.get(q, 0), rnd)
     return newest
 
 

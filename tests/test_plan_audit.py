@@ -1395,6 +1395,10 @@ def test_dedup_representatives_broadcast_anti_join(spark):
         "== Initial Plan =="
     )[0]
     assert "LeftAnti" in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # the drop list must actually broadcast — a SortMergeJoin here would
+    # shuffle the corpus on id (the vacuous-or form this replaced passed
+    # even when broadcast degraded)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoop" not in plan, plan[:1500]
     # the corpus side must not be shuffled or distinct'd
     assert _optimized_count(plan, "Exchange hashpartitioning") == 0, plan[:1500]

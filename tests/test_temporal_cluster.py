@@ -116,6 +116,20 @@ def test_dedup_representatives(spark):
     assert kept == [0, 1, 2]  # 3,4 collapse into representative 0
 
 
+def test_dedup_representatives_keeps_null_ids(spark):
+    """NULL-id rows are degenerate singletons: the anti join keeps them
+    (documented divergence from the round-2 semi-join formulation, which
+    dropped them — see dedup_representatives docstring)."""
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a"), Row(doc_id=1, text="b"), Row(doc_id=None, text="n")],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame([Row(a_id=0, b_id=1)])
+    kept = dedup_representatives(df, pairs, "doc_id").collect()
+    assert sorted((r.doc_id, r.text) for r in kept if r.doc_id is not None) == [(0, "a")]
+    assert [r.text for r in kept if r.doc_id is None] == ["n"]
+
+
 def test_connected_components_distributed_path(spark, monkeypatch):
     """Force the multi-level contraction (driver fast path disabled) and
     check it labels a long chain + ring + singletons exactly like the
