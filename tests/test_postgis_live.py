@@ -89,6 +89,30 @@ def have_hstore(pg_dsn) -> bool:
         return False
 
 
+@pytest.fixture(scope="module")
+def have_postgis(pg_dsn) -> bool:
+    """Probe for the REAL postgis extension (round-9 verdict task 7): the
+    env constraint 'no postgis .so' is machine-checked here instead of
+    assumed each round. Where the probe ever succeeds (a future env with
+    postgresql-postgis installed), the geometry DDL test below runs the
+    genuine AddGeometryColumn/GIST path instead of the stand-in."""
+    try:
+        psql_execute(pg_dsn, ["CREATE EXTENSION IF NOT EXISTS postgis"])
+        return True
+    except RuntimeError:
+        return False
+
+
+def test_postgis_extension_probe_recorded(pg_dsn, have_postgis, record_property):
+    """Always-pass probe recorder: the result lands in the test log (and
+    junit properties) either way, so each round's run shows whether the
+    geometry branch exercised real postgis or the stand-in."""
+    record_property("postgis_extension", have_postgis)
+    print(f"\npostgis extension probe: {'PRESENT' if have_postgis else 'ABSENT'}"
+          f" -> geometry DDL branch uses "
+          f"{'real AddGeometryColumn/GEOMETRY' if have_postgis else 'stand-in POINT'}")
+
+
 ROADS = Table(
     name="roads",
     type="linestring",
@@ -319,43 +343,52 @@ def test_copy_stream_atomic_rollback(pg_dsn):
     psql_execute(pg_dsn, ['DROP TABLE "import".stream_atomic'])
 
 
-def test_postgis_geometry_ddl_branch_live(pg_dsn, have_hstore):
+def test_postgis_geometry_ddl_branch_live(pg_dsn, have_hstore, have_postgis):
     """Execute the use_postgis=True DDL flow end-to-end against live
-    PostgreSQL: the env has no postgis extension, so a stand-in
-    AddGeometryColumn (same signature as postgis's) adds a native POINT
-    column — which is GiST-indexable and CLUSTER-able, so every statement
-    the geometry branch emits (AddGeometryColumn select, GIST index,
-    CLUSTER, ANALYSE, rotation) actually runs instead of being
-    string-compared."""
+    PostgreSQL. With the real postgis extension present (probed above),
+    the genuine AddGeometryColumn adds a GEOMETRY column and the inserts
+    carry ST_MakePoint values; without it, a stand-in with postgis's
+    exact call shape adds a native POINT column — which is likewise
+    GiST-indexable and CLUSTER-able, so every statement the geometry
+    branch emits (AddGeometryColumn select, GIST index, CLUSTER, ANALYSE,
+    rotation) actually runs either way instead of being string-compared."""
     cfg = PostGISConfig(use_postgis=True)
-    # stand-in with postgis's exact call shape (schema, table, col, srid, type, dim)
-    psql_execute(pg_dsn, [
-        """
-        CREATE OR REPLACE FUNCTION AddGeometryColumn(
-            sch VARCHAR, tbl VARCHAR, col VARCHAR,
-            srid INTEGER, gtype VARCHAR, dim INTEGER
-        ) RETURNS TEXT LANGUAGE plpgsql AS $fn$
-        BEGIN
-            EXECUTE format('ALTER TABLE %I.%I ADD COLUMN %I POINT', sch, tbl, col);
-            RETURN sch || '.' || tbl || '.' || col ||
-                   ' SRID:' || srid || ' TYPE:' || gtype || ' DIMS:' || dim;
-        END $fn$
-        """.strip(),
-        'CREATE SCHEMA IF NOT EXISTS "import"',
-    ])
+    if not have_postgis:
+        # stand-in with postgis's exact call shape (schema, table, col, srid, type, dim)
+        psql_execute(pg_dsn, [
+            """
+            CREATE OR REPLACE FUNCTION AddGeometryColumn(
+                sch VARCHAR, tbl VARCHAR, col VARCHAR,
+                srid INTEGER, gtype VARCHAR, dim INTEGER
+            ) RETURNS TEXT LANGUAGE plpgsql AS $fn$
+            BEGIN
+                EXECUTE format('ALTER TABLE %I.%I ADD COLUMN %I POINT', sch, tbl, col);
+                RETURN sch || '.' || tbl || '.' || col ||
+                       ' SRID:' || srid || ' TYPE:' || gtype || ' DIMS:' || dim;
+            END $fn$
+            """.strip(),
+        ])
+    psql_execute(pg_dsn, ['CREATE SCHEMA IF NOT EXISTS "import"'])
     for stmt in table_ddl(ROADS, cfg):
         if not have_hstore:  # geometry branch under test, not hstore
             stmt = stmt.replace(" HSTORE", " VARCHAR")
         psql_execute(pg_dsn, [stmt])
-    # geometry column exists with the stand-in type
+    # geometry column exists — real USER-DEFINED geometry with postgis,
+    # the stand-in native point type without
+    expected_type = "USER-DEFINED" if have_postgis else "point"
     assert psql_query(
         pg_dsn,
         "SELECT data_type FROM information_schema.columns WHERE "
         "table_schema='import' AND table_name='osm_roads' AND column_name='geometry'",
-    ) == [["point"]]
+    ) == [[expected_type]]
+    point_expr = (
+        "ST_SetSRID(ST_MakePoint(i % 7, i % 11), 3857)"
+        if have_postgis
+        else "point(i % 7, i % 11)"
+    )
     psql_execute(pg_dsn, [
         "INSERT INTO \"import\".\"osm_roads\" (osm_id, geometry, name, oneway, z, tags) "
-        "SELECT i, point(i % 7, i % 11), 'r' || i, i % 2 = 0, i, NULL FROM generate_series(1, 50) i"
+        f"SELECT i, {point_expr}, 'r' || i, i % 2 = 0, i, NULL FROM generate_series(1, 50) i"
     ])
     for stmt in finish_ddl(ROADS, cfg):
         psql_execute(pg_dsn, [stmt])
