@@ -19,12 +19,18 @@ with a sibling .state.txt; we accept both layouts.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-from imposm3_spark.diff.update import OsmState, apply_batch
+from imposm3_spark.diff.update import (
+    OsmState,
+    apply_batch,
+    apply_changes_to_state,
+    compute_frontier,
+)
 from imposm3_spark.pipeline.engine import ImportPipeline
 from imposm3_spark.sources.osm_xml import read_osc_xml
 
@@ -84,6 +90,9 @@ class ReplicationRunner:
     # in diff_dir yet, fetch it from the remote feed first (`imposm run`
     # against a live replication endpoint, update/cmd.go:48-257)
     downloader: "object | None" = None
+    # per-stage walls of the most recent apply_one (observability only;
+    # see imposm3_spark/benchdiff.py)
+    last_stage_secs: dict = field(default_factory=dict)
 
     def current_sequence(self) -> int:
         p = Path(self.state_file)
@@ -97,47 +106,98 @@ class ReplicationRunner:
         path = sequence_path(self.diff_dir, seq)
         if path is None:
             return False
+        # Stage walls for observability (imposm3_spark/benchdiff.py reads
+        # them): each key marks where the LAZY batch plan actually
+        # executes — expire at tiles.collect(), state/tables/gens at their
+        # localCheckpoints, store at the durable save.
+        stage_secs: dict[str, float] = {}
+        t0 = time.perf_counter()
         changes = read_osc_xml(self.spark, path)
-        new_state, new_tables, affected = apply_batch(
-            self.pipe, self.state, self.tables, changes, with_affected=True
+        stage_secs["read"] = round(time.perf_counter() - t0, 3)
+
+        # Pin the upserted state and the frontier FIRST: every downstream
+        # consumer (rebuild semi-joins, delete anti-joins, expiry branches,
+        # gen refresh) references them several times, and Spark re-executes
+        # an unpinned subtree once per referencing branch. Pinning here
+        # (tiny jobs — state upsert is an anti-join+union over the already-
+        # checkpointed previous state; the frontier is the batch's blast
+        # radius) turned round-10 benchdiff's per-batch wall from ~190 s
+        # to single-digit seconds at 32 Monaco replicas. The previous
+        # ordering checkpointed state AFTER expiry, so expiry's six
+        # branches each re-ran the upsert joins, and the frontier was
+        # computed twice (once inside apply_batch, once for expiry).
+        t0 = time.perf_counter()
+        new_state = apply_changes_to_state(self.state, changes)
+        # the three state pins are independent — submit them concurrently
+        # (each is a small job; serial submission pays three scheduler
+        # round-trips where one suffices on an idle cluster)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            n_f, w_f, r_f = (
+                pool.submit(new_state.nodes.localCheckpoint),
+                pool.submit(new_state.ways.localCheckpoint),
+                pool.submit(new_state.relations.localCheckpoint),
+            )
+            new_state = OsmState(n_f.result(), w_f.result(), r_f.result())
+        stage_secs["state"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        frontier = compute_frontier(self.state, new_state, changes, pin=True)
+        stage_secs["frontier"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        _, new_tables, affected = apply_batch(
+            self.pipe,
+            self.state,
+            self.tables,
+            changes,
+            with_affected=True,
+            new_state=new_state,
+            frontier=frontier,
         )
+        # plan construction + the engine's shared-frontier pins (the
+        # rebuilt rows themselves materialize under "tables")
+        stage_secs["rebuild"] = round(time.perf_counter() - t0, 3)
         if self.expire_dir is not None:
-            from imposm3_spark.diff.update import compute_frontier, expired_tiles_for_batch
+            from imposm3_spark.diff.update import expired_tiles_for_batch
             from imposm3_spark.expire.tiles import TileExpireList
 
-            ns = OsmState(*[getattr(new_state, a) for a in ("nodes", "ways", "relations")])
-            frontier = compute_frontier(self.state, ns, changes)
+            t0 = time.perf_counter()
             tiles = expired_tiles_for_batch(
-                self.pipe, self.state, ns, frontier, max_zoom=self.expire_zoom
+                self.pipe, self.state, new_state, frontier, max_zoom=self.expire_zoom
             )
             tl = TileExpireList(max_zoom=self.expire_zoom)
             for r in tiles.collect():
                 tl.tiles.setdefault(r["z"], set()).add((r["x"], r["y"]))
             tl.flush(self.expire_dir)
-        # persist the new versions before dropping the old ones
-        new_state = OsmState(
-            new_state.nodes.localCheckpoint(),
-            new_state.ways.localCheckpoint(),
-            new_state.relations.localCheckpoint(),
-        )
-        new_tables = {n: df.localCheckpoint() for n, df in new_tables.items()}
+            stage_secs["expire"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        # per-table pins are independent jobs — overlap them (same
+        # concurrent-submission pattern as the import bench's sink writes)
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            futs = {n: pool.submit(df.localCheckpoint) for n, df in new_tables.items()}
+            new_tables = {n: f.result() for n, f in futs.items()}
+        stage_secs["tables"] = round(time.perf_counter() - t0, 3)
         if self.gens is not None:
             # per-id gen refresh (T6) off the MATERIALIZED base tables
             from imposm3_spark.pipeline.generalize import refresh_generalized_tables
 
+            t0 = time.perf_counter()
             new_gens = refresh_generalized_tables(
                 self.pipe.mapping, self.gens, new_tables, affected
             )
             self.gens = {n: df.localCheckpoint() for n, df in new_gens.items()}
+            stage_secs["gens"] = round(time.perf_counter() - t0, 3)
         self.state = new_state
         self.tables = new_tables
         if self.state_store is not None:
             # durable publish BEFORE the sequence checkpoint: a crash
             # between the two replays the batch onto the already-updated
             # state, which is idempotent (last-write-wins upsert)
+            t0 = time.perf_counter()
             self.state_store.save(new_state)
             self.state = self.state_store.load()
+            stage_secs["store"] = round(time.perf_counter() - t0, 3)
         write_state_txt(self.state_file, seq)
+        self.last_stage_secs = stage_secs
         return True
 
     def resume(self) -> None:

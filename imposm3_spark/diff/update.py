@@ -75,12 +75,22 @@ class Frontier:
     rel_ids: DataFrame
 
 
-def compute_frontier(state: OsmState, new_state: OsmState, changes: DataFrame) -> Frontier:
+def compute_frontier(
+    state: OsmState, new_state: OsmState, changes: DataFrame, pin: bool = False
+) -> Frontier:
     """T3: changed ids + transitive dependents (2 hops max: node->way->rel).
 
     Dependencies are resolved against BOTH the old and new state: the old
     index catches ways/relations that referenced a now-deleted element; the
-    new index catches references added by the batch."""
+    new index catches references added by the batch.
+
+    pin=True localCheckpoints the three id sets (tiny — bounded by the
+    batch's blast radius). Everything downstream of a batch references the
+    frontier MANY times (3 rebuild semi-joins, ~7 delete anti-joins, 6
+    expiry branches), and Spark re-executes a shared subtree once per
+    referencing branch — unpinned, each reference re-pays the full
+    reverse-reference scan of the state. Round-10 benchdiff measured the
+    unpinned chain at ~10x the pinned wall on a 32-replica Monaco state."""
     changed_nodes = changes.filter(F.col("kind") == "node").select(
         F.col("node")["id"].alias("id")
     ).distinct()
@@ -91,6 +101,12 @@ def compute_frontier(state: OsmState, new_state: OsmState, changes: DataFrame) -
         F.col("relation")["id"].alias("id")
     ).distinct()
 
+    if pin:
+        # pin each hop BEFORE the next consumes it, so the rel hop scans
+        # the state once against a materialized way frontier instead of
+        # embedding (and re-executing) the whole way-hop subtree
+        changed_nodes = changed_nodes.localCheckpoint()
+
     dep_ways = _union_all(
         [
             ri.dependent_ways(state.ways, changed_nodes),
@@ -98,6 +114,8 @@ def compute_frontier(state: OsmState, new_state: OsmState, changes: DataFrame) -
         ]
     ).distinct()
     way_frontier = changed_ways.unionByName(dep_ways).distinct()
+    if pin:
+        way_frontier = way_frontier.localCheckpoint()
 
     dep_rels = _union_all(
         [
@@ -106,7 +124,8 @@ def compute_frontier(state: OsmState, new_state: OsmState, changes: DataFrame) -
         ]
     ).distinct()
     rel_frontier = changed_rels.unionByName(dep_rels).distinct()
-
+    if pin:
+        rel_frontier = rel_frontier.localCheckpoint()
     return Frontier(node_ids=changed_nodes, way_ids=way_frontier, rel_ids=rel_frontier)
 
 
@@ -132,17 +151,56 @@ def rebuild_tables(
     pipe: ImportPipeline, new_state: OsmState, frontier: Frontier
 ) -> dict[str, DataFrame]:
     """T5: run the import pipeline on the frontier subset. Coordinates and
-    member elements resolve against the FULL new state (a moved node must
-    pull its way's other, unchanged nodes)."""
-    nodes = new_state.nodes.join(frontier.node_ids, "id", "leftsemi")
-    ways = new_state.ways.join(frontier.way_ids, "id", "leftsemi")
-    rels = new_state.relations.join(frontier.rel_ids, "id", "leftsemi")
+    member elements resolve against the full new state (a moved node must
+    pull its way's other, unchanged nodes) — but only the REACHABLE
+    CLOSURE of the frontier is ever read, so the state tables are pruned
+    to it first with broadcast semi joins (one scan each, no exchange).
+    Unpruned, the pipeline's resolve joins sort-merge — i.e. shuffle the
+    ENTIRE coord/way tables per batch, which at planet scale turns a
+    500-element diff into a full-data shuffle.
 
-    coords = pipe.prepare_coords(new_state.nodes)
+    Closure: frontier rels -> their way/node members; (frontier ∪ member)
+    ways -> their refs. All broadcast sets are blast-radius-bounded (a
+    batch's elements × mean way length)."""
+    rels = new_state.relations.join(
+        frontier.rel_ids, "id", "leftsemi"
+    ).localCheckpoint()
+
+    member_way_ids = (
+        rels.select(F.explode("members").alias("m"))
+        .filter(F.col("m.type") == 1)
+        .select(F.col("m.id").alias("id"))
+    )
+    way_ids = (
+        frontier.way_ids.unionByName(member_way_ids).distinct().localCheckpoint()
+    )
+    needed_ways = new_state.ways.join(
+        F.broadcast(way_ids), "id", "leftsemi"
+    ).localCheckpoint()
+    ways = needed_ways.join(F.broadcast(frontier.way_ids), "id", "leftsemi")
+
+    member_node_ids = (
+        rels.select(F.explode("members").alias("m"))
+        .filter(F.col("m.type") == 0)
+        .select(F.col("m.id").alias("id"))
+    )
+    ref_ids = (
+        needed_ways.select(F.explode("refs").alias("id"))
+        .unionByName(member_node_ids)
+        .unionByName(frontier.node_ids)
+        .distinct()
+        .localCheckpoint()
+    )
+    needed_nodes = new_state.nodes.join(
+        F.broadcast(ref_ids), "id", "leftsemi"
+    ).localCheckpoint()
+    nodes = needed_nodes.join(F.broadcast(frontier.node_ids), "id", "leftsemi")
+
+    coords = pipe.prepare_coords(needed_nodes)
     tables: dict[str, list[DataFrame]] = {}
     parts = (
-        pipe.relation_member_tables(rels, new_state.ways, new_state.nodes),
-        pipe.relation_tables(rels, new_state.ways, coords),
+        pipe.relation_member_tables(rels, needed_ways, needed_nodes),
+        pipe.relation_tables(rels, needed_ways, coords),
         pipe.way_tables(ways, coords),
         pipe.node_tables(nodes),
     )
@@ -156,11 +214,28 @@ def _resolve_latlon(ways: DataFrame, nodes: DataFrame, keep_cols: list[str]) -> 
     """Attach lon/lat coord arrays to ways, position-ordered. Unresolvable
     refs become (0,0) placeholder nodes — the tile expiry skips them,
     exactly like the reference's partially-filled ways (tilelist.go
-    skip-empty-node checks)."""
+    skip-empty-node checks).
+
+    Join shape: `ways` is a diff-batch blast radius (small); `nodes` is
+    the FULL element state. A direct left join would sort-merge — i.e.
+    shuffle the entire node table per call (4 calls per batch). Instead
+    the node side is pruned with a broadcast semi join on the referenced
+    ids (one scan of state, no exchange), and the pruned set — bounded by
+    the frontier ways' total ref count — broadcasts into the outer join.
+    `ways` is pinned on entry: it is referenced three times below (the
+    explode, the ref-id prune, the final join), and its upstream subtree
+    (frontier semi join + the giant match predicates, which Catalyst
+    pushes below the join onto the full way table) must execute once, not
+    per reference."""
+    ways = ways.localCheckpoint()
     ex = ways.select("id", "refs").dropDuplicates(["id"]).select(
         "id", F.posexplode("refs").alias("pos", "ref")
     )
-    j = ex.join(nodes.select(F.col("id").alias("ref"), "lon", "lat"), "ref", "left")
+    ref_ids = ex.select(F.col("ref").alias("id")).distinct()
+    needed = nodes.join(F.broadcast(ref_ids), "id", "leftsemi")
+    j = ex.join(
+        F.broadcast(needed.select(F.col("id").alias("ref"), "lon", "lat")), "ref", "left"
+    )
     agg = j.groupBy("id").agg(
         F.array_sort(
             F.collect_list(
@@ -217,19 +292,64 @@ def expired_tiles_for_batch(
     from imposm3_spark.expire.tiles import expired_tiles
     from imposm3_spark.mapping.matcher import tag_prefilter_expr
 
+    # The match/prefilter Column trees are LARGE (every unit's match +
+    # filter expression) and side-independent — build them once per
+    # ImportPipeline and reuse across sides AND batches. Column objects
+    # are unresolved expressions, freely reusable across DataFrames;
+    # rebuilding them per call cost ~10 s of py4j round-trips per batch.
+    exprs = getattr(pipe, "_expire_match_exprs", None)
+    if exprs is None:
+        closed = (F.size("refs") >= 4) & (
+            F.try_element_at("refs", F.lit(1)) == F.try_element_at("refs", F.lit(-1))
+        )
+        area_tag = F.coalesce(F.col("tags").getItem("area"), F.lit(""))
+        as_line = ~(closed & (area_tag == "yes"))
+        as_poly = closed & (area_tag != "no")
+        exprs = {
+            "node_prefilter": tag_prefilter_expr(pipe.mapping, "node", F.col("tags")),
+            "way_prefilter": tag_prefilter_expr(pipe.mapping, "way", F.col("tags")),
+            "rel_prefilter": tag_prefilter_expr(
+                pipe.mapping, "relation", F.col("tags")
+            ),
+            "node_m": _any_match(
+                pipe, pipe.point_units, F.col("tags"), F.lit(False), relation=False
+            ),
+            "line_m": as_line
+            & _any_match(pipe, pipe.line_units, F.col("tags"), closed, relation=False),
+            "poly_m": as_poly
+            & _any_match(
+                pipe, pipe.polygon_units, F.col("tags"), closed, relation=False
+            ),
+            "rpoly_m": _any_match(
+                pipe, pipe.polygon_units, F.col("tags"), F.lit(True), relation=True
+            ),
+            "rother_m": _any_match(
+                pipe,
+                pipe.relation_units + pipe.relation_member_units,
+                F.col("tags"),
+                F.lit(True),
+                relation=True,
+            ),
+        }
+        pipe._expire_match_exprs = exprs
+
     parts = []
     for st, is_new in ((state, False), (new_state, True)):
         all_nodes = st.nodes.select("id", "lon", "lat")
+
+        # Pin discipline: the way sets are pinned inside _resolve_latlon
+        # (multiply-referenced there); nodes/relations are consumed
+        # exactly once each, and the geoms union at the end pins the
+        # whole batch in one job — pinning them here would only add a job
+        # of fixed overhead per branch.
 
         # nodes (deleter.go:206-238; writer/nodes.go:91-92)
         nd = (
             st.nodes.join(frontier.node_ids, "id", "leftsemi")
             .filter(F.size("tags") > 0)
-            .withColumn("tags", tag_prefilter_expr(pipe.mapping, "node", F.col("tags")))
+            .withColumn("tags", exprs["node_prefilter"])
         )
-        nd = nd.filter(
-            _any_match(pipe, pipe.point_units, F.col("tags"), F.lit(False), relation=False)
-        )
+        nd = nd.filter(exprs["node_m"])
         parts.append(
             nd.select(
                 F.array(F.struct(F.col("lon"), F.col("lat"))).alias("coords"),
@@ -237,27 +357,16 @@ def expired_tiles_for_batch(
             )
         )
 
-        # ways (deleter.go:159-204; writer/ways.go:122-123)
+        # ways (deleter.go:159-204; writer/ways.go:122-123) — pinned
+        # inside _resolve_latlon
         wy = (
             st.ways.join(frontier.way_ids, "id", "leftsemi")
             .filter(F.size("tags") > 0)
-            .withColumn("tags", tag_prefilter_expr(pipe.mapping, "way", F.col("tags")))
+            .withColumn("tags", exprs["way_prefilter"])
         )
-        closed = (F.size("refs") >= 4) & (
-            F.try_element_at("refs", F.lit(1)) == F.try_element_at("refs", F.lit(-1))
-        )
-        area_tag = F.coalesce(F.col("tags").getItem("area"), F.lit(""))
-        as_line = ~(closed & (area_tag == "yes"))
-        as_poly = closed & (area_tag != "no")
-        line_m = as_line & _any_match(
-            pipe, pipe.line_units, F.col("tags"), closed, relation=False
-        )
-        poly_m = as_poly & _any_match(
-            pipe, pipe.polygon_units, F.col("tags"), closed, relation=False
-        )
-        wy = wy.withColumns({"_line_m": line_m, "_poly_m": poly_m}).filter(
-            F.col("_line_m") | F.col("_poly_m")
-        )
+        wy = wy.withColumns(
+            {"_line_m": exprs["line_m"], "_poly_m": exprs["poly_m"]}
+        ).filter(F.col("_line_m") | F.col("_poly_m"))
         parts.append(
             _resolve_latlon(wy, all_nodes, keep_cols=["_poly_m"]).select(
                 "coords", F.col("_poly_m").alias("closed")
@@ -269,28 +378,21 @@ def expired_tiles_for_batch(
         rl = (
             st.relations.join(frontier.rel_ids, "id", "leftsemi")
             .filter(F.size("tags") > 0)
-            .withColumn("tags", tag_prefilter_expr(pipe.mapping, "relation", F.col("tags")))
+            .withColumn("tags", exprs["rel_prefilter"])
         )
-        rpoly_m = _any_match(
-            pipe, pipe.polygon_units, F.col("tags"), F.lit(True), relation=True
+        rl = rl.withColumn("_poly_m", exprs["rpoly_m"]).filter(
+            F.col("_poly_m") | exprs["rother_m"]
         )
-        rother_m = _any_match(
-            pipe,
-            pipe.relation_units + pipe.relation_member_units,
-            F.col("tags"),
-            F.lit(True),
-            relation=True,
-        )
-        rl = rl.withColumn("_poly_m", rpoly_m).filter(F.col("_poly_m") | rother_m)
-        member_ways = (
+        # member side is blast-radius-sized — broadcast it so the full
+        # way table scans once without an exchange
+        members = (
             rl.select("_poly_m", F.explode("members").alias("m"))
             .filter(F.col("m.type") == 1)
             .select(F.col("m.id").alias("way_id"), "_poly_m")
-            .join(
-                st.ways.select(F.col("id").alias("way_id"), "refs"),
-                "way_id",
-                "inner",
-            )
+        )
+        member_ways = (
+            st.ways.select(F.col("id").alias("way_id"), "refs")
+            .join(F.broadcast(members), "way_id", "inner")
             .select(F.col("way_id").alias("id"), "refs", "_poly_m")
         )
         rel_closed = F.lit(True) if is_new else F.col("_poly_m")
@@ -303,6 +405,11 @@ def expired_tiles_for_batch(
     geoms = parts[0]
     for p in parts[1:]:
         geoms = geoms.unionByName(p)
+    # materialize the (blast-radius-sized) union in ONE job before the
+    # tiles UDF: otherwise AQE runs each of the six branches as its own
+    # stage-job chain through the Python runner (~20 jobs of fixed
+    # overhead to tile a few hundred geometries)
+    geoms = geoms.localCheckpoint()
     return expired_tiles(geoms, max_zoom=max_zoom)
 
 
@@ -312,6 +419,8 @@ def apply_batch(
     tables: dict[str, DataFrame],
     changes: DataFrame,
     with_affected: bool = False,
+    new_state: OsmState | None = None,
+    frontier: Frontier | None = None,
 ):
     """One diff batch end-to-end: state upsert, frontier, delete+rebuild.
 
@@ -326,8 +435,16 @@ def apply_batch(
     mode (database/postgis/tx.go:116-199); against a real PostGIS sink
     this maps to DELETE WHERE osm_id IN (...) followed by batched INSERTs
     inside one transaction (see sinks/postgis.py)."""
-    new_state = apply_changes_to_state(state, changes)
-    frontier = compute_frontier(state, new_state, changes)
+    if new_state is None:
+        new_state = apply_changes_to_state(state, changes)
+    if frontier is None:
+        # pinned by default: the frontier is referenced by the 3 rebuild
+        # semi-joins AND every table's delete anti-join below — unpinned,
+        # each reference re-executes the reverse-reference scans (see
+        # compute_frontier docstring). Callers that already hold a pinned
+        # frontier (diff/runner, streaming/replication) pass it in so the
+        # batch computes it exactly once.
+        frontier = compute_frontier(state, new_state, changes, pin=True)
     rebuilt = rebuild_tables(pipe, new_state, frontier)
     delete_ids = affected_osm_ids(pipe, frontier)
 

@@ -56,24 +56,36 @@ class StreamingReplicator:
         if not rows:
             return
         changes = self.spark.createDataFrame(rows, CHANGE_SCHEMA)
-        new_state, new_tables, affected = apply_batch(
-            self.pipe, self.state, self.tables, changes, with_affected=True
-        )
-        if self.expire_dir is not None:
-            from imposm3_spark.diff.update import expired_tiles_for_batch
-            from imposm3_spark.expire.tiles import TileExpireList
+        # pin state + frontier once, then every downstream consumer
+        # (rebuild/delete/expiry/gens) reads the materialized sets — same
+        # shape as diff/runner.apply_one (see its comment for the why)
+        from imposm3_spark.diff.update import apply_changes_to_state
 
-            frontier = compute_frontier(self.state, new_state, changes)
-            tiles = expired_tiles_for_batch(self.pipe, self.state, new_state, frontier)
-            tl = TileExpireList(max_zoom=14)
-            for r in tiles.collect():
-                tl.tiles.setdefault(r["z"], set()).add((r["x"], r["y"]))
-            tl.flush(self.expire_dir)
+        new_state = apply_changes_to_state(self.state, changes)
         new_state = OsmState(
             new_state.nodes.localCheckpoint(),
             new_state.ways.localCheckpoint(),
             new_state.relations.localCheckpoint(),
         )
+        frontier = compute_frontier(self.state, new_state, changes, pin=True)
+        _, new_tables, affected = apply_batch(
+            self.pipe,
+            self.state,
+            self.tables,
+            changes,
+            with_affected=True,
+            new_state=new_state,
+            frontier=frontier,
+        )
+        if self.expire_dir is not None:
+            from imposm3_spark.diff.update import expired_tiles_for_batch
+            from imposm3_spark.expire.tiles import TileExpireList
+
+            tiles = expired_tiles_for_batch(self.pipe, self.state, new_state, frontier)
+            tl = TileExpireList(max_zoom=14)
+            for r in tiles.collect():
+                tl.tiles.setdefault(r["z"], set()).add((r["x"], r["y"]))
+            tl.flush(self.expire_dir)
         new_tables = {n: df.localCheckpoint() for n, df in new_tables.items()}
         if self.gens is not None:
             from imposm3_spark.pipeline.generalize import refresh_generalized_tables
