@@ -53,7 +53,7 @@ def _subprocess_bench(module: str) -> dict:
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
-        timeout=1200,
+        timeout=1500,
     )
     lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
     if r.returncode != 0 or not lines:
@@ -70,15 +70,25 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     # e2e benches FIRST, each in its own subprocess JVM, before this
-    # process creates its session — the box runs one JVM at a time
-    try:
-        import_summary = _subprocess_bench("imposm3_spark.benchimport")
-    except Exception as exc:  # must never sink the query bench
-        import_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-    try:
-        curate_summary = _subprocess_bench("imposm3_spark.benchcurate")
-    except Exception as exc:
-        curate_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    # process creates its session — the box runs one JVM at a time.
+    # SPARK_GRAFT_SKIP_E2E=1 runs only the query loop: repeated runs feed
+    # BENCH_HISTORY.jsonl medians (scripts/bench_medians.py) without
+    # paying the ~15 min of import/curate/diff e2e each time.
+    skip_e2e = os.environ.get("SPARK_GRAFT_SKIP_E2E") == "1"
+    import_summary = curate_summary = diff_summary = {"skipped": True}
+    if not skip_e2e:
+        try:
+            import_summary = _subprocess_bench("imposm3_spark.benchimport")
+        except Exception as exc:  # must never sink the query bench
+            import_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        try:
+            curate_summary = _subprocess_bench("imposm3_spark.benchcurate")
+        except Exception as exc:
+            curate_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        try:
+            diff_summary = _subprocess_bench("imposm3_spark.benchdiff")
+        except Exception as exc:
+            diff_summary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     spark = get_spark("imposm3-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -148,6 +158,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "import": import_summary,
         "curate": curate_summary,
+        "diff": diff_summary,
     }
     # The driver captures the TAIL of stdout, so the compact summary must
     # be the FINAL line (a 236-entry per-query dict printed after it would

@@ -7,6 +7,13 @@ per-query timings to BENCH_HISTORY.jsonl; this tool prints the median
 (and min/max spread) per query so regressions are judged on the robust
 statistic, not one sample.
 
+Besides the median table, the tool emits a REGRESSION VERDICT for the
+newest run at each sf: any query whose newest wall exceeds 1.5x its
+median across >=3 total samples is flagged (the threshold sits above the
+box's observed same-code noise envelope for mid-loop queries, below a
+real plan regression). Exit code 2 when the newest sf0.1 run has flags,
+so round scripts can gate on it.
+
 Usage:
     python scripts/bench_medians.py [top_n]      # default 25, 0 = all
 """
@@ -29,6 +36,7 @@ def main() -> int:
     if not os.path.exists(HISTORY):
         print(f"no history at {HISTORY} — run bench.py first")
         return 1
+    rc = 0
     all_runs = [json.loads(ln) for ln in open(HISTORY) if ln.strip()]
     by_sf: dict[float, list[dict]] = {}
     for r in all_runs:
@@ -55,7 +63,28 @@ def main() -> int:
         print(f"{'median':>8} {'min':>7} {'max':>7} {'n':>3}  query")
         for med, lo, hi, n, q in rows[: top_n or None]:
             print(f"{med:8.2f} {lo:7.2f} {hi:7.2f} {n:3d}  {q}")
-    return 0
+
+        # regression verdict: newest run vs per-query median (needs >=3
+        # samples so one noisy tail can't both set and trip the bar)
+        newest = max(runs, key=lambda r: r.get("ts", 0))
+        flags = []
+        for q, sec in newest.get("queries", {}).items():
+            hist = per_q.get(q, [])
+            if len(hist) >= 3:
+                med = statistics.median(hist)
+                # ignore sub-second queries: fixed job overhead dominates
+                # them and 1.5x of 0.3 s is scheduler jitter, not a plan
+                if sec > 1.5 * med and sec > 1.0:
+                    flags.append((sec / med, sec, med, q))
+        if flags:
+            print(f"  REGRESSION FLAGS (newest run, >1.5x median, n>=3):")
+            for ratio, sec, med, q in sorted(flags, reverse=True):
+                print(f"    {q}: {sec:.2f} s vs median {med:.2f} s ({ratio:.2f}x)")
+            if sf == 0.1:
+                rc = 2
+        else:
+            print("  regression verdict: clean (newest run within 1.5x medians)")
+    return rc
 
 
 if __name__ == "__main__":
