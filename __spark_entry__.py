@@ -38,114 +38,89 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records at most 50 entries per round, taken
-# in dict order. ROUND-9 WINDOW: 3 array-flattening fixes + 12 queued
-# re-checks + 13 re-checks for this round's minhash/cluster rewrite + 22
-# stalest rows. Cumulative registry coverage stays 242/242; after this
-# window no query's newest driver row predates r02 except the remaining
-# r02 cohort scheduled for round 10 (30 names).
+# in dict order. ROUND-10 WINDOW: the 30 remaining r02-newest rows (the
+# staleness queue reserved by the round-9 window comment — 18 TPC-H, 11
+# osm_*, events_top_types_per_user) + 2 re-checks for this round's code
+# changes + the 18 alphabetically-first r05-newest rows. After this window
+# no query's newest driver row predates r05.
 #
-# (a) ROUND-8 REDS, FLATTENED (driver comparator cannot canonicalize
-#     ArrayType cells — round-8 forensics): doc_inverted_index,
-#     emb_quantize, media_features now render postings/qvec/features as
-#     comma-joined scalar strings, mirrored in their oracles; the gate and
-#     test_oracle_types.py now FAIL any query with Array/Map/Struct output.
-# (b) ROUND-8 QUEUED RE-CHECKS (code changed after their last driver row):
-#     the 10 text-kernel riders (datapipe/text.py regexp_count rewrite,
-#     value equality property-pinned in test_text_fast_ops.py) + both BPE
-#     queries after the round-8 greedy-merge fix (datapipe/bpe.py).
-# (c) ROUND-9 MINHASH/CLUSTER RE-CHECKS: this round rewrote
-#     minhash_signatures_relational (one-pass aggregate fold, exchange
-#     deleted), minhash_lsh_pairs (raw-concat band keys via the fold's
-#     finish lambda; oracle _sql_minhash_bands mirrored md5(a||b) -> a||b)
-#     and cluster.py dedup_representatives (drop-list anti join) +
-#     _cc_on_edges (Arrow labels). Byte-identity with the round-2
-#     formulations pinned by test_curation.py::TestMinhashFoldParity and
-#     the cluster tests; all 17 affected queries re-gated strict green at
-#     sf0.01 this session. Every registered query riding the changed
-#     kernels is in this window:
-#       dedup.py/benchqueries minhash: doc_minhash_pairs, doc_ngram_jaccard,
-#         doc_curate, doc_minhash_accuracy(+_sampled), doc_dedup_report,
-#         doc_lsh_pr(+_sampled), doc_lsh_pr_curve(+_sampled),
-#         doc_minhash_clusters
-#       cluster.py: emb_neardup_clusters(+_sampled) (doc_curate,
-#         doc_dedup_report, doc_minhash_clusters already above;
-#         doc_pairgraph_triangles rides datapipe/graph.py, unchanged — no
-#         slot). streaming_neardup_flags rides lsh_band_keys but is
-#         pytest-parity-checked, not driver-checked.
-#     Untouched this round and NOT re-checked: simhash*, decontaminate
-#     (separate kernels), all simjoin/stats/timeseries queries.
-#     datapipe/text.py also gained re.escape on the stopword alternation —
-#     the escaped pattern is byte-identical for every current word list
-#     (pinned by test_stopword_alternation_escape_is_identity), so no
-#     additional slots beyond the (b) queue.
-#     AUDIT CROSS-CHECK: scripts/recheck_audit.py (new this round —
-#     symbol-level git-range -> query flagging) over fd631a7..HEAD flags
-#     25 queries; all are in this window except doc_quality_matrix
-#     (r08-green), struck because its only flagged edges are the
-#     gopher_rules DOCSTRING edit and the byte-identical stopword
-#     pattern — neither changes any executed plan.
-# (d) STALEST ROWS (round-8 verdict task 4): all 9 queries whose newest
-#     row is r01, then the dedup.py/similarity.py round-1 family (their
-#     backing modules accreted since r02), then 4 core r02 anchors
-#     (tpch_q1 flagship, J1/F2 joins, events_hourly). The remaining 30
-#     r02-newest rows (19 TPC-H, 10 osm_*, cust_*) are round 10's fill.
+# (a) R02 STALENESS QUEUE, DRAINED (round-9 verdict task 1): every query
+#     whose newest driver row is r02. All 30 pass the full-registry strict
+#     gate (scripts/check_oracle.py) at sf0.1 and sf0.01 on current code;
+#     seven rounds of module accretion sit on top of those rows, so the
+#     driver re-confirms them here.
+# (b) ROUND-10 CODE-CHANGE RE-CHECKS (scripts/recheck_audit.py over
+#     e457c43..HEAD): doc_curate (cluster.dedup_representatives gained an
+#     explicit NULL-id filter — ADVICE r9; value-identical on non-null ids,
+#     pinned by tests, but the executed plan changed) and media_features
+#     (datapipe/multimodal.py gained the stdlib-PNG decode tier; the
+#     registered query pins decoder="stub" so its output is unchanged —
+#     slot spent anyway since the module's import surface changed).
+#     streaming_neardup_flags also rides changed code (md5 band keys
+#     restored on the stateful path — ADVICE r9) but is pytest-parity-
+#     checked, not driver-checked. The diff/runner + diff/update +
+#     streaming/replication rewrites (frontier pinning, broadcast closure
+#     pruning for benchdiff) touch NO registered-query symbol: the audit
+#     flags only doc_curate; osm_diff_frontier/osm_expire_tiles ride
+#     refindex/expire.tiles which are untouched — both re-check via (a)
+#     anyway.
+# (c) STALEST-NEXT FILL: the 18 alphabetically-first of the 32 r05-newest
+#     rows; the remaining 14 r05 rows are round 11's queue.
 _DRIVER_FIRST = [
-    # -- (a) round-8 reds, flattened --
-    "doc_inverted_index",
-    "emb_quantize",
-    "media_features",
-    # -- (b) round-8 queued re-checks --
-    "doc_text_stats",
-    "doc_quality",
-    "doc_langid",
-    "doc_clean_sample",
-    "doc_gopher_rules",
-    "doc_rag_retrieve",
-    "doc_score_auc",
-    "doc_lang_confusion",
-    "doc_make_batches",
-    "doc_tokenizer_fertility",
-    "doc_bpe_merges",
-    "doc_bpe_encode",
-    # -- (c) round-9 minhash/cluster re-checks --
-    "doc_minhash_pairs",
-    "doc_ngram_jaccard",
+    # -- (a) r02 staleness queue: 18 TPC-H + events_top_types_per_user --
+    "tpch_q2_mincost",
+    "tpch_q3",
+    "tpch_q4_semi",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7_volume",
+    "tpch_q8_share",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q11_stock",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_topsupp",
+    "tpch_q16_suppcnt",
+    "tpch_q17_smallqty",
+    "tpch_q18",
+    "tpch_q21_wait",
+    "tpch_q22_anti",
+    "events_top_types_per_user",
+    # -- (a) r02 staleness queue: 11 osm_* --
+    "osm_closed_way_dispatch",
+    "osm_column_types",
+    "osm_diff_frontier",
+    "osm_expire_tiles",
+    "osm_hstore_render",
+    "osm_id_mangle",
+    "osm_merc_roundtrip",
+    "osm_metadata",
+    "osm_rel_resolve",
+    "osm_tag_prefilter",
+    "osm_wayzorder",
+    # -- (b) round-10 code-change re-checks --
     "doc_curate",
-    "doc_minhash_accuracy",
-    "doc_minhash_accuracy_sampled",
-    "doc_dedup_report",
-    "doc_lsh_pr",
-    "doc_lsh_pr_sampled",
-    "doc_lsh_pr_curve",
-    "doc_lsh_pr_curve_sampled",
-    "doc_minhash_clusters",
-    "emb_neardup_clusters",
-    "emb_neardup_clusters_sampled",
-    # -- (d) stalest rows: the 9 r01-newest --
-    "cust_active_both_years",
-    "cust_new_in_2001",
-    "events_asof_order",
-    "events_rollup",
-    "events_sessionize",
-    "lineitem_quantiles",
-    "orders_events_7d",
-    "tpch_q19_disjunct",
-    "tpch_q20_nested_semi",
-    # -- (d) round-1 dedup/similarity family (modules accreted since r02) --
-    "doc_fingerprint",
-    "doc_dedup_exact",
-    "doc_simhash",
-    "doc_simhash_pairs",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_lsh_neardup",
-    "emb_lsh_topk",
-    "emb_neardup",
-    # -- (d) core r02 anchors --
-    "tpch_q1",
-    "osm_way_resolve",
-    "osm_tag_match",
-    "events_hourly",
+    "media_features",
+    # -- (c) stalest-next fill: 18 r05 rows --
+    "cust_fuzzy_pairs",
+    "doc_bigram_nll",
+    "doc_bm25_topk",
+    "doc_contamination_score",
+    "doc_nb_confusion",
+    "doc_substring_dedup",
+    "doc_weighted_sample",
+    "emb_kmeans",
+    "emb_kmeans_inertia",
+    "emb_knn_graph",
+    "emb_lsh_recall",
+    "emb_pca_top",
+    "events_approx_distinct",
+    "events_autocorr",
+    "events_cms_heavy",
+    "events_cusum",
+    "events_entropy",
+    "events_hll_intersect",
 ]
 
 # A typo here would silently shrink the driver's 50-row window (unknown
