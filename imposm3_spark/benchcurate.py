@@ -173,6 +173,33 @@ def curate_bench(spark: SparkSession, copies: int | None = None) -> dict:
     n_clean = clean.count()
     stages["decont"] = round(time.perf_counter() - t, 3)
 
+    # A/B rider: the Bloom-filter decont variant (dedup.py
+    # bloom_decontaminate — fixed 8 KB plan-literal bitset no matter the
+    # eval-suite size). Flags a SUPERSET of the exact stage's docs
+    # (hash-collision false positives only). RECORDED NEGATIVE RESULT
+    # (round-10, docs/ROUND10.md): at bench scale the eval slice holds
+    # ~1M distinct 8-gram shingles, saturating the 64 Ki-bit default
+    # filter — bloom_false_positives lands near the whole corpus and
+    # bloom_identical stays false. Per-doc FP <= 1% at this shingle volume
+    # needs m ~ 45n ~ 56 Mbit, far past what a Catalyst array literal
+    # should carry (Spark's internal BloomFilterAggregate/might_contain
+    # pair would hold it as a broadcast binary, but Spark 4.1 does not
+    # register them as public functions). The exact broadcast-semi-join
+    # stage therefore remains the production decont shape; the rider
+    # stays in the bench to keep the boundary measured. Timed + diffed
+    # against the exact stage, never replacing it — the headline `decont`
+    # number stays comparable across rounds.
+    t = time.perf_counter()
+    bloom_flagged = dd.bloom_decontaminate(curated, benchmark, shingle_k=8).select(
+        "doc_id"
+    )
+    clean_bloom = curated.join(bloom_flagged, "doc_id", "left_anti")
+    n_clean_bloom = clean_bloom.count()
+    stages["decont_bloom"] = round(time.perf_counter() - t, 3)
+    # FP docs = flagged by bloom but not by the exact checker; the exact
+    # stage's verdicts are never-false-negative, so set difference one way
+    n_bloom_fp = bloom_flagged.join(contaminated, "doc_id", "left_anti").count()
+
     t = time.perf_counter()
     packed = sp.pack_sequences(clean, "doc_id", "n_tokens", _PACK_TOKENS)
     out_dir = tempfile.mkdtemp(prefix="imposm3_curate_bench_")
@@ -183,7 +210,9 @@ def curate_bench(spark: SparkSession, copies: int | None = None) -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
     stages["pack"] = round(time.perf_counter() - t, 3)
 
-    wall = round(sum(stages.values()), 3)
+    # headline wall excludes the decont_bloom A/B rider (it duplicates the
+    # decont stage's work; including it would break cross-round totals)
+    wall = round(sum(v for k, v in stages.items() if k != "decont_bloom"), 3)
     assert docs_out == n_clean, "sink row count diverged from the pipeline"
     return {
         "metric": "doc_curate_e2e_wall",
@@ -195,6 +224,9 @@ def curate_bench(spark: SparkSession, copies: int | None = None) -> dict:
         "docs_exact": n_exact,
         "docs_curated": n_curated,
         "docs_out": docs_out,
+        "bloom_clean": n_clean_bloom,
+        "bloom_false_positives": n_bloom_fp,
+        "bloom_identical": n_bloom_fp == 0 and n_clean_bloom == n_clean,
         "docs_per_sec": round(docs_in / wall, 1) if wall else None,
         "stages": stages,
     }
