@@ -64,8 +64,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     flags only doc_curate; osm_diff_frontier/osm_expire_tiles ride
 #     refindex/expire.tiles which are untouched — both re-check via (a)
 #     anyway.
-# (c) STALEST-NEXT FILL: the 18 alphabetically-first of the 32 r05-newest
-#     rows; the remaining 14 r05 rows are round 11's queue.
+# (c) STALEST-NEXT FILL: 17 of the alphabetically-first r05-newest rows
+#     plus emb_knn_graph_sampled (it rides the knn_graph kernel rewritten
+#     this round after the sf1 soak caught its unbounded per-task Arrow
+#     output — see docs/ROUND10.md §3 — so it re-checks alongside
+#     emb_knn_graph; events_hll_intersect yielded its slot and stays in
+#     round 11's queue with the remaining 15 r05 rows).
 _DRIVER_FIRST = [
     # -- (a) r02 staleness queue: 18 TPC-H + events_top_types_per_user --
     "tpch_q2_mincost",
@@ -113,6 +117,7 @@ _DRIVER_FIRST = [
     "emb_kmeans",
     "emb_kmeans_inertia",
     "emb_knn_graph",
+    "emb_knn_graph_sampled",
     "emb_lsh_recall",
     "emb_pca_top",
     "events_approx_distinct",
@@ -120,7 +125,6 @@ _DRIVER_FIRST = [
     "events_cms_heavy",
     "events_cusum",
     "events_entropy",
-    "events_hll_intersect",
 ]
 
 # A typo here would silently shrink the driver's 50-row window (unknown

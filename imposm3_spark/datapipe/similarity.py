@@ -642,6 +642,102 @@ def ivfpq_topk(
     )
 
 
+def _blocked_topk_candidates(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    rows_per_block: int,
+) -> DataFrame:
+    """Directed per-src top-k CANDIDATES from the block-pair matmul grid:
+    (src, dst, sim) with each (src, dst) emitted at most once, and for
+    every src its true global top-k guaranteed present.
+
+    Same grid/replication shape as cosine_neardup_pairs, but the per-src
+    top-k is pushed INTO the score kernel (classic distributed top-k:
+    partial top-k per block pair, global top-k downstream). This bounds a
+    task's OUTPUT at (|A|+|B|) * k rows instead of |A|*|B| — the round-10
+    sf1 soak caught the unbounded variant (threshold=-1 keep-all-pairs)
+    allocating a ~1 GB Arrow batch per diagonal block at just 10x data:
+    output volume, not block input, was the scale cliff. Correctness: a
+    src's global top-k items each live in exactly one grid cell, and an
+    item displaced by >= k better items within its own cell (same
+    (sim desc, dst asc) order as the global window) cannot be in the
+    global top-k.
+
+    Kernel tie-break parity: ids are sorted ascending per side and the
+    per-row argsort on -sim is STABLE, so equal sims rank by dst asc —
+    bit-identical to the downstream window (and the DuckDB oracle)."""
+    spark = embeddings.sparkSession
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n = base.count()
+    nblocks = max(1, -(-n // rows_per_block))
+    keyed = base.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nblocks)).cast("int")
+    )
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(nblocks) for j in range(i, nblocks)], "bi int, bj int"
+    )
+    left = keyed.join(F.broadcast(grid), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", "id", "vec", F.lit(0).alias("role")
+    )
+    right = keyed.join(
+        F.broadcast(grid.filter(F.col("bi") < F.col("bj"))),
+        F.col("blk") == F.col("bj"),
+    ).select("bi", "bj", "id", "vec", F.lit(1).alias("role"))
+    tagged = left.unionByName(right)
+
+    def _norm_sorted(pdf):
+        order = np.argsort(pdf["id"].to_numpy(dtype=np.int64), kind="stable")
+        ids = pdf["id"].to_numpy(dtype=np.int64)[order]
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])[order]
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        return ids, M
+
+    def _row_topk(sims, src_ids, dst_ids, out):
+        kk = min(k, sims.shape[1])
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(sims.shape[0]), kk)
+        cols = idx.ravel()
+        s = sims[rows, cols]
+        keep = np.isfinite(s)
+        out.append((src_ids[rows[keep]], dst_ids[cols[keep]], s[keep]))
+
+    def score(key, pdf):
+        bi, bj = key
+        a_pdf = pdf[pdf["role"] == 0]
+        b_pdf = a_pdf if bi == bj else pdf[pdf["role"] == 1]
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series([], dtype="int64"),
+                "dst": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return empty
+        aids, A = _norm_sorted(a_pdf)
+        if bi == bj:
+            bids, B = aids, A
+        else:
+            bids, B = _norm_sorted(b_pdf)
+        sims = np.round(A @ B.T, 6)
+        if bi == bj:
+            np.fill_diagonal(sims, -np.inf)  # self-pairs excluded
+        out: list = []
+        _row_topk(sims, aids, bids, out)
+        if bi != bj:  # reverse direction: srcs in B, dsts in A
+            _row_topk(sims.T.copy(), bids, aids, out)
+        src = np.concatenate([o[0] for o in out])
+        dst = np.concatenate([o[1] for o in out])
+        sim = np.concatenate([o[2] for o in out])
+        return pd.DataFrame({"src": src, "dst": dst, "sim": sim})
+
+    return tagged.groupby("bi", "bj").applyInPandas(
+        score, "src bigint, dst bigint, sim double"
+    )
+
+
 def knn_graph(
     embeddings: DataFrame,
     k: int = 5,
@@ -653,31 +749,21 @@ def knn_graph(
     neighbours by cosine — (src, dst, sim, rk). The building block for
     kNN-graph clustering / label propagation / graph-based dedup.
 
-    Built on the same distributed block-pair matmul as
-    cosine_neardup_pairs (threshold -1 = keep all pairs): each unordered
-    pair scored exactly once, task memory bounded by two blocks, then a
-    symmetric expansion and one per-src top-k window (keyed exchange, no
-    global sort). Exact all-pairs is the O(n^2) BASELINE — at true corpus
-    scale the sub-quadratic path is lsh_topk / ivf_topk; this operator is
-    their recall oracle.
+    Built on the distributed block-pair matmul grid with the per-src
+    top-k pushed into the score kernel (_blocked_topk_candidates): each
+    unordered pair scored exactly once, task INPUT bounded by two blocks
+    and task OUTPUT bounded by (|A|+|B|)*k candidate rows, then one
+    per-src top-k window over <= k*(nblocks+1) candidates per src (keyed
+    exchange, no global sort). Exact all-pairs scoring is the O(n^2)
+    BASELINE — at true corpus scale the sub-quadratic path is lsh_topk /
+    ivf_topk; this operator is their recall oracle.
     """
-    pairs = cosine_neardup_pairs(
-        embeddings,
-        threshold=-1.0,
-        id_col=id_col,
-        vec_col=vec_col,
-        rows_per_block=rows_per_block,
-    )
-    sym = pairs.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst"), "sim"
-    ).unionByName(
-        pairs.select(
-            F.col("b_id").alias("src"), F.col("a_id").alias("dst"), "sim"
-        )
+    cand = _blocked_topk_candidates(
+        embeddings, k=k, id_col=id_col, vec_col=vec_col, rows_per_block=rows_per_block
     )
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     return (
-        sym.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("src", "dst", "sim", "rk")
     )
