@@ -222,9 +222,34 @@ class ImportPipeline:
             return df.withColumns({"x": wgs_to_merc_x(qlon), "y": wgs_to_merc_y(qlat)})
         return df.withColumns({"x": qlon, "y": qlat})
 
-    def _project_unit(self, unit: MatchUnit, df: DataFrame, ctx: RowContext) -> DataFrame:
-        cols = [build_column(c, ctx) for c in unit.table.columns]
+    def _project_unit(
+        self, unit: MatchUnit, df: DataFrame, ctx: RowContext, site: str | None = None, idx: int | None = None
+    ) -> DataFrame:
+        # ctx is deterministic per (site, idx): every Column in it is built
+        # from fixed column names + pipeline config, so the projection tree
+        # is cacheable across batches (see _expr)
+        if site is not None:
+            cols = self._expr(
+                ("proj", site, idx),
+                lambda: [build_column(c, ctx) for c in unit.table.columns],
+            )
+        else:
+            cols = [build_column(c, ctx) for c in unit.table.columns]
         return df.select(*cols)
+
+    def _prefilter(self, kind: str) -> Column:
+        """Cached tag_prefilter_expr over F.col('tags') for an element kind."""
+        return self._expr(
+            ("prefilter", kind),
+            lambda: tag_prefilter_expr(self.mapping, kind, F.col("tags")),
+        )
+
+    def _table_filter(self, site: str, idx: int, unit: MatchUnit, tags: Column, closed: Column, relation: bool) -> Column:
+        m = F.col(self._match_col(idx))
+        return self._expr(
+            ("tfilter", site, idx),
+            lambda: table_filter_expr(self.mapping, unit.table, tags, m["key"], closed, relation=relation),
+        )
 
     def _match_col(self, i: int) -> str:
         return f"_match_{i}"
@@ -372,15 +397,42 @@ class ImportPipeline:
         ys = F.transform(coords, lambda c: c["y"])
         return self._polygon_clip_xy_udf()(xs, ys)
 
-    def _with_matches(self, df: DataFrame, units: list[MatchUnit]) -> DataFrame:
-        """Evaluate every unit's match expression in one pass (no shuffle)."""
-        return df.withColumns({self._match_col(i): u.match_expr(F.col("tags")) for i, u in enumerate(units)})
+    def _expr(self, key, build):
+        """Per-pipeline cache of DataFrame-INDEPENDENT Column trees.
 
-    def _any_match(self, units: list[MatchUnit]) -> Column:
-        cond = F.lit(False)
-        for i in range(len(units)):
-            cond = cond | F.col(self._match_col(i)).isNotNull()
-        return cond
+        The mapping's match/filter/projection expressions are large (every
+        unit's predicate over every mapped tag), and building them costs
+        seconds of py4j round-trips per *_tables() call. That is invisible
+        on a one-shot import but dominates the diff loop, which calls the
+        four table builders once PER BATCH (round-10 benchdiff stage
+        forensics — same finding as expired_tiles_for_batch's match-expr
+        memoization). Column objects are unresolved, immutable expressions,
+        freely reusable across DataFrames, so each site builds its trees
+        once per pipeline and replays them for every subsequent batch."""
+        cache = self.__dict__.setdefault("_expr_cache", {})
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]
+
+    def _with_matches(self, df: DataFrame, units: list[MatchUnit], site: str) -> DataFrame:
+        """Evaluate every unit's match expression in one pass (no shuffle)."""
+        matches = self._expr(
+            ("matches", site),
+            lambda: {
+                self._match_col(i): u.match_expr(F.col("tags"))
+                for i, u in enumerate(units)
+            },
+        )
+        return df.withColumns(matches)
+
+    def _any_match(self, units: list[MatchUnit], site: str) -> Column:
+        def build():
+            cond = F.lit(False)
+            for i in range(len(units)):
+                cond = cond | F.col(self._match_col(i)).isNotNull()
+            return cond
+
+        return self._expr(("any_match", site), build)
 
     # ---- nodes (writer/nodes.go) ----
 
@@ -389,22 +441,20 @@ class ImportPipeline:
         units = self.point_units
         if not units:
             return {}
-        df = nodes.filter(F.size("tags") > 0).withColumn(
-            "tags", tag_prefilter_expr(self.mapping, "node", F.col("tags"))
-        )
+        df = nodes.filter(F.size("tags") > 0).withColumn("tags", self._prefilter("node"))
         df = df.filter(F.size("tags") > 0)
         df = self.project_xy(df)
         if self.limiter is not None:
             df = df.filter(self._limit_points_udf()(F.col("x"), F.col("y")))
-        df = self._pin(self._with_matches(df, units).filter(self._any_match(units)))
+        df = self._pin(
+            self._with_matches(df, units, "node").filter(self._any_match(units, "node"))
+        )
 
         out: dict[str, list[DataFrame]] = {}
         for i, unit in enumerate(units):
             m = F.col(self._match_col(i))
             matched = df.filter(m.isNotNull()).filter(
-                table_filter_expr(
-                    self.mapping, unit.table, F.col("tags"), m["key"], F.lit(False), relation=False
-                )
+                self._table_filter("node", i, unit, F.col("tags"), F.lit(False), relation=False)
             )
             ctx = RowContext(
                 tags=F.col("tags"),
@@ -420,7 +470,9 @@ class ImportPipeline:
                     F.col("y").alias("maxy"),
                 ),
             )
-            out.setdefault(unit.table.name, []).append(self._project_unit(unit, matched, ctx))
+            out.setdefault(unit.table.name, []).append(
+                self._project_unit(unit, matched, ctx, site="node", idx=i)
+            )
         return {name: _union_all(dfs) for name, dfs in out.items()}
 
     # ---- ways (writer/ways.go) ----
@@ -437,9 +489,7 @@ class ImportPipeline:
         poly_units = self.polygon_units
         if not line_units and not poly_units:
             return {}
-        df = ways.filter(F.size("tags") > 0).withColumn(
-            "tags", tag_prefilter_expr(self.mapping, "way", F.col("tags"))
-        )
+        df = ways.filter(F.size("tags") > 0).withColumn("tags", self._prefilter("way"))
         df = df.filter(F.size("tags") > 0)
         df = df.withColumn("_closed", gb.is_closed_refs(F.col("refs")))
         area_tag = F.coalesce(F.col("tags").getItem("area"), F.lit(""))
@@ -447,12 +497,16 @@ class ImportPipeline:
         df = df.withColumn("_as_poly", F.col("_closed") & (area_tag != "no"))
 
         all_units = line_units + poly_units
-        df = self._with_matches(df, all_units)
-        eligible = F.lit(False)
-        for i, u in enumerate(all_units):
-            dispatch = F.col("_as_line") if u in line_units else F.col("_as_poly")
-            eligible = eligible | (F.col(self._match_col(i)).isNotNull() & dispatch)
-        needed = df.filter(eligible)
+        df = self._with_matches(df, all_units, "way")
+
+        def _eligible():
+            cond = F.lit(False)
+            for i, u in enumerate(all_units):
+                dispatch = F.col("_as_line") if u in line_units else F.col("_as_poly")
+                cond = cond | (F.col(self._match_col(i)).isNotNull() & dispatch)
+            return cond
+
+        needed = df.filter(self._expr(("eligible", "way"), _eligible))
 
         # resolve coords once for all matched ways (reference fills only on
         # match too — writer/ways.go:85-97)
@@ -468,9 +522,7 @@ class ImportPipeline:
             dispatch = F.col("_as_line") if is_line else F.col("_as_poly")
             valid = gb.valid_linestring(F.col("_coords")) if is_line else gb.valid_ring(F.col("_coords"))
             matched = resolved.filter(m.isNotNull() & dispatch & valid).filter(
-                table_filter_expr(
-                    self.mapping, unit.table, F.col("tags"), m["key"], F.col("_closed"), relation=False
-                )
+                self._table_filter("way", i, unit, F.col("tags"), F.col("_closed"), relation=False)
             )
             geom_bbox = gb.bbox(F.col("_coords"))
             if is_line:
@@ -523,7 +575,9 @@ class ImportPipeline:
                 geom_area=geom_area,
                 geom_bbox=geom_bbox,
             )
-            out.setdefault(unit.table.name, []).append(self._project_unit(unit, matched, ctx))
+            out.setdefault(unit.table.name, []).append(
+                self._project_unit(unit, matched, ctx, site="way", idx=i)
+            )
         return {name: _union_all(dfs) for name, dfs in out.items()}
 
     # ---- relations (writer/relations.go) ----
@@ -541,11 +595,11 @@ class ImportPipeline:
         if not poly_units and not rel_units:
             return {}
         df = relations.filter(F.size("tags") > 0).withColumn(
-            "tags", tag_prefilter_expr(self.mapping, "relation", F.col("tags"))
+            "tags", self._prefilter("relation")
         )
         all_units = poly_units + rel_units
-        df = self._with_matches(df, all_units)
-        needed = df.filter(self._any_match(all_units))
+        df = self._with_matches(df, all_units, "rel")
+        needed = df.filter(self._any_match(all_units, "rel"))
 
         # J2: member ways; completeness in two stages
         members = needed.select(
@@ -615,9 +669,7 @@ class ImportPipeline:
             for i, unit in enumerate(poly_units):
                 m = F.col(self._match_col(i))
                 matched = with_geom.filter(m.isNotNull()).filter(
-                    table_filter_expr(
-                        self.mapping, unit.table, F.col("tags"), m["key"], F.lit(True), relation=True
-                    )
+                    self._table_filter("rel", i, unit, F.col("tags"), F.lit(True), relation=True)
                 )
                 ctx = RowContext(
                     tags=F.col("tags"),
@@ -630,14 +682,16 @@ class ImportPipeline:
                         F.col("minx"), F.col("miny"), F.col("maxx"), F.col("maxy")
                     ),
                 )
-                out.setdefault(unit.table.name, []).append(self._project_unit(unit, matched, ctx))
+                out.setdefault(unit.table.name, []).append(
+                    self._project_unit(unit, matched, ctx, site="rel_poly", idx=i)
+                )
 
         # relation tables (handleRelation — empty geometry)
         for j, unit in enumerate(rel_units):
             m = F.col(self._match_col(len(poly_units) + j))
             matched = complete_rels.filter(m.isNotNull()).filter(
-                table_filter_expr(
-                    self.mapping, unit.table, F.col("tags"), m["key"], F.lit(True), relation=True
+                self._table_filter(
+                    "rel", len(poly_units) + j, unit, F.col("tags"), F.lit(True), relation=True
                 )
             )
             ctx = RowContext(
@@ -654,7 +708,9 @@ class ImportPipeline:
                     F.lit(0.0).alias("maxy"),
                 ),
             )
-            out.setdefault(unit.table.name, []).append(self._project_unit(unit, matched, ctx))
+            out.setdefault(unit.table.name, []).append(
+                self._project_unit(unit, matched, ctx, site="rel_rel", idx=j)
+            )
         return {name: _union_all(dfs) for name, dfs in out.items()}
 
     # ---- relation_member tables (writer/relations.go:216-283) ----
@@ -677,11 +733,9 @@ class ImportPipeline:
         units = self.relation_member_units
         if not units:
             return {}
-        df = relations.withColumn(
-            "tags", tag_prefilter_expr(self.mapping, "relation", F.col("tags"))
-        )
-        df = self._with_matches(df, units)
-        needed = df.filter(self._any_match(units))
+        df = relations.withColumn("tags", self._prefilter("relation"))
+        df = self._with_matches(df, units, "member")
+        needed = df.filter(self._any_match(units, "member"))
 
         members = needed.select(
             F.col("id").alias("rel_id"),
@@ -692,7 +746,7 @@ class ImportPipeline:
         # bare coords (reference falls back Nodes -> Coords)
         node_side = self.project_xy(nodes).select(
             F.col("id").alias("m_id"),
-            tag_prefilter_expr(self.mapping, "node", F.col("tags")).alias("m_tags"),
+            self._prefilter("node").alias("m_tags"),
             gb.point_wkb_udf(F.col("x"), F.col("y"), F.lit(self.srid)).alias("m_wkb"),
         )
         # way members (type 1): linestring geometry; needs >=2 deduped coords
@@ -704,7 +758,7 @@ class ImportPipeline:
         way_side = (
             ways.select(
                 F.col("id").alias("m_id"),
-                tag_prefilter_expr(self.mapping, "way", F.col("tags")).alias("m_tags"),
+                self._prefilter("way").alias("m_tags"),
             )
             .join(
                 way_coords.select(
@@ -725,7 +779,7 @@ class ImportPipeline:
         empty_poly = wkblib.polygon_wkb([], self.srid)
         rel_side = relations.select(
             F.col("id").alias("m_id"),
-            tag_prefilter_expr(self.mapping, "relation", F.col("tags")).alias("m_tags"),
+            self._prefilter("relation").alias("m_tags"),
             F.lit(empty_poly).alias("m_wkb"),
         )
 
@@ -761,8 +815,8 @@ class ImportPipeline:
         for i, unit in enumerate(units):
             m = F.col(self._match_col(i))
             matched = joined.filter(m.isNotNull()).filter(
-                table_filter_expr(
-                    self.mapping, unit.table, F.col("rel_tags"), m["key"], F.lit(True), relation=True
+                self._table_filter(
+                    "member", i, unit, F.col("rel_tags"), F.lit(True), relation=True
                 )
             )
             ctx = RowContext(
@@ -781,7 +835,9 @@ class ImportPipeline:
                     F.col("m_tags"), F.from_json(F.lit("{}"), "map<string,string>")
                 ),
             )
-            out.setdefault(unit.table.name, []).append(self._project_unit(unit, matched, ctx))
+            out.setdefault(unit.table.name, []).append(
+                self._project_unit(unit, matched, ctx, site="member", idx=i)
+            )
         return {name: _union_all(dfs) for name, dfs in out.items()}
 
     # ---- full run ----
