@@ -46,12 +46,34 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Per-session cache of table HANDLES (analyzed read plans), not data: a
+# warm `spark.read.parquet` still costs ~170 ms of driver-side file
+# listing + footer/schema re-inference per call, and the 242-query bench
+# loop makes ~350 such calls on the same ten paths (~60 s of pure
+# re-listing). The cached object is an unresolved DataFrame plan — every
+# action on it scans the parquet files exactly as an uncached read would;
+# no rows, no results, nothing keyed on data content is stored. Keyed on
+# the live SparkSession object (WeakKeyDictionary) so a stopped/new
+# session can never see another session's plan handles.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = per_session.get(key)
+    if df is not None:
+        return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (session sets nanosAsLong); convert
         # to a proper timestamp at microsecond precision
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    per_session[key] = df
     return df
 
 
