@@ -1792,6 +1792,31 @@ def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
     p = _t(spark, sf_dir, "part")
+    eu_supp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p_fil = p.filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+    # Pre-filter lineitem BEFORE the (partkey, suppkey) aggregation with
+    # broadcast semi-joins on the two dimension restrictions. Equivalence:
+    # both predicates only remove whole (partkey, suppkey) GROUPS — the
+    # part filter drops partkeys the final inner part-join would discard
+    # (the correlated window-min partitions BY ps_partkey, so dropping
+    # other partkeys cannot change any surviving partkey's min), and the
+    # supplier filter drops exactly the groups the eu inner join would
+    # discard (min_cost is defined over the region-restricted eu set).
+    # The fact-table shuffle shrinks to the qualifying keys instead of
+    # every lineitem row.
+    li = li.join(
+        F.broadcast(p_fil.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(eu_supp.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
     ps = li.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(
@@ -1809,11 +1834,6 @@ def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.c").alias("cost_cents"),
         F.col("m.q").alias("cost_qty"),
     )
-    eu_supp = (
-        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
     eu = ps.join(F.broadcast(eu_supp), ps["ps_suppkey"] == F.col("s_suppkey"))
     w = Window.partitionBy("ps_partkey")
     best = eu.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
@@ -1821,7 +1841,7 @@ def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         best.join(
-            F.broadcast(p.filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))),
+            F.broadcast(p_fil),
             F.col("p_partkey") == F.col("ps_partkey"),
         )
         .select(

@@ -669,8 +669,12 @@ def emb_cluster_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imposm3_spark.datapipe import kmeans as km
 
     emb = _t(spark, sf_dir, "embeddings")
-    a1 = km.lloyd_kmeans(emb, k=8, iterations=3)
-    a2 = km.lloyd_kmeans(emb, k=8, iterations=3, seed_skip=8)
+    # one shared quantize+pin: both Lloyd runs read the identical
+    # quantized projection, so the source scan and materialization
+    # happen once instead of once per seed window
+    qp = km.quantize_pinned(emb)
+    a1 = km.lloyd_kmeans(emb, k=8, iterations=3, qp=qp)
+    a2 = km.lloyd_kmeans(emb, k=8, iterations=3, seed_skip=8, qp=qp)
     return km.adjusted_rand_index(a1, a2)
 
 

@@ -75,12 +75,24 @@ def pagerank_fixed_point(
     (so isolated vertices keep the base rank). Returns (node, r BIGINT
     fixed-point, rank DOUBLE = r/SCALE rounded to 6).
     """
+    # Pin the iteration-invariant inputs: edges joins into EVERY
+    # iteration (twice — directly and through outs) and nodes anchors
+    # every ranks rebuild, and Spark performs no cross-iteration subplan
+    # reuse — unpinned, a caller like doc_textrank re-tokenizes the whole
+    # corpus ~7x (2 reads x 3 iterations + the node set). The node count
+    # below materializes `nodes` eagerly anyway; `edges`/`outs` fill on
+    # the first downstream action. (Values are unchanged: a checkpoint is
+    # a materialization barrier, and the arithmetic is exact-integer.)
+    nodes = nodes.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False)
     n = nodes.count()  # one bounded scalar on the driver
     if n == 0:
         return nodes.select(
             "node", F.lit(0).alias("r"), F.lit(0.0).alias("rank")
         )
-    outs = edges.groupBy("src").agg(F.sum("cnt").alias("out_cnt"))
+    outs = edges.groupBy("src").agg(
+        F.sum("cnt").alias("out_cnt")
+    ).localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("r"))
     base = ((100 - damping_pct) * SCALE) // (100 * n)
 

@@ -146,6 +146,17 @@ def _assign_fold(df: DataFrame, centroids, dim: int) -> DataFrame:
     )
 
 
+def quantize_pinned(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """The quantized projection, materialized once. Callers running
+    SEVERAL Lloyd configurations over the same embeddings (e.g. the
+    seed-stability ARI pair) pass this as `qp` so the source scan +
+    quantize + checkpoint happens once instead of per run — the frame is
+    identical to what `_run_lloyd` builds internally."""
+    return _quantize(emb, vec_col, id_col).localCheckpoint(eager=True)
+
+
 def _run_lloyd(
     emb: DataFrame,
     k: int,
@@ -153,13 +164,15 @@ def _run_lloyd(
     vec_col: str,
     id_col: str,
     seed_skip: int = 0,
+    qp: DataFrame | None = None,
 ):
     """Shared Lloyd loop: returns (qp, centroids, dim) after `iterations`
     rounds, or None for an empty input. `seed_skip` offsets the
     deterministic seed window (ranks seed_skip..seed_skip+k-1 in id
     order) — the second-run knob for seed-stability evaluation."""
     # One source scan; iterations re-read the quantized columnar cache.
-    qp = _quantize(emb, vec_col, id_col).localCheckpoint(eager=True)
+    if qp is None:
+        qp = quantize_pinned(emb, vec_col, id_col)
 
     # Deterministic seed: k lowest-id points (after the skip), cluster =
     # rank in id order. Seed rows also carry the dimensionality.
@@ -174,17 +187,20 @@ def _run_lloyd(
             "vec_id", "q", _assign_udf(centroids)("q").alias("cluster")
         )
 
+    # The centroid-update aggregate list depends only on `dim` — build the
+    # Column objects ONCE, not per iteration: each element_at/sum/alias is
+    # a py4j round trip, and dim x iterations of them (~0.45 s per
+    # iteration at dim=64) was pure driver-side construction overhead.
+    sum_cols = [
+        F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(dim)
+    ]
+    cnt_col = F.count(F.lit(1)).alias("n")
+
     for _ in range(iterations):
         assigned = assign(qp)
         agg = (
             assigned.groupBy("cluster")
-            .agg(
-                *[
-                    F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-                F.count(F.lit(1)).alias("n"),
-            )
+            .agg(*sum_cols, cnt_col)
             .collect()  # k rows — bounded by k, not by data size
         )
         by_cluster = {
@@ -206,11 +222,13 @@ def lloyd_kmeans(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed_skip: int = 0,
+    qp: DataFrame | None = None,
 ) -> DataFrame:
     """Run `iterations` rounds of (assign, centroid-update) from the
     deterministic seed, then return the final assignment against the last
-    centroids: (vec_id, cluster)."""
-    run = _run_lloyd(emb, k, iterations, vec_col, id_col, seed_skip=seed_skip)
+    centroids: (vec_id, cluster). `qp` optionally supplies a pre-pinned
+    quantized projection (see quantize_pinned)."""
+    run = _run_lloyd(emb, k, iterations, vec_col, id_col, seed_skip=seed_skip, qp=qp)
     if run is None:
         return emb.sparkSession.createDataFrame([], "vec_id long, cluster int")
     qp, _, _, assign = run

@@ -107,6 +107,15 @@ def ppjoin_pairs(
     ).select(
         "doc", "n", (F.col("pos0") + 1).alias("pos"), F.col("pt.t").alias("t")
     )
+    # NOT pinned, deliberately: the physical plan does carry the prefix
+    # pipeline (freq agg, collect_list sort, slice, posexplode) once per
+    # self-join side, but the two copies run as INDEPENDENT parallel
+    # stage trees off the pinned `sets`, so the duplicated work hides in
+    # idle cores. A localCheckpoint here was A/B-measured (r10) at
+    # doc_ppjoin 3.9 s -> 5.9 s and doc_lsh_pr 4.6 s -> 7.8 s noop-sink:
+    # the pin serializes the two sides behind an RDD materialization
+    # barrier and un-fuses the explode->shuffle codegen span — worse than
+    # recomputing.
 
     # Positional filter (the "PP" in PPJoin): a shared prefix token at
     # 1-based positions (pA, pB) bounds the total overlap by

@@ -46,6 +46,19 @@ def get_spark(app_name: str = "imposm3-spark", master: str | None = None,
         # not 10k giant ones.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Long-running multi-query driver hygiene (hundreds of queries per
+        # session): bound the status store — AppStatusListener/
+        # SQLAppStatusListener retain 1000 jobs/stages/executions by
+        # default and trim SYNCHRONOUSLY when the threshold hits, which
+        # lands as a mid-loop stall on whatever query is running. (A
+        # 45 s spark.cleaner.periodicGC.interval was also A/B'd here and
+        # rejected: it raised mid-query accumulator-cleanup races
+        # (14 -> 35 DAGScheduler errors per loop) with no wall-time win —
+        # bench.py already drains cleanup per query.)
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
+        .config("spark.sql.ui.retainedExecutions", "50")
         .config("spark.ui.enabled", "false")
         # console progress bars interleave with stdout in captured logs and
         # can corrupt machine-read output (bench.py's JSON line)
