@@ -874,10 +874,14 @@ def doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imposm3_spark.datapipe import text as tx2
 
     d = _t(spark, sf_dir, "documents")
+    # eval_once: the quality gate filters on the projected score; without
+    # the barrier Catalyst substitutes the full multi-regex tree into the
+    # pushed-down Filter and the scan pays it TWICE (guide §4.4 class;
+    # measured 2.34 s -> 1.05 s for this stage at sf0.1, value-identical)
     q = d.select(
         "doc_id", "text",
         tx2.token_count(F.col("text")).alias("n_tokens"),
-        tx2.quality_score(F.col("text")).alias("quality"),
+        tx2.eval_once(tx2.quality_score(F.col("text"))).alias("quality"),
     ).filter(F.col("quality") >= 0.75)
     keep_exact = (
         q.groupBy(F.md5("text").alias("_h"))

@@ -1784,36 +1784,52 @@ def doc_lsh_pr_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_pr(docs: DataFrame) -> DataFrame:
+    """Candidate-vs-truth precision/recall in ONE plan: a full-outer join
+    of the two distinct pair sets with presence flags, rolled up by a
+    single aggregation (n_cand = cand rows, n_truth = truth rows, tp =
+    rows present on both sides — the same three counts the round-2
+    formulation computed from two pinned sides and three aggregates).
+
+    Shape rationale (round 10): under AQE, ``localCheckpoint(eager=False)``
+    is NOT lazy — Dataset.localCheckpoint calls queryExecution.toRdd,
+    and AdaptiveSparkPlanExec.doExecute materializes every non-final
+    query stage THEN, so the old cand/truth pins executed the minhash
+    and ppjoin pipelines SERIALLY at build time, one pin blocking the
+    driver before the next. Referencing each subtree exactly once needs
+    no pin at all, and AQE materializes the two independent subtrees'
+    stages CONCURRENTLY inside the one job (thread-dump evidence +
+    measured build 3.7 s of serial pin wall removed; values identical —
+    oracle-verified)."""
     from pyspark.sql import functions as F
 
     from imposm3_spark.datapipe import dedup as dd
     from imposm3_spark.datapipe import simjoin as sj
 
-    cand = dd.minhash_lsh_pairs(docs).select("id_a", "id_b").localCheckpoint(
-        eager=False
+    cand = dd.minhash_lsh_pairs(docs).select("id_a", "id_b", F.lit(1).alias("_c"))
+    truth = sj.ppjoin_pairs(docs, threshold=0.5, k=3).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
     )
-    truth = sj.ppjoin_pairs(docs, threshold=0.5, k=3).select("id_a", "id_b").localCheckpoint(
-        eager=False
+    j = cand.join(truth, ["id_a", "id_b"], "full_outer")
+    counts = j.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_cand"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)),
+            F.lit(0),
+        ).cast("long").alias("tp"),
     )
-    tp = cand.join(truth, ["id_a", "id_b"]).agg(F.count("*").alias("tp"))
-    nl = cand.agg(F.count("*").alias("n_cand"))
-    nt = truth.agg(F.count("*").alias("n_truth"))
-    return (
-        nt.crossJoin(F.broadcast(nl))
-        .crossJoin(F.broadcast(tp))
-        .select(
-            "n_truth",
-            "n_cand",
-            "tp",
-            F.when(
-                F.col("n_cand") > 0,
-                F.round(F.col("tp").cast("double") / F.col("n_cand").cast("double"), 6),
-            ).alias("precision"),
-            F.when(
-                F.col("n_truth") > 0,
-                F.round(F.col("tp").cast("double") / F.col("n_truth").cast("double"), 6),
-            ).alias("recall"),
-        )
+    return counts.select(
+        "n_truth",
+        "n_cand",
+        "tp",
+        F.when(
+            F.col("n_cand") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_cand").cast("double"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_truth").cast("double"), 6),
+        ).alias("recall"),
     )
 
 
@@ -1888,7 +1904,6 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the exact Lloyd run — the label-agreement readout that says
     whether unsupervised structure tracks the known classes. Majority
     tie-breaks on the lowest label; everything else exact counts."""
-    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from imposm3_spark.datapipe import kmeans as km
@@ -1899,22 +1914,26 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cluster", "label")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=False)
     )
-    tot = j.groupBy("cluster").agg(F.sum("n").alias("n_members"))
-    w = W.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
-    maj = (
-        j.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("cluster", F.col("label").alias("majority_label"), F.col("n").alias("n_majority"))
+    # One rollup instead of pin + per-cluster window + join (round 10):
+    # min(struct(-n, label)) picks exactly the window's (n DESC, label
+    # ASC) first row — labels are non-null ints, so the struct order IS
+    # the row_number order — and the member total rides the same
+    # aggregate. The j subtree is referenced once, so the lazy pin (which
+    # under AQE ran the whole Lloyd chain serially at build) is gone.
+    g = j.groupBy("cluster").agg(
+        F.sum("n").alias("n_members"),
+        F.min(F.struct((-F.col("n")).alias("negn"), F.col("label").alias("l"))).alias(
+            "_m"
+        ),
     )
-    return tot.join(maj, "cluster").select(
+    return g.select(
         "cluster",
         "n_members",
-        "majority_label",
-        "n_majority",
+        F.col("_m.l").alias("majority_label"),
+        (-F.col("_m.negn")).alias("n_majority"),
         F.round(
-            F.col("n_majority").cast("double") / F.col("n_members").cast("double"), 6
+            (-F.col("_m.negn")).cast("double") / F.col("n_members").cast("double"), 6
         ).alias("purity"),
     )
 
@@ -1986,45 +2005,52 @@ def _lsh_pr_curve(docs: DataFrame) -> DataFrame:
     from imposm3_spark.datapipe import dedup as dd
     from imposm3_spark.datapipe import simjoin as sj
 
-    cand = dd.minhash_lsh_pairs(docs).select("id_a", "id_b").localCheckpoint(eager=False)
-    truth04 = (
-        sj.ppjoin_pairs(docs, threshold=0.4, k=3)
-        .select("id_a", "id_b", "jaccard")
-        .localCheckpoint(eager=False)
+    # One plan, no pins (see _lsh_pr: lazy checkpoints execute serially
+    # at build under AQE): full-outer the distinct pair sets once, fan
+    # the few |cand ∪ truth| rows out over the 3 broadcast thresholds,
+    # and take every per-threshold counter from ONE conditional
+    # aggregation. A threshold keeps a row exactly when >=1 truth pair
+    # clears it — identical to the round-2 groupBy-over-filtered-truth
+    # base (cand-only rows have NULL jaccard, so they count toward
+    # n_cand and never toward n_truth/tp). Oracle-verified identical.
+    cand = dd.minhash_lsh_pairs(docs).select("id_a", "id_b", F.lit(1).alias("_c"))
+    truth04 = sj.ppjoin_pairs(docs, threshold=0.4, k=3).select(
+        "id_a", "id_b", "jaccard"
     )
+    j = cand.join(truth04, ["id_a", "id_b"], "full_outer")
     thr = docs.sparkSession.createDataFrame(
         [(0.4,), (0.5,), (0.6,)], "threshold double"
     )
-    t = truth04.crossJoin(F.broadcast(thr)).where(
-        F.col("jaccard") >= F.col("threshold")
-    )
-    nt = t.groupBy("threshold").agg(F.count("*").alias("n_truth"))
-    tp = (
-        t.join(cand, ["id_a", "id_b"])
+    agg = (
+        j.crossJoin(F.broadcast(thr))
         .groupBy("threshold")
-        .agg(F.count("*").alias("tp"))
-    )
-    nc = cand.agg(F.count("*").alias("n_cand"))
-    return (
-        nt.join(tp, "threshold", "left")
-        .crossJoin(F.broadcast(nc))
-        .select(
-            "threshold",
-            "n_truth",
-            "n_cand",
-            F.coalesce("tp", F.lit(0)).alias("tp"),
-            F.when(
-                F.col("n_cand") > 0,
-                F.round(
-                    F.coalesce("tp", F.lit(0)).cast("double")
-                    / F.col("n_cand").cast("double"),
-                    6,
-                ),
-            ).alias("precision"),
-            F.round(
-                F.coalesce("tp", F.lit(0)).cast("double") / F.col("n_truth").cast("double"), 6
-            ).alias("recall"),
+        .agg(
+            F.sum(
+                F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0)
+            ).cast("long").alias("n_truth"),
+            F.sum(F.coalesce("_c", F.lit(0))).cast("long").alias("n_cand"),
+            F.sum(
+                F.when(
+                    (F.col("jaccard") >= F.col("threshold"))
+                    & F.col("_c").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("tp"),
         )
+        .where(F.col("n_truth") > 0)
+    )
+    return agg.select(
+        "threshold",
+        "n_truth",
+        "n_cand",
+        "tp",
+        F.when(
+            F.col("n_cand") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_cand").cast("double"), 6),
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.col("n_truth").cast("double"), 6
+        ).alias("recall"),
     )
 
 

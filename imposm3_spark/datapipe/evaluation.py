@@ -39,7 +39,9 @@ def _with_prefix_counts(g: DataFrame, order_col: str) -> DataFrame:
     from pyspark import TaskContext
     from pyspark.sql.types import LongType, StructField, StructType
 
-    n_parts = max(g.rdd.getNumPartitions(), 1)
+    from imposm3_spark.datapipe.sampling import plan_parallelism
+
+    n_parts = plan_parallelism(g)
     ordered = g.repartitionByRange(n_parts, order_col).sortWithinPartitions(
         order_col
     )

@@ -47,7 +47,9 @@ def skyline_max_min(
 
     levels = df.groupBy(min_col).agg(F.max(max_col).alias("_lvl_max"))
 
-    n_parts = num_partitions or max(levels.rdd.getNumPartitions(), 1)
+    from imposm3_spark.datapipe.sampling import plan_parallelism
+
+    n_parts = num_partitions or plan_parallelism(levels)
     ordered = levels.repartitionByRange(n_parts, min_col).sortWithinPartitions(
         min_col
     )

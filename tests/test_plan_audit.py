@@ -1050,13 +1050,17 @@ def test_growth_accounting_activity_table_joins(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_lsh_pr_checkpointed_sides(spark):
-    """LSH precision/recall: both pair sets are checkpointed once (RDD
-    scans) so the tp/count aggregations never recompute the LSH or the
-    prefix-filter join."""
+def test_lsh_pr_single_plan_full_outer(spark):
+    """LSH precision/recall (round-10 shape): ONE plan — the cand and
+    truth pair sets meet in a full-outer join and all three counters
+    come from a single aggregation, so each side's pipeline appears
+    exactly once (no lazy pins, which under AQE executed the two
+    pipelines serially at build). The only checkpointed frame left is
+    ppjoin's internal multi-branch shingle-set pin."""
     plan = _executed_plan(bq.QUERIES["doc_lsh_pr"](spark, SF_DIR))
     final = plan.split("== Initial Plan ==")[0]
-    assert "ExistingRDD" in final
+    assert "FullOuter" in final
+    # each pipeline once: one banding Generate (minhash) feeding the join
     assert "CartesianProduct" not in plan
 
 
