@@ -55,8 +55,16 @@ def dependent_ways(ways: DataFrame, changed_node_ids: DataFrame) -> DataFrame:
     way ids dedupes — pre-deduping the full pair table would add a
     shuffle of the biggest intermediate for nothing."""
     refs = ways.select(F.explode("refs").alias("node_id"), F.col("id").alias("way_id"))
+    # broadcast: the changed set is diff-batch blast-radius bounded, but it
+    # arrives as a checkpointed RDD scan with NO size statistics — unhinted,
+    # the planner sort-merge-joins, shuffling the exploded ref index (the
+    # biggest intermediate in the frontier walk) once per call
     return (
-        refs.join(changed_node_ids.withColumnRenamed("id", "node_id"), "node_id", "leftsemi")
+        refs.join(
+            F.broadcast(changed_node_ids.withColumnRenamed("id", "node_id")),
+            "node_id",
+            "leftsemi",
+        )
         .select(F.col("way_id").alias("id"))
         .distinct()
     )
@@ -78,7 +86,9 @@ def dependent_relations(
         )
         outs.append(
             nr.join(
-                changed_node_ids.withColumnRenamed("id", "node_id"), "node_id", "leftsemi"
+                F.broadcast(changed_node_ids.withColumnRenamed("id", "node_id")),
+                "node_id",
+                "leftsemi",
             ).select(F.col("rel_id").alias("id"))
         )
     if changed_way_ids is not None:
@@ -87,7 +97,9 @@ def dependent_relations(
         )
         outs.append(
             wr.join(
-                changed_way_ids.withColumnRenamed("id", "way_id"), "way_id", "leftsemi"
+                F.broadcast(changed_way_ids.withColumnRenamed("id", "way_id")),
+                "way_id",
+                "leftsemi",
             ).select(F.col("rel_id").alias("id"))
         )
     out = outs[0]

@@ -162,8 +162,13 @@ def rebuild_tables(
     Closure: frontier rels -> their way/node members; (frontier ∪ member)
     ways -> their refs. All broadcast sets are blast-radius-bounded (a
     batch's elements × mean way length)."""
+    # explicit broadcast: frontier.rel_ids is a checkpointed RDD scan with
+    # no size statistics, so the planner fell back to SortMergeJoin and
+    # shuffled the ENTIRE relations state (with its members arrays) per
+    # batch — round-10 probe caught it; the id set is blast-radius-sized
+    # like every other frontier side here
     rels = new_state.relations.join(
-        frontier.rel_ids, "id", "leftsemi"
+        F.broadcast(frontier.rel_ids), "id", "leftsemi"
     ).localCheckpoint()
 
     member_way_ids = (
@@ -261,6 +266,33 @@ def _resolve_latlon(ways: DataFrame, nodes: DataFrame, keep_cols: list[str]) -> 
     )
 
 
+def _eval_once(cond):
+    """Trivially-true nondeterministic guard (spark_partition_id() is
+    never negative — value unchanged): bars Catalyst from substituting
+    the wrapped expression into pushed-down filters, so a cheap pruning
+    join below runs FIRST and the expression touches only surviving
+    rows. See _match_after_prune for the measured case."""
+    return F.when(F.spark_partition_id() >= 0, cond)
+
+
+def _match_after_prune(df: DataFrame, cond) -> DataFrame:
+    """Filter ``df`` by the (expensive) mapping-match predicate WITHOUT
+    letting Catalyst push it below the frontier semi join.
+
+    The expiry branches prune the full element state to the batch's blast
+    radius with a broadcast LEFT SEMI join (620k rows -> ~2k at the bench
+    state), then filter by the mapping match expression — a tree holding
+    every unit's match + table filter. Pushed below the join (the default
+    for a deterministic filter), that tree evaluates over the ENTIRE
+    state per branch per batch: round-10 probe measured the four
+    _resolve_latlon constructions at 11-14 s/batch, almost all of it
+    full-table match evaluation. The _eval_once guard bars the
+    substitution, so the semi join runs first and the match tree touches
+    only blast-radius rows."""
+    flag = "_match_keep"
+    return df.withColumn(flag, _eval_once(cond)).filter(F.col(flag)).drop(flag)
+
+
 def _any_match(pipe: ImportPipeline, units, tags, closed, relation: bool):
     from imposm3_spark.mapping.matcher import table_filter_expr
 
@@ -351,11 +383,11 @@ def expired_tiles_for_batch(
 
         # nodes (deleter.go:206-238; writer/nodes.go:91-92)
         nd = (
-            st.nodes.join(frontier.node_ids, "id", "leftsemi")
+            st.nodes.join(F.broadcast(frontier.node_ids), "id", "leftsemi")
             .filter(F.size("tags") > 0)
             .withColumn("tags", exprs["node_prefilter"])
         )
-        nd = nd.filter(exprs["node_m"])
+        nd = _match_after_prune(nd, exprs["node_m"])
         parts.append(
             nd.select(
                 F.array(F.struct(F.col("lon"), F.col("lat"))).alias("coords"),
@@ -366,12 +398,17 @@ def expired_tiles_for_batch(
         # ways (deleter.go:159-204; writer/ways.go:122-123) — pinned
         # inside _resolve_latlon
         wy = (
-            st.ways.join(frontier.way_ids, "id", "leftsemi")
+            st.ways.join(F.broadcast(frontier.way_ids), "id", "leftsemi")
             .filter(F.size("tags") > 0)
             .withColumn("tags", exprs["way_prefilter"])
         )
+        # guarded (_eval_once): keeps the match evaluation above the
+        # frontier semi join — see _match_after_prune
         wy = wy.withColumns(
-            {"_line_m": exprs["line_m"], "_poly_m": exprs["poly_m"]}
+            {
+                "_line_m": _eval_once(exprs["line_m"]),
+                "_poly_m": _eval_once(exprs["poly_m"]),
+            }
         ).filter(F.col("_line_m") | F.col("_poly_m"))
         parts.append(
             _resolve_latlon(wy, all_nodes, keep_cols=["_poly_m"]).select(
@@ -382,11 +419,14 @@ def expired_tiles_for_batch(
         # relations: every way member's node run (deleter.go:136-155;
         # writer/relations.go:127-131)
         rl = (
-            st.relations.join(frontier.rel_ids, "id", "leftsemi")
+            st.relations.join(F.broadcast(frontier.rel_ids), "id", "leftsemi")
             .filter(F.size("tags") > 0)
             .withColumn("tags", exprs["rel_prefilter"])
         )
-        rl = rl.withColumn("_poly_m", exprs["rpoly_m"]).filter(
+        rl = rl.withColumn("_poly_m", _eval_once(exprs["rpoly_m"])).filter(
+            # the disjunction references the guarded _poly_m, so the whole
+            # predicate (incl. the relation-match tree) stays above the
+            # frontier semi join
             F.col("_poly_m") | exprs["rother_m"]
         )
         # member side is blast-radius-sized — broadcast it so the full
@@ -458,7 +498,15 @@ def apply_batch(
     for name, df in tables.items():
         table_type = pipe.mapping.tables[name].type
         dels = delete_ids.get(table_type)
-        kept = df.join(dels, "osm_id", "left_anti") if dels is not None else df
+        # broadcast: dels is the frontier's mangled-id set (blast-radius
+        # bounded) read from checkpointed RDDs with no stats — unhinted,
+        # the anti join sort-merges, i.e. shuffles the ENTIRE output table
+        # per batch (round-10 probe class; guide §3.1)
+        kept = (
+            df.join(F.broadcast(dels), "osm_id", "left_anti")
+            if dels is not None
+            else df
+        )
         if name in rebuilt:
             kept = kept.unionByName(rebuilt[name])
         new_tables[name] = kept

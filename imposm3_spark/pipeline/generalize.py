@@ -216,6 +216,12 @@ def refresh_generalized_tables(
             continue
         id_col = _id_column(base_table)
         ids_renamed = ids.withColumnRenamed("osm_id", id_col).distinct()
+        # deliberately UNHINTED (round-10 negative result): forcing
+        # F.broadcast(ids_renamed) here built a separate BroadcastExchange
+        # per gen table per batch and A/B-measured the gens stage at
+        # 6.7-23.4 s vs 5.8-6.2 s unhinted — the gen tables are small
+        # enough that the planner's choice already beats paying 8 broadcast
+        # builds of the same id set
         kept = old.join(ids_renamed, id_col, "left_anti")
         subset = src_df.join(ids_renamed, id_col, "leftsemi")
         out[name] = kept.unionByName(_generalize_df(subset, gt, base_table))
