@@ -156,19 +156,32 @@ class ReplicationRunner:
         # plan construction + the engine's shared-frontier pins (the
         # rebuilt rows themselves materialize under "tables")
         stage_secs["rebuild"] = round(time.perf_counter() - t0, 3)
+        expire_future = None
+        expire_pool = None
         if self.expire_dir is not None:
-            from imposm3_spark.diff.update import expired_tiles_for_batch
-            from imposm3_spark.expire.tiles import TileExpireList
+            # expiry depends only on (state, new_state, frontier) — all
+            # pinned above — so it runs CONCURRENTLY with the table pins
+            # below (guide §2.6); its wall is still recorded separately.
+            def _expire() -> float:
+                from imposm3_spark.diff.update import expired_tiles_for_batch
+                from imposm3_spark.expire.tiles import TileExpireList
 
-            t0 = time.perf_counter()
-            tiles = expired_tiles_for_batch(
-                self.pipe, self.state, new_state, frontier, max_zoom=self.expire_zoom
-            )
-            tl = TileExpireList(max_zoom=self.expire_zoom)
-            for r in tiles.collect():
-                tl.tiles.setdefault(r["z"], set()).add((r["x"], r["y"]))
-            tl.flush(self.expire_dir)
-            stage_secs["expire"] = round(time.perf_counter() - t0, 3)
+                t0 = time.perf_counter()
+                tiles = expired_tiles_for_batch(
+                    self.pipe,
+                    self.state,
+                    new_state,
+                    frontier,
+                    max_zoom=self.expire_zoom,
+                )
+                tl = TileExpireList(max_zoom=self.expire_zoom)
+                for r in tiles.collect():
+                    tl.tiles.setdefault(r["z"], set()).add((r["x"], r["y"]))
+                tl.flush(self.expire_dir)
+                return round(time.perf_counter() - t0, 3)
+
+            expire_pool = ThreadPoolExecutor(max_workers=1)
+            expire_future = expire_pool.submit(_expire)
         t0 = time.perf_counter()
         # per-table pins are independent jobs — overlap them (same
         # concurrent-submission pattern as the import bench's sink writes)
@@ -176,6 +189,9 @@ class ReplicationRunner:
             futs = {n: pool.submit(df.localCheckpoint) for n, df in new_tables.items()}
             new_tables = {n: f.result() for n, f in futs.items()}
         stage_secs["tables"] = round(time.perf_counter() - t0, 3)
+        if expire_future is not None:
+            stage_secs["expire"] = expire_future.result()
+            expire_pool.shutdown()
         if self.gens is not None:
             # per-id gen refresh (T6) off the MATERIALIZED base tables
             from imposm3_spark.pipeline.generalize import refresh_generalized_tables
