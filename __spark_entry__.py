@@ -38,93 +38,90 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records at most 50 entries per round, taken
-# in dict order. ROUND-10 WINDOW: the 30 remaining r02-newest rows (the
-# staleness queue reserved by the round-9 window comment — 18 TPC-H, 11
-# osm_*, events_top_types_per_user) + 2 re-checks for this round's code
-# changes + the 18 alphabetically-first r05-newest rows. After this window
-# no query's newest driver row predates r05.
+# in dict order. ROUND-11 WINDOW (round-10 verdict task 1): the round-10
+# window rotation (3356c06) predates the session-2 rewrites (f62f59c,
+# e4eee68, 0165b39), so every query whose EXECUTED PLAN changed in those
+# commits has driver rows only on its OLD code — this window leads with
+# them, then reserves slots for this round's own code changes, then drains
+# the r05 staleness queue.
 #
-# (a) R02 STALENESS QUEUE, DRAINED (round-9 verdict task 1): every query
-#     whose newest driver row is r02. All 30 pass the full-registry strict
-#     gate (scripts/check_oracle.py) at sf0.1 and sf0.01 on current code;
-#     seven rounds of module accretion sit on top of those rows, so the
-#     driver re-confirms them here.
-# (b) ROUND-10 CODE-CHANGE RE-CHECKS (scripts/recheck_audit.py over
-#     e457c43..HEAD): doc_curate (cluster.dedup_representatives gained an
-#     explicit NULL-id filter — ADVICE r9; value-identical on non-null ids,
-#     pinned by tests, but the executed plan changed) and media_features
-#     (datapipe/multimodal.py gained the stdlib-PNG decode tier; the
-#     registered query pins decoder="stub" so its output is unchanged —
-#     slot spent anyway since the module's import surface changed).
-#     streaming_neardup_flags also rides changed code (md5 band keys
-#     restored on the stateful path — ADVICE r9) but is pytest-parity-
-#     checked, not driver-checked. The diff/runner + diff/update +
-#     streaming/replication rewrites (frontier pinning, broadcast closure
-#     pruning for benchdiff) touch NO registered-query symbol: the audit
-#     flags only doc_curate; osm_diff_frontier/osm_expire_tiles ride
-#     refindex/expire.tiles which are untouched — both re-check via (a)
-#     anyway.
-# (c) STALEST-NEXT FILL: 17 of the alphabetically-first r05-newest rows
-#     plus emb_knn_graph_sampled (it rides the knn_graph kernel rewritten
-#     this round after the sf1 soak caught its unbounded per-task Arrow
-#     output — see docs/ROUND10.md §3 — so it re-checks alongside
-#     emb_knn_graph; events_hll_intersect yielded its slot and stays in
-#     round 11's queue with the remaining 15 r05 rows).
+# (a) ROUND-10 REWRITE RE-CHECKS (the verdict's explicit list): the lsh_pr
+#     family (single-plan full-outer rewrite), emb_cluster_purity (rollup
+#     rewrite) + the kmeans/quantize_pinned riders (ari/silhouette/
+#     mmr_select), events_kendall_tau (Column-tree memo),
+#     doc_textrank/events_pagerank/events_markov_stationary (pagerank
+#     pins), and the 11 plan_parallelism riders (cust_gini, cust_palma,
+#     doc_budget_select, doc_perplexity_bins, doc_weighted_sample,
+#     orders_pareto, orders_percent_rank, events_ks_test, lineitem_skyline
+#     + kendall/knn already listed). All pass the builder's
+#     scripts/check_oracle.py at sf0.1 on the new code; the driver
+#     re-confirms here.
+# (b) ROUND-11 CODE-CHANGE RE-CHECKS: slots reserved for the queries this
+#     optimization round touches — doc_winnow_pairs/doc_cdc_* (hash-kernel
+#     A/B, verdict task 6), doc_containment/doc_cosine_pairs (single-plan
+#     restructure, task 7), osm_diff_frontier/osm_expire_tiles (diff-loop
+#     rebuild/expire work rides refindex/expire symbols, tasks 3+5).
+#     Confirmed against scripts/recheck_audit.py a8ce655..HEAD at round
+#     close.
+# (c) R05 STALENESS QUEUE, DRAINED: all 14 remaining r05-newest rows
+#     (events_pagerank, the 15th, re-checks via (a)). After this window no
+#     query's newest driver row predates r06.
+# (d) STALEST-NEXT FILL: the 8 alphabetically-first r06-newest rows.
 _DRIVER_FIRST = [
-    # -- (a) r02 staleness queue: 18 TPC-H + events_top_types_per_user --
-    "tpch_q2_mincost",
-    "tpch_q3",
-    "tpch_q4_semi",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7_volume",
-    "tpch_q8_share",
-    "tpch_q9_profit",
-    "tpch_q10_returns",
-    "tpch_q11_stock",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_topsupp",
-    "tpch_q16_suppcnt",
-    "tpch_q17_smallqty",
-    "tpch_q18",
-    "tpch_q21_wait",
-    "tpch_q22_anti",
-    "events_top_types_per_user",
-    # -- (a) r02 staleness queue: 11 osm_* --
-    "osm_closed_way_dispatch",
-    "osm_column_types",
+    # -- (a) round-10 rewrite re-checks: 21 --
+    "doc_lsh_pr",
+    "doc_lsh_pr_sampled",
+    "doc_lsh_pr_curve",
+    "doc_lsh_pr_curve_sampled",
+    "emb_cluster_purity",
+    "emb_cluster_ari",
+    "emb_silhouette",
+    "emb_mmr_select",
+    "events_kendall_tau",
+    "doc_textrank",
+    "events_pagerank",
+    "events_markov_stationary",
+    "cust_gini",
+    "cust_palma",
+    "doc_budget_select",
+    "doc_perplexity_bins",
+    "doc_weighted_sample",
+    "orders_pareto",
+    "orders_percent_rank",
+    "events_ks_test",
+    "lineitem_skyline",
+    # -- (b) round-11 code-change re-checks: 7 --
+    "doc_winnow_pairs",
+    "doc_cdc_chunks",
+    "doc_cdc_dedup",
+    "doc_containment",
+    "doc_cosine_pairs",
     "osm_diff_frontier",
     "osm_expire_tiles",
-    "osm_hstore_render",
-    "osm_id_mangle",
-    "osm_merc_roundtrip",
-    "osm_metadata",
-    "osm_rel_resolve",
-    "osm_tag_prefilter",
-    "osm_wayzorder",
-    # -- (b) round-10 code-change re-checks --
-    "doc_curate",
-    "media_features",
-    # -- (c) stalest-next fill: 18 r05 rows --
-    "cust_fuzzy_pairs",
-    "doc_bigram_nll",
-    "doc_bm25_topk",
-    "doc_contamination_score",
-    "doc_nb_confusion",
-    "doc_substring_dedup",
-    "doc_weighted_sample",
-    "emb_kmeans",
-    "emb_kmeans_inertia",
-    "emb_knn_graph",
-    "emb_knn_graph_sampled",
-    "emb_lsh_recall",
-    "emb_pca_top",
-    "events_approx_distinct",
-    "events_autocorr",
-    "events_cms_heavy",
-    "events_cusum",
-    "events_entropy",
+    # -- (c) r05 staleness queue: 14 --
+    "events_hll_intersect",
+    "events_hll_rollup",
+    "events_mad_outliers",
+    "events_scd2",
+    "events_scd2_join",
+    "events_seasonal_naive",
+    "events_sliding_topk",
+    "events_user_trend",
+    "events_value_histogram",
+    "events_value_hour_corr",
+    "events_zscore_anomaly",
+    "lineitem_approx_quantiles",
+    "lineitem_basket_pairs",
+    "orders_rfm",
+    # -- (d) stalest-next fill: 8 r06 rows --
+    "doc_distinctive_terms",
+    "doc_kfold",
+    "doc_ngram_diversity",
+    "doc_pack_sequences",
+    "doc_pmi_pairs",
+    "doc_span_dedup",
+    "emb_drift",
+    "emb_hamming_recall",
 ]
 
 # A typo here would silently shrink the driver's 50-row window (unknown
