@@ -76,30 +76,54 @@ def pagerank_fixed_point(
     fixed-point, rank DOUBLE = r/SCALE rounded to 6).
     """
     # Pin the iteration-invariant inputs: edges joins into EVERY
-    # iteration (twice — directly and through outs) and nodes anchors
-    # every ranks rebuild, and Spark performs no cross-iteration subplan
-    # reuse — unpinned, a caller like doc_textrank re-tokenizes the whole
-    # corpus ~7x (2 reads x 3 iterations + the node set). The node count
-    # below materializes `nodes` eagerly anyway; `edges`/`outs` fill on
-    # the first downstream action. (Values are unchanged: a checkpoint is
+    # iteration and nodes anchors every ranks rebuild, and Spark performs
+    # no cross-iteration subplan reuse — unpinned, a caller like
+    # doc_textrank re-tokenizes the whole corpus ~7x (2 reads x 3
+    # iterations + the node set). (Values are unchanged: a checkpoint is
     # a materialization barrier, and the arithmetic is exact-integer.)
-    nodes = nodes.localCheckpoint(eager=False)
-    edges = edges.localCheckpoint(eager=False)
-    n = nodes.count()  # one bounded scalar on the driver
+    #
+    # Pin-overhead design (round-10 measured the pins costing more than
+    # they saved on the tiny event-type graphs — events_pagerank median
+    # 0.46 -> 0.81 s — and an optimizer-size gate cannot tell the graphs
+    # apart: post-aggregate estimates rank the 36-edge event-type graph
+    # ABOVE the corpus word graph). So keep the pins scale-safe but make
+    # them cheap:
+    #  * out_cnt is folded into the pinned edges frame with one window
+    #    sum over src — one pin instead of two AND one fewer join inside
+    #    every iteration (sum(cnt) over (partition by src) == the old
+    #    groupBy + join on src, exact-integer).
+    #  * the node chain (pin + count) and the edge chain are independent;
+    #    each "lazy" localCheckpoint still blocks the driver while AQE
+    #    materializes its non-final stages, so run the two chains from
+    #    two threads: the pin wall is max(chains), not their sum
+    #    (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _node_chain():
+        nd = nodes.localCheckpoint(eager=False)
+        return nd, nd.count()  # one bounded scalar on the driver
+
+    def _edge_chain():
+        w = Window.partitionBy("src")
+        return edges.withColumn(
+            "out_cnt", F.sum("cnt").over(w)
+        ).localCheckpoint(eager=False)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        nodes_f = pool.submit(_node_chain)
+        edges_f = pool.submit(_edge_chain)
+        nodes, n = nodes_f.result()
+        edges = edges_f.result()
     if n == 0:
         return nodes.select(
             "node", F.lit(0).alias("r"), F.lit(0.0).alias("rank")
         )
-    outs = edges.groupBy("src").agg(
-        F.sum("cnt").alias("out_cnt")
-    ).localCheckpoint(eager=False)
     ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("r"))
     base = ((100 - damping_pct) * SCALE) // (100 * n)
 
     for _ in range(iterations):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
-            .join(outs, on="src")
             .select(
                 F.col("dst"),
                 F.expr(f"({damping_pct} * r * cnt) div (100 * out_cnt)").alias("c"),
