@@ -173,6 +173,24 @@ def main() -> None:
         # taken at); the summary lives in the driver-captured final line —
         # duplicating it here went stale the moment the driver re-ran
         json.dump({"sf": summary["sf"], "queries": timings}, f, indent=1, sort_keys=True)
+    # TRACKED per-round sidecar (VERDICT r10 item 3): the driver's stdout
+    # tail capture truncates the 242-entry per-query line, so per-query
+    # round-over-round comparisons came back empty (PERF n_common: 0).
+    # This file is committed at round close; keyed by core count so the
+    # driver's low-core scaling run doesn't clobber the main run.
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "r11")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    queries_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_QUERIES_{round_tag}.json"
+    )
+    try:
+        with open(queries_path) as f:
+            tracked = json.load(f)
+    except (OSError, ValueError):
+        tracked = {}
+    tracked[f"cpus={cpus}"] = {"sf": summary["sf"], "total": total, "queries": timings}
+    with open(queries_path, "w") as f:
+        json.dump(tracked, f, indent=1, sort_keys=True)
     # append-only run history (gitignored): single-run walls on this box
     # swing 2x with roaming slow sets (docs/ROUND9.md forensics) — the
     # per-query MEDIAN across runs is the statistic that means anything.

@@ -63,6 +63,15 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Dat
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Analyzed read-plan handle for a bench table.
+
+    STATIC-INPUT ASSUMPTION (round-10 ADVICE): the cached handle freezes
+    the InMemoryFileIndex captured at spark.read.parquet time, so it
+    assumes the parquet at sf_dir is immutable for the session's lifetime
+    — true for the bench corpus (deterministic generator, never rewritten
+    mid-run). If a workflow regenerates a dataset mid-session, start a
+    new SparkSession (new handles by construction) or clear the session's
+    entry: `_TABLE_CACHE.pop(spark, None)`."""
     per_session = _TABLE_CACHE.setdefault(spark, {})
     key = (sf_dir, name)
     df = per_session.get(key)

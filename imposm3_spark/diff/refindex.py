@@ -47,7 +47,9 @@ def way_rel_refs(relations: DataFrame) -> DataFrame:
     )
 
 
-def dependent_ways(ways: DataFrame, changed_node_ids: DataFrame) -> DataFrame:
+def dependent_ways(
+    ways: DataFrame, changed_node_ids: DataFrame, hint: bool = True
+) -> DataFrame:
     """way ids referencing any changed node (J8). changed_node_ids: (id).
 
     Explodes refs WITHOUT the pair-level distinct: the semi join keeps at
@@ -55,16 +57,18 @@ def dependent_ways(ways: DataFrame, changed_node_ids: DataFrame) -> DataFrame:
     way ids dedupes — pre-deduping the full pair table would add a
     shuffle of the biggest intermediate for nothing."""
     refs = ways.select(F.explode("refs").alias("node_id"), F.col("id").alias("way_id"))
-    # broadcast: the changed set is diff-batch blast-radius bounded, but it
-    # arrives as a checkpointed RDD scan with NO size statistics — unhinted,
-    # the planner sort-merge-joins, shuffling the exploded ref index (the
-    # biggest intermediate in the frontier walk) once per call
+    # broadcast (hint=True, the blast-radius default): the changed set is
+    # diff-batch bounded but arrives as a checkpointed RDD scan with NO
+    # size statistics — unhinted, the planner sort-merge-joins, shuffling
+    # the exploded ref index (the biggest intermediate in the frontier
+    # walk) once per call. hint=False (round-10 ADVICE: batch size is
+    # input-controlled) lets a catch-up batch degrade to that sort-merge
+    # gracefully instead of forcing an over-limit broadcast.
+    side = changed_node_ids.withColumnRenamed("id", "node_id")
+    if hint:
+        side = F.broadcast(side)
     return (
-        refs.join(
-            F.broadcast(changed_node_ids.withColumnRenamed("id", "node_id")),
-            "node_id",
-            "leftsemi",
-        )
+        refs.join(side, "node_id", "leftsemi")
         .select(F.col("way_id").alias("id"))
         .distinct()
     )
@@ -74,8 +78,11 @@ def dependent_relations(
     relations: DataFrame,
     changed_node_ids: DataFrame | None = None,
     changed_way_ids: DataFrame | None = None,
+    hint: bool = True,
 ) -> DataFrame:
-    """relation ids referencing any changed node or way."""
+    """relation ids referencing any changed node or way. hint as in
+    dependent_ways (count-gated by the replication runner)."""
+    maybe_bcast = (lambda d: F.broadcast(d)) if hint else (lambda d: d)
     outs = []
     members = relations.select(
         F.col("id").alias("rel_id"), F.explode("members").alias("m")
@@ -86,7 +93,7 @@ def dependent_relations(
         )
         outs.append(
             nr.join(
-                F.broadcast(changed_node_ids.withColumnRenamed("id", "node_id")),
+                maybe_bcast(changed_node_ids.withColumnRenamed("id", "node_id")),
                 "node_id",
                 "leftsemi",
             ).select(F.col("rel_id").alias("id"))
@@ -97,7 +104,7 @@ def dependent_relations(
         )
         outs.append(
             wr.join(
-                F.broadcast(changed_way_ids.withColumnRenamed("id", "way_id")),
+                maybe_bcast(changed_way_ids.withColumnRenamed("id", "way_id")),
                 "way_id",
                 "leftsemi",
             ).select(F.col("rel_id").alias("id"))

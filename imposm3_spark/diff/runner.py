@@ -18,6 +18,8 @@ with a sibling .state.txt; we accept both layouts.
 
 from __future__ import annotations
 
+import gc
+import os
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -141,6 +143,23 @@ class ReplicationRunner:
         stage_secs["state"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         frontier = compute_frontier(self.state, new_state, changes, pin=True)
+        # Broadcast-hint gate (round-10 ADVICE): the frontier-side hints
+        # assume a blast-radius-bounded batch, but batch size is
+        # input-controlled (catch-up replication, mass edits). Normal
+        # batches pay NOTHING here (changes is a driver-side LocalRelation
+        # — count() is no job); a catch-up-sized batch pays three tiny
+        # count jobs on the pinned frontier frames and, if any side could
+        # exceed the broadcastable bound, drops every hint so the joins
+        # degrade to sort-merge instead of OOMing the driver. Residual
+        # (documented): a pathological fan-out from FEW changes is not
+        # gated — it is bounded by the state's max ways-per-node fan-in.
+        hint = True
+        if changes.count() > int(os.environ.get("SPARK_GRAFT_DIFF_GATE", "100000")):
+            limit = int(os.environ.get("SPARK_GRAFT_DIFF_BROADCAST_LIMIT", "4000000"))
+            hint = all(
+                df.count() <= limit
+                for df in (frontier.node_ids, frontier.way_ids, frontier.rel_ids)
+            )
         stage_secs["frontier"] = round(time.perf_counter() - t0, 3)
 
         t0 = time.perf_counter()
@@ -152,46 +171,54 @@ class ReplicationRunner:
             with_affected=True,
             new_state=new_state,
             frontier=frontier,
+            hint=hint,
         )
         # plan construction + the engine's shared-frontier pins (the
         # rebuilt rows themselves materialize under "tables")
         stage_secs["rebuild"] = round(time.perf_counter() - t0, 3)
         expire_future = None
         expire_pool = None
-        if self.expire_dir is not None:
-            # expiry depends only on (state, new_state, frontier) — all
-            # pinned above — so it runs CONCURRENTLY with the table pins
-            # below (guide §2.6); its wall is still recorded separately.
-            def _expire() -> float:
-                from imposm3_spark.diff.update import expired_tiles_for_batch
-                from imposm3_spark.expire.tiles import TileExpireList
+        try:
+            if self.expire_dir is not None:
+                # expiry depends only on (state, new_state, frontier) — all
+                # pinned above — so it runs CONCURRENTLY with the table pins
+                # below (guide §2.6); its wall is still recorded separately.
+                def _expire() -> float:
+                    from imposm3_spark.diff.update import expired_tiles_for_batch
+                    from imposm3_spark.expire.tiles import TileExpireList
 
-                t0 = time.perf_counter()
-                tiles = expired_tiles_for_batch(
-                    self.pipe,
-                    self.state,
-                    new_state,
-                    frontier,
-                    max_zoom=self.expire_zoom,
-                )
-                tl = TileExpireList(max_zoom=self.expire_zoom)
-                for r in tiles.collect():
-                    tl.tiles.setdefault(r["z"], set()).add((r["x"], r["y"]))
-                tl.flush(self.expire_dir)
-                return round(time.perf_counter() - t0, 3)
+                    t0 = time.perf_counter()
+                    tiles = expired_tiles_for_batch(
+                        self.pipe,
+                        self.state,
+                        new_state,
+                        frontier,
+                        max_zoom=self.expire_zoom,
+                        hint=hint,
+                    )
+                    tl = TileExpireList(max_zoom=self.expire_zoom)
+                    for r in tiles.collect():
+                        tl.tiles.setdefault(r["z"], set()).add((r["x"], r["y"]))
+                    tl.flush(self.expire_dir)
+                    return round(time.perf_counter() - t0, 3)
 
-            expire_pool = ThreadPoolExecutor(max_workers=1)
-            expire_future = expire_pool.submit(_expire)
-        t0 = time.perf_counter()
-        # per-table pins are independent jobs — overlap them (same
-        # concurrent-submission pattern as the import bench's sink writes)
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            futs = {n: pool.submit(df.localCheckpoint) for n, df in new_tables.items()}
-            new_tables = {n: f.result() for n, f in futs.items()}
-        stage_secs["tables"] = round(time.perf_counter() - t0, 3)
-        if expire_future is not None:
-            stage_secs["expire"] = expire_future.result()
-            expire_pool.shutdown()
+                expire_pool = ThreadPoolExecutor(max_workers=1)
+                expire_future = expire_pool.submit(_expire)
+            t0 = time.perf_counter()
+            # per-table pins are independent jobs — overlap them (same
+            # concurrent-submission pattern as the import bench's sink writes)
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                futs = {n: pool.submit(df.localCheckpoint) for n, df in new_tables.items()}
+                new_tables = {n: f.result() for n, f in futs.items()}
+            stage_secs["tables"] = round(time.perf_counter() - t0, 3)
+        finally:
+            # the expire pool must not leak (and its future must be
+            # awaited) even when a table pin raises mid-batch
+            # (round-10 ADVICE)
+            if expire_pool is not None:
+                if expire_future is not None:
+                    stage_secs["expire"] = expire_future.result()
+                expire_pool.shutdown()
         if self.gens is not None:
             # per-id gen refresh (T6) off the MATERIALIZED base tables
             from imposm3_spark.pipeline.generalize import refresh_generalized_tables
@@ -214,6 +241,11 @@ class ReplicationRunner:
             stage_secs["store"] = round(time.perf_counter() - t0, 3)
         write_state_txt(self.state_file, seq)
         self.last_stage_secs = stage_secs
+        # drop the py4j handles of the replaced state/tables promptly so
+        # the ContextCleaner can free their checkpoint blocks — without
+        # this, round-11 probes measured 1-2.4 s of old-gen GC landing
+        # inside the NEXT batch's table pins
+        gc.collect()
         return True
 
     def resume(self) -> None:

@@ -76,7 +76,11 @@ class Frontier:
 
 
 def compute_frontier(
-    state: OsmState, new_state: OsmState, changes: DataFrame, pin: bool = False
+    state: OsmState,
+    new_state: OsmState,
+    changes: DataFrame,
+    pin: bool = False,
+    hint: bool = True,
 ) -> Frontier:
     """T3: changed ids + transitive dependents (2 hops max: node->way->rel).
 
@@ -109,8 +113,8 @@ def compute_frontier(
 
     dep_ways = _union_all(
         [
-            ri.dependent_ways(state.ways, changed_nodes),
-            ri.dependent_ways(new_state.ways, changed_nodes),
+            ri.dependent_ways(state.ways, changed_nodes, hint=hint),
+            ri.dependent_ways(new_state.ways, changed_nodes, hint=hint),
         ]
     ).distinct()
     way_frontier = changed_ways.unionByName(dep_ways).distinct()
@@ -119,8 +123,12 @@ def compute_frontier(
 
     dep_rels = _union_all(
         [
-            ri.dependent_relations(state.relations, changed_nodes, way_frontier),
-            ri.dependent_relations(new_state.relations, changed_nodes, way_frontier),
+            ri.dependent_relations(
+                state.relations, changed_nodes, way_frontier, hint=hint
+            ),
+            ri.dependent_relations(
+                new_state.relations, changed_nodes, way_frontier, hint=hint
+            ),
         ]
     ).distinct()
     rel_frontier = changed_rels.unionByName(dep_rels).distinct()
@@ -148,7 +156,10 @@ def affected_osm_ids(pipe: ImportPipeline, frontier: Frontier) -> dict[str, Data
 
 
 def rebuild_tables(
-    pipe: ImportPipeline, new_state: OsmState, frontier: Frontier
+    pipe: ImportPipeline,
+    new_state: OsmState,
+    frontier: Frontier,
+    hint: bool = True,
 ) -> dict[str, DataFrame]:
     """T5: run the import pipeline on the frontier subset. Coordinates and
     member elements resolve against the full new state (a moved node must
@@ -167,8 +178,12 @@ def rebuild_tables(
     # shuffled the ENTIRE relations state (with its members arrays) per
     # batch — round-10 probe caught it; the id set is blast-radius-sized
     # like every other frontier side here
+    # hint=False (count-gated by the runner, round-10 ADVICE): a catch-up
+    # batch's frontier can exceed broadcastable size — the unhinted joins
+    # degrade to sort-merge gracefully instead of OOMing the driver.
+    maybe_bcast = (lambda d: F.broadcast(d)) if hint else (lambda d: d)
     rels = new_state.relations.join(
-        F.broadcast(frontier.rel_ids), "id", "leftsemi"
+        maybe_bcast(frontier.rel_ids), "id", "leftsemi"
     ).localCheckpoint()
 
     member_way_ids = (
@@ -180,9 +195,9 @@ def rebuild_tables(
         frontier.way_ids.unionByName(member_way_ids).distinct().localCheckpoint()
     )
     needed_ways = new_state.ways.join(
-        F.broadcast(way_ids), "id", "leftsemi"
+        maybe_bcast(way_ids), "id", "leftsemi"
     ).localCheckpoint()
-    ways = needed_ways.join(F.broadcast(frontier.way_ids), "id", "leftsemi")
+    ways = needed_ways.join(maybe_bcast(frontier.way_ids), "id", "leftsemi")
 
     member_node_ids = (
         rels.select(F.explode("members").alias("m"))
@@ -197,9 +212,9 @@ def rebuild_tables(
         .localCheckpoint()
     )
     needed_nodes = new_state.nodes.join(
-        F.broadcast(ref_ids), "id", "leftsemi"
+        maybe_bcast(ref_ids), "id", "leftsemi"
     ).localCheckpoint()
-    nodes = needed_nodes.join(F.broadcast(frontier.node_ids), "id", "leftsemi")
+    nodes = needed_nodes.join(maybe_bcast(frontier.node_ids), "id", "leftsemi")
 
     coords = pipe.prepare_coords(needed_nodes)
     tables: dict[str, list[DataFrame]] = {}
@@ -323,6 +338,7 @@ def expired_tiles_for_batch(
     new_state: OsmState,
     frontier: Frontier,
     max_zoom: int = 14,
+    hint: bool = True,
 ) -> DataFrame:
     """T7: z/x/y tiles touched by the batch — both the OLD geometries (the
     deleter expires rows it removes, update/deleter.go:136-238) and the
@@ -384,6 +400,9 @@ def expired_tiles_for_batch(
         }
         pipe._expire_match_exprs = exprs
 
+    # hint=False (count-gated by the runner, round-10 ADVICE): catch-up
+    # batches degrade to sort-merge instead of forcing a broadcast
+    maybe_bcast = (lambda d: F.broadcast(d)) if hint else (lambda d: d)
     parts = []
     for st, is_new in ((state, False), (new_state, True)):
         all_nodes = st.nodes.select("id", "lon", "lat")
@@ -396,7 +415,7 @@ def expired_tiles_for_batch(
 
         # nodes (deleter.go:206-238; writer/nodes.go:91-92)
         nd = (
-            st.nodes.join(F.broadcast(frontier.node_ids), "id", "leftsemi")
+            st.nodes.join(maybe_bcast(frontier.node_ids), "id", "leftsemi")
             .filter(F.size("tags") > 0)
             .withColumn("tags", exprs["node_prefilter"])
         )
@@ -411,7 +430,7 @@ def expired_tiles_for_batch(
         # ways (deleter.go:159-204; writer/ways.go:122-123) — pinned
         # inside _resolve_latlon
         wy = (
-            st.ways.join(F.broadcast(frontier.way_ids), "id", "leftsemi")
+            st.ways.join(maybe_bcast(frontier.way_ids), "id", "leftsemi")
             .filter(F.size("tags") > 0)
             .withColumn("tags", exprs["way_prefilter"])
         )
@@ -432,7 +451,7 @@ def expired_tiles_for_batch(
         # relations: every way member's node run (deleter.go:136-155;
         # writer/relations.go:127-131)
         rl = (
-            st.relations.join(F.broadcast(frontier.rel_ids), "id", "leftsemi")
+            st.relations.join(maybe_bcast(frontier.rel_ids), "id", "leftsemi")
             .filter(F.size("tags") > 0)
             .withColumn("tags", exprs["rel_prefilter"])
         )
@@ -480,6 +499,7 @@ def apply_batch(
     with_affected: bool = False,
     new_state: OsmState | None = None,
     frontier: Frontier | None = None,
+    hint: bool = True,
 ):
     """One diff batch end-to-end: state upsert, frontier, delete+rebuild.
 
@@ -503,8 +523,8 @@ def apply_batch(
         # compute_frontier docstring). Callers that already hold a pinned
         # frontier (diff/runner, streaming/replication) pass it in so the
         # batch computes it exactly once.
-        frontier = compute_frontier(state, new_state, changes, pin=True)
-    rebuilt = rebuild_tables(pipe, new_state, frontier)
+        frontier = compute_frontier(state, new_state, changes, pin=True, hint=hint)
+    rebuilt = rebuild_tables(pipe, new_state, frontier, hint=hint)
     delete_ids = affected_osm_ids(pipe, frontier)
 
     new_tables: dict[str, DataFrame] = {}
@@ -516,7 +536,7 @@ def apply_batch(
         # the anti join sort-merges, i.e. shuffles the ENTIRE output table
         # per batch (round-10 probe class; guide §3.1)
         kept = (
-            df.join(F.broadcast(dels), "osm_id", "left_anti")
+            df.join(F.broadcast(dels) if hint else dels, "osm_id", "left_anti")
             if dels is not None
             else df
         )
