@@ -872,8 +872,11 @@ def doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imposm3_spark.datapipe import cluster as cl
     from imposm3_spark.datapipe import dedup as dd2
     from imposm3_spark.datapipe import text as tx2
+    from imposm3_spark.datapipe.sampling import spread_small_input
 
-    d = _t(spark, sf_dir, "documents")
+    # spread: the multi-regex scorer + md5 exact-dedup key run in the scan
+    # stage — one task on a sub-split corpus (guide §2.5 input skew)
+    d = spread_small_input(_t(spark, sf_dir, "documents"))
     # eval_once: the quality gate filters on the projected score; without
     # the barrier Catalyst substitutes the full multi-regex tree into the
     # pushed-down Filter and the scan pays it TWICE (guide §4.4 class;
@@ -1236,9 +1239,12 @@ def doc_clean_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition), which is exactly the property that matters when chaining
     curation stages over 100 TB."""
     from imposm3_spark.datapipe.dedup import decontaminate as _decon
+    from imposm3_spark.datapipe.sampling import spread_small_input
     from imposm3_spark.datapipe.text import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread once at the source: the quality regexes, the shingle explode
+    # inside decontaminate, and the PII scrub all run in scan stages
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     q = corpus.filter(quality_score(F.col("text")) >= 0.75)

@@ -359,7 +359,12 @@ def cdc_chunks(
     # `_ends` is ascending by construction (cut positions ascend and n
     # bounds them above, with array_union dropping the duplicate when
     # the last cut lands on n).
-    staged = df.filter(n > 0).select(
+    # spread: the boundary filter is an INTERPRETED higher-order lambda
+    # running one md5 per character position — at scan parallelism a
+    # sub-split corpus serializes the whole kernel onto one task
+    from imposm3_spark.datapipe.sampling import spread_small_input
+
+    staged = spread_small_input(df.filter(n > 0)).select(
         F.col(id_col),
         t.alias("_t"),
         F.array_union(

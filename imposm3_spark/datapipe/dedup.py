@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from imposm3_spark.datapipe.sampling import spread_small_input
 from imposm3_spark.datapipe.text import tokens
 
 
@@ -97,6 +98,7 @@ def minhash_signatures_relational(
     test_curation.py::test_minhash_fold_matches_round2_formulation; warm
     sf0.1x64 sigs pass measured 5.8 s -> 4.7 s (docs/ROUND9.md)."""
     sig = _minhash_fold(text_col, num_hashes, shingle_k)
+    df = spread_small_input(df)
     return df.select(
         F.col(id_col).alias("doc"),
         *[sig[f"s{i}"].alias(f"s{i}") for i in range(num_hashes)],
@@ -195,7 +197,9 @@ def minhash_lsh_pairs(
         )
 
     bands_arr = _minhash_fold(text_col, num_hashes, shingle_k, finish=_finish)
-    banded = df.select(
+    # spread: the fold is one interpreted md5 per shingle (~one per input
+    # token) — at scan parallelism a sub-split corpus runs it on one task
+    banded = spread_small_input(df).select(
         F.col(id_col).alias("doc"),
         F.posexplode(bands_arr).alias("band_idx", "band_key"),
     ).filter(F.col("band_key").isNotNull())
@@ -298,7 +302,7 @@ def simhash_table(
             out[nz] = (seg > 0) @ weights
         return pd.Series(out, dtype="int64")
 
-    return df.select(F.col(id_col), hashes.alias("toks")).select(
+    return spread_small_input(df).select(F.col(id_col), hashes.alias("toks")).select(
         id_col, sh(F.col("toks")).alias("simhash")
     )
 
@@ -441,7 +445,7 @@ def decontaminate(
         )
         .distinct()
     )
-    corpus_sh = corpus.select(
+    corpus_sh = spread_small_input(corpus).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
     )
@@ -479,7 +483,7 @@ def contamination_score(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    corpus_sh = corpus.select(
+    corpus_sh = spread_small_input(corpus).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias("sh"),
     )
@@ -653,7 +657,7 @@ def bloom_decontaminate(
     # per-doc shingle dedup via array_distinct BEFORE exploding — a
     # row-level expression, unlike .distinct() after the explode, which
     # would shuffle every (doc, shingle) pair corpus-wide
-    corp = corpus.select(
+    corp = spread_small_input(corpus).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), k=shingle_k))).alias("s"),
     )

@@ -64,6 +64,53 @@ def plan_parallelism(df: DataFrame, bytes_per_partition: int = 64 * 1024 * 1024)
     return min(max(size // bytes_per_partition, 1), cap)
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a SMALL input to cluster parallelism ahead
+    of a compute-amplifying kernel (per-character gram explodes, per-token
+    higher-order md5 hashing, multi-regex scoring).
+
+    Parquet scans split by BYTES (spark.sql.files.maxPartitionBytes),
+    which is right when per-byte work is O(1) but wrong when the next
+    operator multiplies work per byte 10-100x and the input fills fewer
+    splits than the cluster has cores: a sub-128 MB corpus is ONE task no
+    matter how many cores idle (guide §2.5 input-skew class — measured at
+    sf0.1: the winnowing gram+md5 stage 2.9 s on the 1-task scan, 0.5 s
+    after the spread). The gate is METADATA-ONLY — the optimizer's size
+    estimate, never ``.rdd`` (which executes AQE stages): when the
+    estimate already fills >= one scan split per core, the scan
+    parallelizes naturally and the repartition would only add an exchange,
+    so it is skipped — at real scale this is a no-op by construction.
+    Unknown/huge estimates (e.g. checkpointed RDD inputs) also skip.
+
+    Every caller's values are partitioning-invariant (per-row kernels +
+    keyed re-aggregation downstream), and round-robin repartition is
+    retry-safe (sortBeforeRepartition is on by default)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SPREAD") == "0":  # A/B kill switch
+        return df
+    sc = df.sparkSession.sparkContext
+    cores = max(int(sc.defaultParallelism), 1)
+    if cores <= 1:
+        return df
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        est = int(str(plan.stats().sizeInBytes()))
+        tree = str(plan)
+    except Exception:
+        return df
+    if est <= 0 or est > cores * (128 * 1024 * 1024):
+        return df
+    # Idempotence guard for composed pipelines: a Repartition upstream
+    # means a spread already happened (don't pay a second exchange), and a
+    # LogicalRDD leaf is a checkpointed pin whose producer already chose
+    # the partitioning (in this codebase pins materialize from spread
+    # plans, so they inherit the parallel layout).
+    if "Repartition" in tree or "LogicalRDD" in tree:
+        return df
+    return df.repartition(cores)
+
+
 def det_hash(id_col: Column) -> Column:
     """Deterministic 32-bit hash of an integer id: the first 8 hex chars
     of md5(CAST(id AS STRING)) as an unsigned integer. Uniform in all

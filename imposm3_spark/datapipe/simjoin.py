@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from imposm3_spark.datapipe.dedup import shingles
+from imposm3_spark.datapipe.sampling import spread_small_input
 
 
 def ppjoin_pairs(
@@ -58,7 +59,7 @@ def ppjoin_pairs(
     integers; jaccard is their double ratio rounded to 6 decimals.
     """
     sets = (
-        docs.select(
+        spread_small_input(docs).select(
             F.col(id_col).alias("doc"),
             F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
         )
@@ -194,7 +195,7 @@ def duplicated_substring_spans(
     npos = F.greatest(
         F.length(text_col) - F.lit(gram_len - 1), F.lit(0)
     )
-    pos = docs.select(
+    pos = spread_small_input(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(F.sequence(F.lit(1), npos)).alias("i"),
         F.expr(f"substring({text_col}, i, {gram_len})").alias("g"),
@@ -273,7 +274,8 @@ def cosine_pairs(
         else tokens(F.lower(F.col(text_col)))
     )
     tc = (
-        docs.select(F.col(id_col).alias("doc"), F.explode(terms).alias("t"))
+        spread_small_input(docs)
+        .select(F.col(id_col).alias("doc"), F.explode(terms).alias("t"))
         .groupBy("doc", "t")
         .agg(F.count("*").alias("c"))
     )
@@ -349,7 +351,7 @@ def winnow_fingerprints(
     Returns (doc_id, fp, pos) — distinct selected fingerprints.
     """
     npos = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0))
-    grams = docs.select(
+    grams = spread_small_input(docs).select(
         F.col(id_col).alias("doc"),
         F.explode(F.sequence(F.lit(1), npos)).alias("pos"),
         F.expr(f"substring({text_col}, pos, {k})").alias("g"),
@@ -431,7 +433,7 @@ def containment_pairs(
     buckets small. Exact intersect verify on candidates only.
     """
     sets = (
-        docs.select(
+        spread_small_input(docs).select(
             F.col(id_col).alias("doc"),
             F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
         )

@@ -269,6 +269,11 @@ def bigram_nll(
     # unigram/bigram count tables, the total, and the two scoring
     # streams) — without the pin each one re-scans and re-tokenizes the
     # corpus
+    # NOT spread (round-11 negative result): the kernel here is one
+    # whitespace split per row — repartitioning the pin input A/B-measured
+    # 1.12 -> 1.52 s median at sf0.1 (the added exchange + 32-partition
+    # pin make every downstream broadcast build pay micro-tasks, and
+    # there is no heavy per-row compute to parallelize).
     base = (
         df.select(F.col(id_col), toks.alias("tk"))
         .filter(F.size("tk") > 0)

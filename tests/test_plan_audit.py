@@ -399,13 +399,17 @@ def test_temperature_mix_broadcasts_rates(spark):
 
 def test_bloom_decontaminate_is_joinless_filter(spark):
     """The Bloom filter is a BROADCAST BIT ARRAY, not a join: the corpus
-    plan must contain no join at all — scan, shingle projection, one
-    vectorized membership filter, one per-doc aggregate exchange."""
+    plan must contain no join at all — scan, spread (round-robin input
+    repartition ahead of the shingle+md5 kernel, round 11), shingle
+    projection, one vectorized membership filter, one per-doc aggregate
+    exchange. No KEYED exchange beyond the aggregate may appear."""
     plan = _executed_plan(bq.QUERIES["doc_bloom_decontaminate"](spark, SF_DIR))
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert join not in plan
-    assert plan.count("Exchange") <= 2  # final groupBy(doc) (+AQE read)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 1  # final groupBy(doc)
+    assert final.count("Exchange roundrobinpartitioning") <= 1  # the spread
 
 
 def test_dsir_broadcasts_bucket_ratios(spark):
@@ -730,11 +734,16 @@ def test_cadence_shared_key_exchange(spark):
 
 def test_cdc_chunks_zero_shuffle(spark):
     """CDC chunking: boundary detection, span assembly and the chunk
-    explode are pure JVM expressions over one scan — zero exchanges in
-    the per-chunk table."""
+    explode are pure JVM expressions — no KEYED exchange in the per-chunk
+    table. The one allowed round-robin exchange is the round-11 spread
+    (the boundary filter is an interpreted per-character md5 lambda; at
+    scan parallelism a sub-split corpus ran it on ONE task — A/B 3.19 s
+    -> 0.46 s at sf0.1)."""
     plan = _executed_plan(bq.QUERIES["doc_cdc_chunks"](spark, SF_DIR))
     final = plan.split("== Initial Plan ==")[0]
-    assert "Exchange" not in final
+    assert "Exchange hashpartitioning" not in final
+    assert "Exchange rangepartitioning" not in final
+    assert final.count("Exchange roundrobinpartitioning") <= 1  # the spread
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
