@@ -78,10 +78,16 @@ def ppjoin_pairs(
     # One global total order on tokens: (document frequency asc, token
     # asc). Any total order preserves the prefix guarantee; frequency-
     # ascending is the standard choice that keeps prefix tokens rare.
+    # `n` rides the aggregation (constant per doc, min = the value), so
+    # the prefix projection needs NO join back to `sets` — one broadcast
+    # exchange + join fewer per self-join side (round 11).
     ordered = (
         tok.join(freq, "t")
         .groupBy("doc")
-        .agg(F.array_sort(F.collect_list(F.struct("f", "t"))).alias("ord"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("f", "t"))).alias("ord"),
+            F.min("n").alias("n"),
+        )
     )
 
     # Prefix length p = n - ceil(t*n) + 1: if J(A,B) >= t then
@@ -90,8 +96,7 @@ def ppjoin_pairs(
     # (|A|-p_A) + ... suffix tokens < the required overlap — so matching
     # pairs ALWAYS share a prefix token (recall 1).
     pref = (
-        sets.join(ordered, "doc")
-        .withColumn(
+        ordered.withColumn(
             "p",
             F.col("n")
             - F.ceil(F.lit(threshold) * F.col("n")).cast("int")
@@ -350,6 +355,23 @@ def winnow_fingerprints(
 
     Returns (doc_id, fp, pos) — distinct selected fingerprints.
     """
+    picked = _winnow_picks(docs, k, w, id_col, text_col)
+    return (
+        picked.select(
+            "doc", F.col("_m.h").alias("fp"), F.col("_m.pos").alias("pos")
+        )
+        .distinct()
+        .select(F.col("doc").alias(id_col), "fp", "pos")
+    )
+
+
+def _winnow_picks(
+    docs: DataFrame, k: int, w: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-position window picks BEFORE dedup: (doc, _m struct<h,pos>).
+    Shared by winnow_fingerprints (distinct on (doc, fp, pos)) and
+    winnow_pairs (distinct on (doc, fp) directly — one aggregation
+    instead of two stacked distincts)."""
     npos = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0))
     grams = spread_small_input(docs).select(
         F.col(id_col).alias("doc"),
@@ -365,16 +387,7 @@ def winnow_fingerprints(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
-    picked = grams.withColumn(
-        "_m", F.min(F.struct("h", "pos")).over(frame)
-    )
-    return (
-        picked.select(
-            "doc", F.col("_m.h").alias("fp"), F.col("_m.pos").alias("pos")
-        )
-        .distinct()
-        .select(F.col("doc").alias(id_col), "fp", "pos")
-    )
+    return grams.withColumn("_m", F.min(F.struct("h", "pos")).over(frame))
 
 
 def winnow_pairs(
@@ -389,11 +402,17 @@ def winnow_pairs(
     ``min_shared`` distinct winnowing fingerprint VALUES. The join is an
     equi-join on the fingerprint (each doc's distinct fp set explodes
     once), aggregated to exact shared counts."""
-    fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    # distinct (doc, fp) DIRECTLY on the window picks: the former
+    # winnow_fingerprints().select().distinct() stacked a (doc, fp, pos)
+    # aggregation under a (doc, fp) one — identical set, one aggregation
+    # fewer (round 11)
+    picked = _winnow_picks(docs, k, w, id_col, text_col)
     # pin: both self-join sides read the fingerprint pipeline (per-
     # position char-gram explode + md5 + window) — unpinned it runs twice
-    vals = fps.select(F.col(id_col).alias("doc"), "fp").distinct().localCheckpoint(
-        eager=False
+    vals = (
+        picked.select("doc", F.col("_m.h").alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     a, b = vals.alias("a"), vals.alias("b")
     return (
@@ -445,14 +464,18 @@ def containment_pairs(
     sets = sets.localCheckpoint(eager=False)
     tok = sets.select("doc", "n", F.explode("sh").alias("t"))
     freq = tok.groupBy("t").agg(F.count("*").alias("f"))
+    # `n` rides the aggregation (constant per doc) — no join back to
+    # `sets` for the prefix projection (round 11, same move as ppjoin)
     ordered = (
         tok.join(freq, "t")
         .groupBy("doc")
-        .agg(F.array_sort(F.collect_list(F.struct("f", "t"))).alias("ord"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("f", "t"))).alias("ord"),
+            F.min("n").alias("n"),
+        )
     )
     pref = (
-        sets.join(ordered, "doc")
-        .withColumn(
+        ordered.withColumn(
             "p",
             F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + F.lit(1),
         )
