@@ -885,7 +885,13 @@ def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         )
     )
-    days = iv.select(
+    # spread before the ~interval-length x row-count date explode: AQE
+    # coalesces the small pre-explode join output to ~1 partition (a
+    # byte-based decision), serializing the 100x fanout + partial agg
+    # onto one task (A/B 5.57 -> 2.63 s median at sf0.1, round 11)
+    from imposm3_spark.datapipe.sampling import spread_small_input
+
+    days = spread_small_input(iv).select(
         F.explode(
             F.sequence(F.col("d0"), F.col("shipmax"), F.expr("INTERVAL 1 DAY"))
         ).alias("day"),

@@ -910,7 +910,10 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-level quality rules miss. Static category pivot + the
     categorical_entropy fixed-order fold (exact counts, shared term
     order)."""
-    docs = _t(spark, sf_dir, "documents")
+    from imposm3_spark.datapipe.sampling import spread_small_input
+
+    # spread: the per-CHARACTER explode amplifies a sub-split scan ~2000x
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     ch = docs.select(
         "doc_id",
         F.explode(

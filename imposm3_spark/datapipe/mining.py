@@ -192,7 +192,13 @@ def fuzzy_pairs_edit1(
 
     Output: (a_id, b_id, a_name, b_name, dist<=1), a_id < b_id.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
+    from imposm3_spark.datapipe.sampling import spread_small_input
+
+    # spread: the L+1-variant explode + per-variant substring/hash work
+    # runs in the scan stage — one task on a sub-split source
+    base = spread_small_input(df).select(
+        F.col(id_col).alias("id"), F.col(name_col).alias("name")
+    )
     n = F.length("name")
     # position 0 = identity (catches exact dupes and pure insert/delete),
     # position p>=1 = name with character p removed

@@ -61,6 +61,11 @@ def nb_train_eval(
 ) -> DataFrame:
     """Train on docs with id % test_mod != 0, score the rest; returns the
     confusion matrix (label, predicted, n) over the holdout."""
+    # NOT spread (round-11 negative result): repartitioning the corpus
+    # ahead of the train/test tokenize passes A/B-measured 2.76 -> 4.21 s
+    # median at sf0.1 — the pipeline's many small downstream aggregations
+    # and count jobs each pay the extra exchange, dwarfing the tokenize
+    # parallelism win.
     is_test = (F.col(id_col) % test_mod) == 0
     train = docs.where(~is_test)
     test = docs.where(is_test)

@@ -552,6 +552,9 @@ def pmi_pairs(
     # the doc key only scopes the pair join, but determinism discipline
     # says derive it from the data (never monotonically_increasing_id,
     # which is partition-dependent)
+    # NOT spread (round-11 negative result): A/B 1.53 -> 1.71 s median at
+    # sf0.1 — the (doc, pos+d) equi-join re-shuffles right after the
+    # scan, so the spread's exchange buys almost no parallel work.
     id_col = "doc_id" if "doc_id" in df.columns else df.columns[0]
     toks = df.select(
         F.col(id_col).alias("_d"), F.posexplode(tokens(F.col(text_col))).alias("pos", "w")
