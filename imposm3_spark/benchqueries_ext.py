@@ -894,8 +894,19 @@ def doc_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the curated set once: quality scoring + the exact-dedup
     # semi join would otherwise re-evaluate for every downstream consumer
     # (LSH, the component node set, the final semi join) — 4x the most
-    # expensive expression tree in the pipeline
-    q2 = q.join(keep_exact, "doc_id", "leftsemi").localCheckpoint(eager=True)
+    # expensive expression tree in the pipeline. The pin is re-sized to
+    # the DATA (plan_parallelism: est bytes / 64 MB), not to the spread's
+    # kernel parallelism: the LSH banding, union-find levels, and final
+    # semi join that read it are iterative small-row consumers, and a
+    # 32-block pin makes every one of them pay per-partition micro-tasks
+    # and leaves 32x the block churn for the session's cleaner (round 11).
+    from imposm3_spark.datapipe.sampling import plan_parallelism
+
+    q2 = (
+        q.join(keep_exact, "doc_id", "leftsemi")
+        .repartition(plan_parallelism(q))
+        .localCheckpoint(eager=True)
+    )
     pairs = dd2.minhash_lsh_pairs(q2)
     curated = cl.dedup_representatives(q2, pairs, "doc_id", pair_a="id_a", pair_b="id_b")
     return curated.select(
